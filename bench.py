@@ -1,0 +1,72 @@
+"""Benchmark runner (driver contract).
+
+Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: ``{"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}``.
+
+Each query is executed to completion (``collect()`` — results are small
+aggregates/pages by construction). A warm-up action runs first so JVM/codegen
+startup isn't attributed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from data_warehouse_spark.queries_catalog import QUERIES
+from data_warehouse_spark.session import get_spark
+
+BENCH_QUERIES = [
+    "pricing_summary",
+    "shipping_priority",
+    "revenue_by_nation",
+    "top_customers",
+    "order_priority_count",
+    "events_hourly",
+    "sessionize",
+    "top_users_per_event_type",
+    "wh_transfers_filtered",
+    "wh_account_balances_grouped",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    spark = get_spark(app_name="dwh-bench")
+    # warm up JVM / parquet footer cache without touching the timed plans
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        qd = QUERIES.get(name)
+        if qd is None:
+            continue
+        t0 = time.perf_counter()
+        qd.fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,224 @@
+"""Table catalog: testdata loading + derived warehouse views.
+
+The driver's correctness oracle (DuckDB) sees the TPC-H-ish parquet tables as
+views. To exercise the *real* warehouse operators (tenants / accounts /
+transfers / balance — the reference's whole read surface) under that oracle,
+we derive the warehouse tables deterministically from the TPC-H tables, with
+byte-identical semantics expressed twice:
+
+  * :func:`warehouse_views` — Spark DataFrames (what the engine runs on)
+  * :data:`WAREHOUSE_CTE_SQL` — ANSI-SQL CTE prefix (what DuckDB runs)
+
+Mapping (pure equi-joins on dims — broadcastable at any scale):
+  tenant   := nation names
+  account  := customer, homed in its nation; currency keyed off nationkey;
+              format := market segment
+  transfer := lineitem, one transfer per line; transaction = orderkey;
+              credit side = ordering customer, debit side = supplier;
+              status from o_orderstatus (O→0 queued, F→1 committed,
+              P→2 rollbacked); amount = extendedprice as DECIMAL(18,2)
+  account_balance_change := committed transfers exploded into
+              (+amount @ credit, −amount @ debit) signed rows
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .schemas import MONEY, TESTDATA_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata parquet table.
+
+    Parquet TIMESTAMP(NANOS) columns (events.ts) arrive as long via
+    ``spark.sql.legacy.parquet.nanosAsLong``; convert to µs timestamps —
+    floor division matches DuckDB's ns→µs truncation.
+    """
+    # runtime-set so the engine also works on sessions it didn't build (the
+    # driver hands entry()/queries() its own SparkSession): UTC is the
+    # engine's declared timestamp semantic (the reference UTC-normalizes on
+    # write — SecondaryPersistence.scala:105-108)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # integer DIV, not `/`: ns epochs (~1.7e18) overflow double precision
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every testdata table as a temp view (SQL entry point)."""
+    tables = load_all(spark, sf_dir)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables
+
+
+# ---------------------------------------------------------------------------
+# Derived warehouse tables — Spark side
+# ---------------------------------------------------------------------------
+
+_CURRENCY = ["CZK", "EUR", "USD"]
+
+
+def _currency_expr(nationkey_col: str):
+    # nationkey % 3 → {CZK, EUR, USD}; same CASE in the SQL twin below
+    c = F.col(nationkey_col) % 3
+    return (
+        F.when(c == 0, F.lit("CZK")).when(c == 1, F.lit("EUR")).otherwise(F.lit("USD"))
+    )
+
+
+def tenant_view(t: dict[str, DataFrame]) -> DataFrame:
+    return t["nation"].select(F.col("n_name").alias("name"))
+
+
+def account_view(t: dict[str, DataFrame]) -> DataFrame:
+    # dim join: nation is tiny — Catalyst broadcasts it (AQE would anyway)
+    return (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("tenant"),
+            F.col("c_name").alias("name"),
+            _currency_expr("c_nationkey").alias("currency"),
+            F.col("c_mktsegment").alias("format"),
+        )
+    )
+
+
+def transfer_view(t: dict[str, DataFrame]) -> DataFrame:
+    """One transfer per lineitem; fact-to-fact join on orderkey, dims broadcast."""
+    li = t["lineitem"]
+    o = t["orders"]
+    c = t["customer"]
+    s = t["supplier"]
+    n = t["nation"]
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cn_name")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("sn_name")
+    )
+    status = (
+        F.when(F.col("o_orderstatus") == "O", F.lit(0))
+        .when(F.col("o_orderstatus") == "F", F.lit(1))
+        .otherwise(F.lit(2))
+        .cast("int")
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .select(
+            F.col("cn_name").alias("tenant"),
+            F.col("l_orderkey").cast("string").alias("transaction"),
+            F.col("l_linenumber").cast("string").alias("transfer"),
+            status.alias("status"),
+            F.col("cn_name").alias("credit_tenant"),
+            F.col("c_name").alias("credit_name"),
+            F.col("sn_name").alias("debit_tenant"),
+            F.col("s_name").alias("debit_name"),
+            F.col("l_extendedprice").cast(MONEY).alias("amount"),
+            _currency_expr("c_nationkey").alias("currency"),
+            F.col("l_shipdate").alias("value_date"),
+        )
+    )
+
+
+def account_balance_change_view(transfers: DataFrame) -> DataFrame:
+    """Committed transfers → signed per-account change rows.
+
+    The reference never writes this table itself (a Postgres-side trigger
+    does); semantics pinned by its golden tests: one committed transfer of 1
+    ⇒ credit +1, debit −1 (reference bbtest graphql_api.feature:81-131).
+    """
+    committed = transfers.filter(F.col("status") == 1)
+    credit = committed.select(
+        F.col("credit_tenant").alias("tenant"),
+        F.col("credit_name").alias("name"),
+        F.col("value_date"),
+        F.col("amount"),
+    )
+    debit = committed.select(
+        F.col("debit_tenant").alias("tenant"),
+        F.col("debit_name").alias("name"),
+        F.col("value_date"),
+        (-F.col("amount")).cast(MONEY).alias("amount"),
+    )
+    return credit.unionByName(debit)
+
+
+def warehouse_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """All four warehouse tables derived from the testdata star schema."""
+    t = load_all(spark, sf_dir)
+    transfers = transfer_view(t)
+    return {
+        "tenant": tenant_view(t),
+        "account": account_view(t),
+        "transfer": transfers,
+        "account_balance_change": account_balance_change_view(transfers),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Derived warehouse tables — SQL twin (DuckDB oracle prefix)
+# ---------------------------------------------------------------------------
+
+_CURRENCY_SQL = (
+    "CASE CAST({k} % 3 AS INT) WHEN 0 THEN 'CZK' WHEN 1 THEN 'EUR' ELSE 'USD' END"
+)
+
+WAREHOUSE_CTE_SQL = f"""
+WITH tenant_v AS (
+  SELECT n_name AS name FROM nation
+),
+account_v AS (
+  SELECT n.n_name AS tenant,
+         c.c_name AS name,
+         {_CURRENCY_SQL.format(k='c.c_nationkey')} AS currency,
+         c.c_mktsegment AS format
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+),
+transfer_v AS (
+  SELECT cn.n_name AS tenant,
+         CAST(l.l_orderkey AS VARCHAR) AS transaction,
+         CAST(l.l_linenumber AS VARCHAR) AS transfer,
+         CASE o.o_orderstatus WHEN 'O' THEN 0 WHEN 'F' THEN 1 ELSE 2 END AS status,
+         cn.n_name AS credit_tenant,
+         c.c_name AS credit_name,
+         sn.n_name AS debit_tenant,
+         s.s_name AS debit_name,
+         CAST(l.l_extendedprice AS DECIMAL(18,2)) AS amount,
+         {_CURRENCY_SQL.format(k='c.c_nationkey')} AS currency,
+         l.l_shipdate AS value_date
+  FROM lineitem l
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+),
+account_balance_change_v AS (
+  SELECT credit_tenant AS tenant, credit_name AS name, value_date, amount
+  FROM transfer_v WHERE status = 1
+  UNION ALL
+  SELECT debit_tenant AS tenant, debit_name AS name, value_date,
+         CAST(-amount AS DECIMAL(18,2)) AS amount
+  FROM transfer_v WHERE status = 1
+)
+"""

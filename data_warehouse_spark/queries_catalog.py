@@ -1,0 +1,407 @@
+"""Named query catalog: every implemented operator with its DuckDB oracle twin.
+
+This is the engine's public inventory (driver contract: ``queries()`` /
+``oracle_sql()`` in ``__spark_entry__.py`` re-export it). Each entry pairs
+
+  * a Spark callable ``(spark, sf_dir) -> DataFrame`` exercising the real
+    operator code in :mod:`data_warehouse_spark.operators`, and
+  * an ANSI-SQL string with identical semantics for DuckDB over the same
+    parquet tables (``None`` for genuinely non-SQL-expressible ops — the
+    driver then records a weaker rows-only check).
+
+Column-name and value discipline (cross-engine hash equality):
+  * every computed column is aliased identically on both sides;
+  * money / 2-dp measures aggregate as integer fixed point (``*_cents`` =
+    ×100, ``*_x10k``, ``*_x1m`` — BIGINT): exact, associative, and identical
+    through every pandas/Arrow conversion (decimal→float64 is not);
+  * DuckDB ``SUM`` returns HUGEINT/DECIMAL → every oracle SUM is wrapped in
+    ``CAST(... AS BIGINT)`` where the Spark side is LongType.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import catalog as cat
+from .catalog import WAREHOUSE_CTE_SQL
+from .operators import analytics, queries as wh
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    description: str
+
+
+QUERIES: dict[str, QueryDef] = {}
+
+
+def register(name: str, oracle: str | None, description: str = ""):
+    def deco(fn):
+        QUERIES[name] = QueryDef(fn=fn, oracle=oracle, description=description)
+        return fn
+
+    return deco
+
+
+def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: qd.fn for name, qd in QUERIES.items()}
+
+
+def oracle_queries() -> dict[str, str]:
+    return {name: qd.oracle for name, qd in QUERIES.items() if qd.oracle is not None}
+
+
+# ===========================================================================
+# Reference parity — the complete read surface of the reference service
+# (tenants / accounts / transfers / balance), run on warehouse tables derived
+# from the star schema (same derivation CTE on the oracle side).
+# ===========================================================================
+
+
+@register(
+    "wh_tenants_page",
+    WAREHOUSE_CTE_SQL
+    + "SELECT name FROM tenant_v ORDER BY name LIMIT 10 OFFSET 5",
+    "Q1 tenants(limit, offset): ordered offset/limit pagination",
+)
+def _wh_tenants_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = cat.warehouse_views(spark, sf_dir)
+    return wh.tenants(v["tenant"], limit=10, offset=5)
+
+
+@register(
+    "wh_tenants_by_names",
+    WAREHOUSE_CTE_SQL
+    + """SELECT name FROM tenant_v
+         WHERE name IN ('NATION_3','NATION_7','NATION_19','NATION_999')
+         ORDER BY name""",
+    "Q2 tenantsByNames: batched IN-list lookup (missing keys drop out)",
+)
+def _wh_tenants_by_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = cat.warehouse_views(spark, sf_dir)
+    return wh.tenants_by_names(
+        v["tenant"], ["NATION_3", "NATION_7", "NATION_19", "NATION_999"]
+    )
+
+
+@register(
+    "wh_accounts_filtered",
+    WAREHOUSE_CTE_SQL
+    + """SELECT tenant, name, currency, format FROM account_v
+         WHERE tenant = 'NATION_1' AND currency = 'EUR' AND format = 'BUILDING'
+         ORDER BY name LIMIT 20 OFFSET 3""",
+    "Q3 accounts(tenant, currency?, format?, limit, offset)",
+)
+def _wh_accounts_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = cat.warehouse_views(spark, sf_dir)
+    return wh.accounts(
+        v["account"], tenant="NATION_1", currency="EUR", format="BUILDING",
+        limit=20, offset=3,
+    )
+
+
+@register(
+    "wh_accounts_by_names",
+    WAREHOUSE_CTE_SQL
+    + """SELECT tenant, name, currency, format FROM account_v
+         WHERE tenant = 'NATION_1'
+           AND name IN (SELECT name FROM account_v WHERE tenant = 'NATION_1'
+                        ORDER BY name LIMIT 5)
+         ORDER BY name""",
+    "Q4 accountsByNames: DataLoader batch = semi-join on literal keys",
+)
+def _wh_accounts_by_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = cat.warehouse_views(spark, sf_dir)
+    # the GraphQL DataLoader hands the resolver a literal key batch at
+    # runtime; reproduce that by collecting a small deterministic key set
+    names = [
+        r["name"]
+        for r in wh.accounts(v["account"], tenant="NATION_1", limit=5).collect()
+    ]
+    return wh.accounts_by_names(v["account"], "NATION_1", names)
+
+
+@register(
+    "wh_transfers_filtered",
+    WAREHOUSE_CTE_SQL
+    + """SELECT tenant, "transaction", transfer, status,
+                credit_tenant, credit_name, debit_tenant, debit_name,
+                CAST(amount * 100 AS BIGINT) AS amount_cents,
+                currency, value_date
+         FROM transfer_v
+         WHERE tenant = 'NATION_2' AND status = 1
+           AND amount >= 10000.00 AND amount < 90000.00
+           AND value_date >= TIMESTAMP '1996-01-01'
+           AND value_date < TIMESTAMP '2000-01-01'
+         ORDER BY "transaction", transfer LIMIT 50 OFFSET 10""",
+    "Q5 transfers: conjunctive 10-predicate matrix + PK-ordered pagination",
+)
+def _wh_transfers_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    v = cat.warehouse_views(spark, sf_dir)
+    out = wh.transfers(
+        v["transfer"], tenant="NATION_2", status=1,
+        amount_gte=10000.00, amount_lt=90000.00,
+        value_date_gte="1996-01-01", value_date_lt="2000-01-01",
+        limit=50, offset=10,
+    )
+    return out.select(
+        "tenant", "transaction", "transfer", "status",
+        "credit_tenant", "credit_name", "debit_tenant", "debit_name",
+        (F.col("amount") * 100).cast("bigint").alias("amount_cents"),
+        "currency", "value_date",
+    )
+
+
+@register(
+    "wh_transfers_by_currency",
+    WAREHOUSE_CTE_SQL
+    + """SELECT tenant, "transaction", transfer, status,
+                CAST(amount * 100 AS BIGINT) AS amount_cents, currency
+         FROM transfer_v
+         WHERE tenant = 'NATION_4' AND currency = 'EUR'
+         ORDER BY "transaction", transfer LIMIT 100""",
+    "Q5 transfers: equality-only predicate subset",
+)
+def _wh_transfers_by_currency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    v = cat.warehouse_views(spark, sf_dir)
+    out = wh.transfers(v["transfer"], tenant="NATION_4", currency="EUR", limit=100)
+    return out.select(
+        "tenant", "transaction", "transfer", "status",
+        (F.col("amount") * 100).cast("bigint").alias("amount_cents"), "currency",
+    )
+
+
+@register(
+    "wh_account_balance",
+    WAREHOUSE_CTE_SQL
+    + """SELECT CAST(COALESCE(SUM(amount), 0) * 100 AS BIGINT) AS balance_cents
+         FROM account_balance_change_v
+         WHERE tenant = 'NATION_1'
+           AND name = (SELECT min(name) FROM account_v WHERE tenant = 'NATION_1')""",
+    "Q6 accountBalance: SUM of signed changes for one account, NULL→0",
+)
+def _wh_account_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    v = cat.warehouse_views(spark, sf_dir)
+    name = v["account"].filter(F.col("tenant") == "NATION_1").agg(
+        F.min("name")
+    ).collect()[0][0]
+    bal = wh.account_balance(v["account_balance_change"], "NATION_1", name)
+    return bal.select((F.col("balance") * 100).cast("bigint").alias("balance_cents"))
+
+
+@register(
+    "wh_account_balances_grouped",
+    WAREHOUSE_CTE_SQL
+    + """SELECT a.tenant, a.name,
+                CAST(COALESCE(SUM(b.amount), 0) * 100 AS BIGINT) AS balance_cents
+         FROM account_v a
+         LEFT JOIN account_balance_change_v b
+           ON a.tenant = b.tenant AND a.name = b.name
+         GROUP BY a.tenant, a.name""",
+    "Q6 batched: one grouped aggregate for every account (kills the N+1); "
+    "zero-activity accounts surface balance 0",
+)
+def _wh_account_balances_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    v = cat.warehouse_views(spark, sf_dir)
+    out = wh.account_balances(
+        v["account_balance_change"], accounts_df=v["account"]
+    )
+    return out.select(
+        "tenant", "name", (F.col("balance") * 100).cast("bigint").alias("balance_cents")
+    )
+
+
+@register(
+    "wh_tenant_point",
+    WAREHOUSE_CTE_SQL + "SELECT name FROM tenant_v WHERE name = 'NATION_9' LIMIT 1",
+    "Q10 point lookup tenant(name)",
+)
+def _wh_tenant_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = cat.warehouse_views(spark, sf_dir)
+    return wh.tenant_by_name(v["tenant"], "NATION_9")
+
+
+# ===========================================================================
+# Analytics — OLAP operator classes over the star schema (bench workload)
+# ===========================================================================
+
+
+@register(
+    "pricing_summary",
+    """WITH li AS (
+         SELECT l_returnflag, l_linestatus,
+                CAST(l_quantity AS BIGINT) AS qty,
+                CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+                CAST(round(l_discount * 100) AS BIGINT) AS disc_c,
+                CAST(round(l_tax * 100) AS BIGINT) AS tax_c
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       )
+       SELECT l_returnflag, l_linestatus,
+              CAST(SUM(qty) AS BIGINT) AS sum_qty,
+              CAST(SUM(price_c) AS BIGINT) AS sum_base_price_cents,
+              CAST(SUM(price_c * (100 - disc_c)) AS BIGINT) AS sum_disc_price_x10k,
+              CAST(SUM(price_c * (100 - disc_c) * (100 + tax_c)) AS BIGINT) AS sum_charge_x1m,
+              CAST(SUM(disc_c) AS BIGINT) AS sum_discount_cents,
+              CAST(COUNT(*) AS BIGINT) AS count_order
+       FROM li GROUP BY l_returnflag, l_linestatus
+       ORDER BY l_returnflag, l_linestatus""",
+    "TPC-H Q1 shape: scan → pushed filter → 6-agg hash rollup",
+)
+def _pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.pricing_summary(cat.load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "shipping_priority",
+    """SELECT l_orderkey, o_orderdate,
+              CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+                  AS revenue_x10k
+       FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       WHERE o_custkey IN (SELECT c_custkey FROM customer
+                           WHERE c_mktsegment = 'BUILDING')
+         AND o_orderdate < TIMESTAMP '1998-01-01'
+         AND l_shipdate  > TIMESTAMP '1998-01-01'
+       GROUP BY l_orderkey, o_orderdate
+       ORDER BY revenue_x10k DESC, l_orderkey LIMIT 10""",
+    "TPC-H Q3 shape: dim semi-join + fact join + agg + top-k",
+)
+def _shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.shipping_priority(
+        cat.load_table(spark, sf_dir, "customer"),
+        cat.load_table(spark, sf_dir, "orders"),
+        cat.load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+@register(
+    "revenue_by_nation",
+    """SELECT r_name, n_name,
+              CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+                  AS revenue_x10k
+       FROM lineitem
+       JOIN orders   ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN supplier ON l_suppkey = s_suppkey
+       JOIN nation   ON s_nationkey = n_nationkey
+       JOIN region   ON n_regionkey = r_regionkey
+       WHERE c_nationkey = s_nationkey
+         AND o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o_orderdate <  TIMESTAMP '1997-01-01'
+       GROUP BY r_name, n_name
+       ORDER BY r_name, revenue_x10k DESC, n_name""",
+    "TPC-H Q5 shape: 6-way join, dims broadcast, local-supplier predicate",
+)
+def _revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.revenue_by_nation(cat.load_all(spark, sf_dir))
+
+
+@register(
+    "top_customers",
+    """SELECT c_custkey, c_name, c_mktsegment,
+              CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                  AS spend_cents,
+              CAST(COUNT(*) AS BIGINT) AS n_orders
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       GROUP BY c_custkey, c_name, c_mktsegment
+       ORDER BY spend_cents DESC, c_custkey LIMIT 25""",
+    "agg-then-broadcast-join top-k by customer spend",
+)
+def _top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.top_customers(
+        cat.load_table(spark, sf_dir, "customer"),
+        cat.load_table(spark, sf_dir, "orders"),
+    )
+
+
+@register(
+    "order_priority_count",
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+       FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o_orderdate <  TIMESTAMP '1996-04-01'
+         AND EXISTS (SELECT 1 FROM lineitem
+                     WHERE l_orderkey = o_orderkey
+                       AND l_shipdate >= TIMESTAMP '1996-01-01')
+       GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "TPC-H Q4 shape: EXISTS → left-semi join + agg",
+)
+def _order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.order_priority_count(
+        cat.load_table(spark, sf_dir, "orders"),
+        cat.load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+@register(
+    "events_hourly",
+    """SELECT date_trunc('hour', ts) AS hour, event_type,
+              CAST(COUNT(*) AS BIGINT) AS n_events,
+              CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+       FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "time-bucketed rollup (batch twin of the streaming windowed agg)",
+)
+def _events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.events_hourly(cat.load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "sessionize",
+    """WITH g AS (
+         SELECT user_id, event_id, ts, value,
+                CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                     THEN 1 ELSE 0 END AS new_session
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       ),
+       s AS (
+         SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS session_seq
+         FROM g
+       )
+       SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+              CAST(COUNT(*) AS BIGINT) AS n_events,
+              MIN(ts) AS session_start, MAX(ts) AS session_end,
+              CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+       FROM s GROUP BY user_id, session_seq
+       ORDER BY user_id, session_seq""",
+    "sessionization: lag-gap-cumsum window (30 min inactivity gap)",
+)
+def _sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.sessionize(cat.load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "top_users_per_event_type",
+    """WITH per_user AS (
+         SELECT event_type, user_id,
+                CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+                CAST(COUNT(*) AS BIGINT) AS n_events
+         FROM events GROUP BY event_type, user_id
+       )
+       SELECT * FROM (
+         SELECT *, CAST(row_number() OVER (PARTITION BY event_type
+                        ORDER BY value_cents DESC, user_id) AS BIGINT) AS rank
+         FROM per_user
+       ) WHERE rank <= 5 ORDER BY event_type, rank""",
+    "top-k per group: agg → row_number window → filter",
+)
+def _top_users_per_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.top_users_per_event_type(cat.load_table(spark, sf_dir, "events"))

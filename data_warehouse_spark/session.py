@@ -1,0 +1,65 @@
+"""SparkSession factory tuned for the engine.
+
+Local mode is the test bed; configs are chosen so the same code paths scale
+to a multi-executor cluster: AQE on (runtime re-plan, skew-join splitting,
+partition coalescing), UTC session timezone (exact oracle comparison and
+the reference's UTC normalization — see SecondaryPersistence.scala:105-108
+in the reference), Arrow on for the Pandas-UDF slow path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "data_warehouse_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    On a real cluster ``master`` comes from spark-submit; locally we default
+    to ``local[$SPARK_GRAFT_CPUS]``.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    n_shuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # ---- planning / optimizer ----
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        # at 100 TB, broadcast threshold matters: dims (region/nation/tenant)
+        # stay broadcastable; AQE converts to broadcast at runtime too.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # ---- correctness ----
+        .config("spark.sql.session.timeZone", "UTC")
+        # exact decimal semantics for money (reference uses BigDecimal.exact)
+        .config("spark.sql.decimalOperations.allowPrecisionLoss", "false")
+        # parquet TIMESTAMP(NANOS) is unsupported as a timestamp — surface it
+        # as long; the catalog converts to µs timestamps (matching DuckDB's
+        # ns→µs truncation)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # ---- python boundary ----
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # ---- local-mode hygiene ----
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

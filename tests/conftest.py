@@ -1,0 +1,94 @@
+"""Shared test fixtures: one SparkSession per run + the DuckDB oracle harness.
+
+``assert_matches_oracle`` replicates the driver's correctness gate: run the
+Spark DataFrame and the oracle SQL over the same parquet tables, then compare
+row count, column names, and order-insensitive canonicalized values.
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import math
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+from data_warehouse_spark.schemas import TESTDATA_TABLES
+from data_warehouse_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+SF_DIR_MED = os.environ.get("SPARK_GRAFT_TEST_SF_DIR_MED", "/root/testdata/sf0.01")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    spark = get_spark(app_name="dwh-tests", shuffle_partitions=8)
+    yield spark
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def duck_for(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon_value(v):
+    """Canonicalize a cell so Spark/DuckDB representations compare equal."""
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return None
+    if isinstance(v, decimal.Decimal):
+        return ("num", float(v))
+    if isinstance(v, float):
+        return ("num", float(v))
+    if isinstance(v, (int,)):
+        return ("num", float(v)) if abs(v) < 2**52 else ("int", int(v))
+    if isinstance(v, pd.Timestamp):
+        return ("ts", v.to_pydatetime().replace(tzinfo=None).isoformat())
+    if isinstance(v, datetime.datetime):
+        return ("ts", v.replace(tzinfo=None).isoformat())
+    return ("str", str(v))
+
+
+def canon_rows(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    out = [tuple(_canon_value(v) for v in row) for row in df[cols].itertuples(index=False)]
+    return sorted(out)
+
+
+def assert_matches_oracle(spark_df, oracle_sql: str, sf_dir: str = SF_DIR):
+    actual = spark_df.toPandas()
+    con = duck_for(sf_dir)
+    try:
+        expected = con.execute(oracle_sql).df()
+    finally:
+        con.close()
+    assert sorted(actual.columns) == sorted(expected.columns), (
+        f"column mismatch: spark={sorted(actual.columns)} oracle={sorted(expected.columns)}"
+    )
+    assert len(actual) == len(expected), (
+        f"row count mismatch: spark={len(actual)} oracle={len(expected)}"
+    )
+    a, e = canon_rows(actual), canon_rows(expected)
+    if a != e:
+        diff_a = [r for r in a if r not in e][:5]
+        diff_e = [r for r in e if r not in a][:5]
+        raise AssertionError(
+            f"value mismatch; spark-only rows (≤5): {diff_a}; oracle-only rows (≤5): {diff_e}"
+        )
