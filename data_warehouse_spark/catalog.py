@@ -140,25 +140,27 @@ def transfer_view(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-def account_balance_change_view(transfers: DataFrame) -> DataFrame:
+def account_balance_change_view(transfers: DataFrame, amount_type=MONEY) -> DataFrame:
     """Committed transfers → signed per-account change rows.
 
     The reference never writes this table itself (a Postgres-side trigger
     does); semantics pinned by its golden tests: one committed transfer of 1
     ⇒ credit +1, debit −1 (reference bbtest graphql_api.feature:81-131).
+    ``amount_type``: DECIMAL(18,2) for the analytics views, DECIMAL(28,10)
+    for ingested primary-storage amounts.
     """
     committed = transfers.filter(F.col("status") == 1)
     credit = committed.select(
         F.col("credit_tenant").alias("tenant"),
         F.col("credit_name").alias("name"),
         F.col("value_date"),
-        F.col("amount"),
+        F.col("amount").cast(amount_type).alias("amount"),
     )
     debit = committed.select(
         F.col("debit_tenant").alias("tenant"),
         F.col("debit_name").alias("name"),
         F.col("value_date"),
-        (-F.col("amount")).cast(MONEY).alias("amount"),
+        (-F.col("amount")).cast(amount_type).alias("amount"),
     )
     return credit.unionByName(debit)
 

@@ -52,12 +52,13 @@ TRANSFER_SCHEMA = T.StructType(
 )
 
 # derived: each committed transfer → +amount row (credit acct), -amount row (debit)
+# ingestion-grade precision (28,10) per the reference's reconstructed DDL
 ACCOUNT_BALANCE_CHANGE_SCHEMA = T.StructType(
     [
         T.StructField("tenant", T.StringType(), False),
         T.StructField("name", T.StringType(), False),
         T.StructField("value_date", T.TimestampType(), False),
-        T.StructField("amount", MONEY, False),  # signed
+        T.StructField("amount", T.DecimalType(28, 10), False),  # signed
     ]
 )
 

@@ -1,0 +1,224 @@
+"""Primary-storage readers: the reference's filesystem-as-database, parsed
+with native Spark column expressions (no Python UDFs in any parse path).
+
+Layout (reference: PrimaryPersistence.scala:54-96, bbtest fixtures):
+
+    <root>/t_<tenant>/                                      tenant = dir name
+    <root>/t_<T>/account/<name>/snapshot/<version %010d>    line 1 of v0 = meta
+    <root>/t_<T>/account/<name>/events/<snapVer>/<status>_<hint>_<transaction>
+                                                            line 1 = event ver
+    <root>/t_<T>/transaction/<txn>                          line 1 = status
+                                                            lines 2+ = transfers
+
+Parsing rules pinned by the reference's code/golden tests:
+  * account meta line: currency = chars [0,3); format = chars [4, len-2)
+    (drops the trailing 2 chars — PrimaryPersistence.scala:186-193; fixture
+    ``CZK FORMAT_T`` → (CZK, FORMAT))
+  * event filename: split('_', limit 3) → status, ignored hint, transaction
+    (transaction may itself contain underscores — PrimaryPersistence.scala:144-154)
+  * transaction file: line 1 ``committed``→1 | ``rollbacked``→2 | other→0
+    (queued); each further line: 8 space-separated fields
+    ``transfer creditTenant creditAccount debitTenant debitAccount
+    valueDate(ISO zoned) amount currency`` (PrimaryPersistence.scala:229-259)
+
+Scale notes: every reader is one distributed ``spark.read.text`` over a glob
+(Spark's FileIndex does the listing; ``wholetext`` keeps file↔row alignment
+since filenames and first lines are data). Only tenant discovery lists a
+single directory level driver-side — O(#tenants), the same work Spark's own
+file index would do. The parse itself is all codegen'd expressions.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# reference parses BigDecimal.exact; (28,10) per the reconstructed DDL
+AMOUNT = T.DecimalType(28, 10)
+
+
+def _empty(spark: SparkSession, schema: T.StructType) -> DataFrame:
+    return spark.createDataFrame([], schema)
+
+
+def discover_tenants(spark: SparkSession, root: str) -> DataFrame:
+    """Tenant = directory ``t_<name>`` under the root (S1+S2).
+
+    Directory names are metadata — one scandir of a single level, the same
+    listing Spark's FileIndex would perform; rows then distribute normally.
+    """
+    names = []
+    try:
+        with os.scandir(root) as it:
+            for e in it:
+                if e.is_dir() and e.name.startswith("t_") and len(e.name) > 2:
+                    names.append((e.name[2:],))
+    except FileNotFoundError:
+        pass  # reference: empty stream on missing dir (PrimaryPersistence.scala:27-52)
+    schema = T.StructType([T.StructField("tenant", T.StringType(), False)])
+    return spark.createDataFrame(names, schema) if names else _empty(spark, schema)
+
+
+def _with_path(df: DataFrame) -> DataFrame:
+    return df.withColumn("path", F.input_file_name())
+
+
+def _read_wholetext(spark: SparkSession, pattern: str) -> DataFrame | None:
+    """Distributed wholetext read of a glob; None when nothing matches.
+
+    The driver-side glob existence check mirrors what Spark's FileIndex
+    lists anyway and avoids an analysis-time exception (and its JVM log
+    spam) on every empty tick.
+    """
+    if not _glob.glob(pattern):
+        return None
+    return _with_path(spark.read.text(pattern, wholetext=True))
+
+
+ACCOUNT_META_SCHEMA = T.StructType(
+    [
+        T.StructField("tenant", T.StringType(), False),
+        T.StructField("name", T.StringType(), False),
+        T.StructField("currency", T.StringType(), False),
+        T.StructField("format", T.StringType(), False),
+    ]
+)
+
+
+def read_account_meta(spark: SparkSession, root: str) -> DataFrame:
+    """Account metadata from snapshot version 0, first line (S4)."""
+    pattern = os.path.join(root, "t_*", "account", "*", "snapshot", "0000000000")
+    raw = _read_wholetext(spark, pattern)
+    if raw is None:
+        return _empty(spark, ACCOUNT_META_SCHEMA)
+    line1 = F.split(F.col("value"), "\n").getItem(0)
+    return raw.select(
+        F.regexp_extract("path", r"/t_([^/]+)/account/", 1).alias("tenant"),
+        F.regexp_extract("path", r"/account/([^/]+)/snapshot/", 1).alias("name"),
+        F.substring(line1, 1, 3).alias("currency"),
+        # chars [4, len-2): substring(pos=5), length = len - 4 - 2
+        F.expr(
+            "substring(split(value, '\n')[0], 5,"
+            " greatest(length(split(value, '\n')[0]) - 6, 0))"
+        ).alias("format"),
+    )
+
+
+SNAPSHOT_SCHEMA = T.StructType(
+    [
+        T.StructField("tenant", T.StringType(), False),
+        T.StructField("name", T.StringType(), False),
+        T.StructField("version", T.IntegerType(), False),
+    ]
+)
+
+
+def read_snapshots(spark: SparkSession, root: str) -> DataFrame:
+    """Snapshot inventory: version list per account (file names only)."""
+    pattern = os.path.join(root, "t_*", "account", "*", "snapshot", "*")
+    raw = _read_wholetext(spark, pattern)
+    if raw is None:
+        return _empty(spark, SNAPSHOT_SCHEMA)
+    return raw.select(
+        F.regexp_extract("path", r"/t_([^/]+)/account/", 1).alias("tenant"),
+        F.regexp_extract("path", r"/account/([^/]+)/snapshot/", 1).alias("name"),
+        F.regexp_extract("path", r"/snapshot/(\d+)$", 1).cast("int").alias("version"),
+    )
+
+
+ACCOUNT_EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("tenant", T.StringType(), False),
+        T.StructField("account", T.StringType(), False),
+        T.StructField("status", T.IntegerType(), False),
+        T.StructField("transaction", T.StringType(), False),
+        T.StructField("snapshot_version", T.IntegerType(), False),
+        T.StructField("version", T.IntegerType(), False),
+    ]
+)
+
+
+def read_account_events(spark: SparkSession, root: str) -> DataFrame:
+    """Account events: filename carries (status, _, transaction); first line
+    of the file is the event version (S5)."""
+    pattern = os.path.join(root, "t_*", "account", "*", "events", "*", "*")
+    raw = _read_wholetext(spark, pattern)
+    if raw is None:
+        return _empty(spark, ACCOUNT_EVENT_SCHEMA)
+    fname = F.element_at(F.split(F.col("path"), "/"), -1)
+    return raw.select(
+        F.regexp_extract("path", r"/t_([^/]+)/account/", 1).alias("tenant"),
+        F.regexp_extract("path", r"/account/([^/]+)/events/", 1).alias("account"),
+        # split('_', limit 3): transaction keeps any embedded underscores
+        F.regexp_extract(fname, r"^([^_]+)_", 1).cast("int").alias("status"),
+        F.regexp_extract(fname, r"^[^_]+_[^_]+_(.+)$", 1).alias("transaction"),
+        F.regexp_extract("path", r"/events/(\d+)/", 1)
+        .cast("int")
+        .alias("snapshot_version"),
+        F.split(F.col("value"), "\n").getItem(0).cast("int").alias("version"),
+    )
+
+
+TRANSFER_ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("tenant", T.StringType(), False),
+        T.StructField("transaction", T.StringType(), False),
+        T.StructField("status", T.IntegerType(), False),
+        T.StructField("transfer", T.StringType(), False),
+        T.StructField("credit_tenant", T.StringType(), False),
+        T.StructField("credit_name", T.StringType(), False),
+        T.StructField("debit_tenant", T.StringType(), False),
+        T.StructField("debit_name", T.StringType(), False),
+        T.StructField("value_date", T.TimestampType(), False),
+        T.StructField("amount", AMOUNT, False),
+        T.StructField("currency", T.StringType(), False),
+    ]
+)
+
+
+def read_transactions(spark: SparkSession, root: str) -> DataFrame:
+    """Transaction files → transfer rows (S6, the stateful header parse).
+
+    The reference carries the line-1 status through an Akka
+    ``statefulMapConcat``; in Spark the whole file is one row (``wholetext``)
+    so header + body stay aligned without state: line 1 is the status word,
+    every further non-empty line explodes into one transfer row.
+    """
+    pattern = os.path.join(root, "t_*", "transaction", "*")
+    raw = _read_wholetext(spark, pattern)
+    if raw is None:
+        return _empty(spark, TRANSFER_ROW_SCHEMA)
+
+    lines = F.split(F.col("value"), "\n")
+    status = (
+        F.when(F.trim(lines.getItem(0)) == "committed", F.lit(1))
+        .when(F.trim(lines.getItem(0)) == "rollbacked", F.lit(2))
+        .otherwise(F.lit(0))  # reference warns + treats as queued/promised
+        .cast("int")
+    )
+    body = raw.select(
+        F.regexp_extract("path", r"/t_([^/]+)/transaction/", 1).alias("tenant"),
+        F.regexp_extract("path", r"/transaction/([^/]+)$", 1).alias("transaction"),
+        status.alias("status"),
+        F.posexplode(lines).alias("line_no", "line"),
+    ).filter((F.col("line_no") >= 1) & (F.length(F.trim(F.col("line"))) > 0))
+
+    p = F.split(F.trim(F.col("line")), " ")
+    return body.select(
+        "tenant",
+        "transaction",
+        "status",
+        p.getItem(0).alias("transfer"),
+        p.getItem(1).alias("credit_tenant"),
+        p.getItem(2).alias("credit_name"),
+        p.getItem(3).alias("debit_tenant"),
+        p.getItem(4).alias("debit_name"),
+        # parts(5)=valueDate, parts(6)=amount, parts(7)=currency
+        F.to_timestamp(p.getItem(5)).alias("value_date"),
+        p.getItem(6).cast(AMOUNT).alias("amount"),
+        p.getItem(7).alias("currency"),
+    )

@@ -1,0 +1,116 @@
+"""Parquet-backed warehouse tables with idempotent MERGE semantics.
+
+The reference's consistency mechanism is PostgreSQL ``INSERT … ON CONFLICT``
+(SecondaryPersistence.scala:30-127): replays are harmless, discovery is
+get-else-insert. Without Delta in this image, MERGE is emulated as
+anti-join + rewrite with an atomic directory swap:
+
+  * ``merge_insert_missing`` — ON CONFLICT DO NOTHING: left-anti join of the
+    batch against current keys, append-only write of the new rows.
+  * ``merge_upsert``        — ON CONFLICT DO UPDATE: current rows minus
+    matched keys, union the batch, rewrite.
+
+Scale note: on a cluster this is Delta/Iceberg MERGE (file-pruned, txn log).
+The emulation preserves the semantics and the *write amplification* story is
+kept honest: insert-missing appends only new files (O(batch)); upsert
+rewrites the table (O(table)) — callers partition hot tables (e.g. transfer
+by tenant) so the rewrite touches only affected partitions.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class TableStore:
+    """A directory of named parquet tables with declared schemas."""
+
+    def __init__(self, spark: SparkSession, root: str, schemas: dict[str, T.StructType]):
+        self.spark = spark
+        self.root = root
+        self.schemas = schemas
+        os.makedirs(root, exist_ok=True)
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def exists(self, name: str) -> bool:
+        p = self._path(name)
+        return os.path.isdir(p) and any(
+            f.endswith(".parquet") or f == "_SUCCESS" for f in os.listdir(p)
+        )
+
+    def read(self, name: str) -> DataFrame:
+        if not self.exists(name):
+            return self.spark.createDataFrame([], self.schemas[name])
+        df = self.spark.read.parquet(self._path(name))
+        # project to declared column order (schema is fixed, never inferred)
+        return df.select(*[f.name for f in self.schemas[name].fields])
+
+    def overwrite(self, name: str, df: DataFrame) -> None:
+        """Atomic replace: write to a temp dir, swap directories."""
+        target = self._path(name)
+        tmp = f"{target}.tmp-{uuid.uuid4().hex[:8]}"
+        df.select(*[f.name for f in self.schemas[name].fields]).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        old = f"{target}.old-{uuid.uuid4().hex[:8]}"
+        if os.path.isdir(target):
+            os.rename(target, old)
+        os.rename(tmp, target)
+        if os.path.isdir(old):
+            shutil.rmtree(old, ignore_errors=True)
+        # refresh cached file listings for this path only
+        self.spark.catalog.refreshByPath(target)
+
+    def append(self, name: str, df: DataFrame) -> None:
+        df.select(*[f.name for f in self.schemas[name].fields]).write.mode(
+            "append"
+        ).parquet(self._path(name))
+
+    # ---- MERGE emulation ----------------------------------------------
+
+    def merge_insert_missing(self, name: str, batch: DataFrame, keys: list[str]) -> int:
+        """INSERT … ON CONFLICT DO NOTHING. Returns #rows inserted (the
+        discovery metric the reference emits per entity —
+        PrimaryDataExplorationService.scala:58,92,247)."""
+        # dedupe the batch itself on PK first (replayed fixtures)
+        fresh = batch.dropDuplicates(keys)
+        if self.exists(name):
+            current_keys = self.read(name).select(*keys)
+            fresh = fresh.join(F.broadcast(current_keys), keys, "left_anti")
+        fresh = fresh.cache()
+        n = fresh.count()
+        if n:
+            self.append(name, fresh)
+        fresh.unpersist()
+        return n
+
+    def merge_upsert(
+        self, name: str, batch: DataFrame, keys: list[str]
+    ) -> tuple[int, int]:
+        """INSERT … ON CONFLICT DO UPDATE. Returns (#inserted, #updated)."""
+        fresh = batch.dropDuplicates(keys).cache()
+        if not self.exists(name):
+            n = fresh.count()
+            self.overwrite(name, fresh)
+            fresh.unpersist()
+            return n, 0
+        current = self.read(name).cache()
+        batch_keys = fresh.select(*keys)
+        kept = current.join(F.broadcast(batch_keys), keys, "left_anti")
+        n_total = current.count()
+        n_kept_plus = kept.count()
+        merged = kept.unionByName(fresh)
+        self.overwrite(name, merged)
+        n_new = fresh.count()
+        fresh.unpersist()
+        current.unpersist()
+        n_updated = n_total - n_kept_plus
+        return n_new - n_updated, n_updated

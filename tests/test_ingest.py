@@ -1,0 +1,183 @@
+"""Golden ingestion tests: ports of the reference's bbtest scenarios
+(graphql_api.feature — fixtures reproduced from FIXTURES.md) plus the
+idempotence/incrementality invariants the reference guarantees via
+ON CONFLICT upserts.
+"""
+
+from __future__ import annotations
+
+import decimal
+import os
+
+import pytest
+
+from data_warehouse_spark.operators import queries as wh
+from data_warehouse_spark.streaming.ingest import (
+    IngestionPipeline,
+    InvariantViolation,
+    warehouse_store,
+)
+
+
+def write(path: str, content: str) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write(content)
+
+
+@pytest.fixture()
+def pipeline(spark, tmp_path):
+    primary_root = str(tmp_path / "data")
+    os.makedirs(primary_root, exist_ok=True)
+    store = warehouse_store(spark, str(tmp_path / "warehouse"))
+    return IngestionPipeline(spark, primary_root, store), primary_root, store
+
+
+# --- scenario 1: tenant discovery (graphql_api.feature:3-30) ----------------
+def test_tenant_discovery(pipeline):
+    pipe, root, store = pipeline
+    os.makedirs(os.path.join(root, "t_TENANT"))
+    os.makedirs(os.path.join(root, "not_a_tenant"))
+    m = pipe.run_once()
+    assert m.tenants_discovered == 1
+    rows = wh.tenants(store.read("tenant"), limit=1000, offset=0).collect()
+    assert [r["name"] for r in rows] == ["TENANT"]
+
+
+# --- scenario 2: account discovery, zero balance (feature:32-67) -------------
+def test_account_discovery_zero_balance(pipeline):
+    pipe, root, store = pipeline
+    write(
+        os.path.join(root, "t_TENANT_ACC", "account", "ACCOUNT", "snapshot", "0000000000"),
+        "CZK FORMAT_T\n",
+    )
+    m = pipe.run_once()
+    assert m.accounts_discovered == 1
+    accs = wh.accounts(store.read("account"), tenant="TENANT_ACC", limit=10).collect()
+    assert len(accs) == 1
+    acc = accs[0]
+    # parse rule: currency = chars [0,3), format drops the trailing 2 chars
+    assert acc["currency"] == "CZK"
+    assert acc["format"] == "FORMAT"
+    bal = wh.account_balance(
+        store.read("account_balance_change"), "TENANT_ACC", "ACCOUNT"
+    ).collect()[0]["balance"]
+    assert bal == 0
+
+
+# --- scenario 3: transfer round-trip, signed balances (feature:69-142) --------
+def _write_transfer_fixture(root: str) -> None:
+    t = "t_TENANT_TRN"
+    write(os.path.join(root, t, "account", "CREDIT", "snapshot", "0000000000"), "CZK FORMAT_F\n")
+    write(os.path.join(root, t, "account", "DEBIT", "snapshot", "0000000000"), "CZK FORMAT_F\n")
+    write(
+        os.path.join(root, t, "transaction", "TRN"),
+        "committed\nTRX TENANT_TRN CREDIT TENANT_TRN DEBIT 2020-01-01T00:00:00Z 1 CZK\n",
+    )
+    write(os.path.join(root, t, "account", "CREDIT", "events", "0000000000", "1_1_TRN"), "1\n")
+    write(os.path.join(root, t, "account", "DEBIT", "events", "0000000000", "1_-1_TRN"), "1\n")
+
+
+def test_transfer_roundtrip_signed_balances(pipeline):
+    pipe, root, store = pipeline
+    _write_transfer_fixture(root)
+    m = pipe.run_once()
+    assert m.transfers_discovered == 1  # PK-deduped across both discovering events
+
+    transfers = wh.transfers(store.read("transfer"), tenant="TENANT_TRN").collect()
+    assert len(transfers) == 1
+    tr = transfers[0]
+    assert (tr["transaction"], tr["transfer"], tr["status"]) == ("TRN", "TRX", 1)
+    assert tr["amount"] == decimal.Decimal("1")
+    assert tr["currency"] == "CZK"
+
+    abc = store.read("account_balance_change")
+    credit = wh.account_balance(abc, "TENANT_TRN", "CREDIT").collect()[0]["balance"]
+    debit = wh.account_balance(abc, "TENANT_TRN", "DEBIT").collect()[0]["balance"]
+    assert credit == decimal.Decimal("1")
+    assert debit == decimal.Decimal("-1")
+
+
+# --- invariants ---------------------------------------------------------------
+def test_reingest_idempotent(pipeline):
+    pipe, root, store = pipeline
+    _write_transfer_fixture(root)
+    pipe.run_once()
+    before = {
+        name: store.read(name).count()
+        for name in ("tenant", "account", "transfer", "account_balance_change")
+    }
+    m2 = pipe.run_once()  # replay: no new discoveries, no duplicate rows
+    assert m2.tenants_discovered == 0
+    assert m2.accounts_discovered == 0
+    assert m2.transfers_discovered == 0
+    after = {
+        name: store.read(name).count()
+        for name in ("tenant", "account", "transfer", "account_balance_change")
+    }
+    assert before == after
+
+
+def test_incremental_new_transaction(pipeline):
+    pipe, root, store = pipeline
+    _write_transfer_fixture(root)
+    pipe.run_once()
+    # a later event on the same snapshot + a second transaction
+    t = "t_TENANT_TRN"
+    write(
+        os.path.join(root, t, "transaction", "TRN2"),
+        "committed\nTRX2 TENANT_TRN DEBIT TENANT_TRN CREDIT 2020-02-01T00:00:00Z 3.50 CZK\n",
+    )
+    write(os.path.join(root, t, "account", "CREDIT", "events", "0000000000", "1_-3.5_TRN2"), "2\n")
+    write(os.path.join(root, t, "account", "DEBIT", "events", "0000000000", "1_3.5_TRN2"), "2\n")
+    m = pipe.run_once()
+    assert m.transfers_discovered == 1
+    abc = store.read("account_balance_change")
+    credit = wh.account_balance(abc, "TENANT_TRN", "CREDIT").collect()[0]["balance"]
+    debit = wh.account_balance(abc, "TENANT_TRN", "DEBIT").collect()[0]["balance"]
+    assert credit == decimal.Decimal("-2.5")  # +1 − 3.5
+    assert debit == decimal.Decimal("2.5")  # −1 + 3.5
+    # watermarks advanced
+    acc = store.read("account").filter("name = 'CREDIT'").collect()[0]
+    assert acc["last_syn_event"] == 2
+
+
+def test_queued_event_does_not_expand(pipeline):
+    pipe, root, store = pipeline
+    t = "t_TEN_Q"
+    write(os.path.join(root, t, "account", "A", "snapshot", "0000000000"), "EUR FORMAT_X\n")
+    write(os.path.join(root, t, "transaction", "TQ"), "committed\nTX TEN_Q A TEN_Q A 2020-01-01T00:00:00Z 5 EUR\n")
+    # status 0 (queued) event must NOT trigger the transaction read (D6)
+    write(os.path.join(root, t, "account", "A", "events", "0000000000", "0_5_TQ"), "1\n")
+    m = pipe.run_once()
+    assert m.transfers_discovered == 0
+
+
+def test_status_mismatch_invariant(pipeline):
+    pipe, root, store = pipeline
+    t = "t_TEN_BAD"
+    write(os.path.join(root, t, "account", "B", "snapshot", "0000000000"), "EUR FORMAT_X\n")
+    # event says committed(1), transaction file says rollbacked(2) → D8 throws
+    write(os.path.join(root, t, "transaction", "TB"), "rollbacked\nTX TEN_BAD B TEN_BAD B 2020-01-01T00:00:00Z 5 EUR\n")
+    write(os.path.join(root, t, "account", "B", "events", "0000000000", "1_5_TB"), "1\n")
+    with pytest.raises(InvariantViolation):
+        pipe.run_once()
+
+
+def test_transaction_id_with_underscores(pipeline):
+    """Event filename split('_', 3): the transaction id keeps underscores."""
+    pipe, root, store = pipeline
+    t = "t_TEN_U"
+    write(os.path.join(root, t, "account", "U", "snapshot", "0000000000"), "USD FORMAT_Z\n")
+    write(
+        os.path.join(root, t, "transaction", "TX_WITH_UNDERSCORES"),
+        "committed\nT1 TEN_U U TEN_U U 2021-06-01T12:30:00Z 2.25 USD\n",
+    )
+    write(
+        os.path.join(root, t, "account", "U", "events", "0000000000", "1_x_TX_WITH_UNDERSCORES"),
+        "1\n",
+    )
+    m = pipe.run_once()
+    assert m.transfers_discovered == 1
+    tr = store.read("transfer").collect()[0]
+    assert tr["transaction"] == "TX_WITH_UNDERSCORES"
