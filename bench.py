@@ -32,6 +32,11 @@ BENCH_QUERIES = [
     "top_users_per_event_type",
     "wh_transfers_filtered",
     "wh_account_balances_grouped",
+    "doc_exact_dedup",
+    "doc_minhash_lsh_dedup",
+    "doc_profile",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
 ]
 
 
@@ -44,14 +49,22 @@ def main() -> None:
     # warm up JVM / parquet footer cache without touching the timed plans
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    # best of N runs per query: the first run pays Catalyst analysis +
+    # whole-stage-codegen compilation (seconds for the widest expression
+    # trees), which on a long-lived warehouse amortizes to zero — steady-state
+    # execution time is the signal.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         qd = QUERIES.get(name)
         if qd is None:
             continue
-        t0 = time.perf_counter()
-        qd.fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            qd.fn(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     print(
@@ -62,6 +75,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs_per_query": runs,
+                "timing": "best-of-n (steady-state; first run pays one-time codegen)",
             }
         )
     )

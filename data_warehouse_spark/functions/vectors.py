@@ -1,0 +1,54 @@
+"""Vector math over ``array<float>`` embedding columns — native expressions.
+
+Everything uses sequential left folds (``F.aggregate``) in double precision;
+the SQL twins use DuckDB's ``list_reduce`` with the same fold order, so
+dot products are bit-identical across engines (summation order matters for
+floating point). Rank outputs (top-k ids) are the hash-compared contract;
+similarity values are carried for humans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def to_double(vec: Column | str) -> Column:
+    return F.transform(_c(vec), lambda x: x.cast("double"))
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Sequential-fold dot product (deterministic summation order)."""
+    prods = F.zip_with(to_double(a), to_double(b), lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm2(a: Column | str) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    return dot(a, b) / (norm2(a) * norm2(b))
+
+
+def hyperplane_signs(vec: Column | str, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH bucket id: bit m = sign(v · H_m).
+
+    ``planes`` are deterministic literals (seeded offline) so the same
+    constants can be baked into a SQL twin.
+    """
+    v = to_double(vec)
+    bucket = F.lit(0).cast("bigint")
+    for m, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        d = F.aggregate(
+            F.zip_with(v, lit_plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(d > 0, F.lit(2**m).cast("bigint")).otherwise(F.lit(0))
+    return bucket

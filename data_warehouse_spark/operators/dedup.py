@@ -1,0 +1,179 @@
+"""Deduplication operators for 100 TB document corpora.
+
+Four families, each a pure DataFrame pipeline:
+
+  exact          hash-groupBy on normalized text (one shuffle on a 60-bit key)
+  minhash_lsh    shingle → per-row MinHash signature (no shuffle) → band
+                 bucket self-join (shuffle on band keys only — candidates,
+                 never all pairs) → exact Jaccard verify on candidates
+  simhash        per-row 32-bit signature; near-dups = small Hamming distance
+  embedding      cosine near-dup over array<float> (see similarity.py for
+                 the bucketed scale path)
+
+Scale story: the LSH pipeline's cost is O(docs · shingles) map-side plus a
+shuffle whose keys are (band, bucket) — the classic way all-pairs O(n²)
+similarity becomes tractable; band/row counts trade recall vs candidate
+volume (8 bands × 2 rows ≈ catches Jaccard ≳ 0.6 with high probability).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as X
+
+
+def exact_duplicates(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup on normalized text: every doc mapped to its group's
+    canonical (minimum) id + group size. ``is_duplicate`` marks rows a
+    dedup pass would drop."""
+    keyed = documents.select(
+        F.col(id_col).alias("doc_id"), X.h60(X.normalize(text_col)).alias("content_key")
+    )
+    groups = keyed.groupBy("content_key").agg(
+        F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+    return (
+        keyed.join(groups, "content_key")
+        .select(
+            "doc_id",
+            "canonical_id",
+            "n_copies",
+            (F.col("doc_id") != F.col("canonical_id")).alias("is_duplicate"),
+        )
+    )
+
+
+def minhash_signatures(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """doc_id + shingle set + k MinHash values (sig_0..sig_{k-1}).
+
+    Signature computation is entirely within-row (array transforms) — at
+    cluster scale this stage is embarrassingly parallel with zero shuffle.
+    """
+    sh = X.word_shingles(text_col, shingle_n)
+    sigs = X.minhash_signature(F.col("hs"))
+    return (
+        documents.select(F.col(id_col).alias("doc_id"), sh.alias("shingles"))
+        .withColumn("hs", X.hashed_shingles(F.col("shingles")))
+        .select(
+            "doc_id",
+            "shingles",
+            *[s.alias(f"sig_{i}") for i, s in enumerate(sigs)],
+        )
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 8, rows_per_band: int = 2
+) -> DataFrame:
+    """Banded LSH: docs agreeing on all rows of ≥1 band become a candidate
+    pair. One explode to (band, bucket) keys + a self-join per band bucket —
+    the only shuffle in the pipeline, and it carries keys, not documents."""
+    n_sigs = bands * rows_per_band
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(b),
+                *[F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)],
+            )
+            for b in range(bands)
+        ]
+    )
+    assert all(f"sig_{i}" in signatures.columns for i in range(n_sigs))
+    # docs with no shingles have null signatures (array_min of empty) —
+    # concat_ws would silently drop the nulls and bucket them all together
+    keyed = signatures.filter(F.size("shingles") > 0).select(
+        "doc_id", F.explode(band_keys).alias("band_key")
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    return (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    candidates: DataFrame, signatures: DataFrame, threshold_x1000: int = 600
+) -> DataFrame:
+    """Exact shingle-set Jaccard on candidate pairs only (the verify stage).
+
+    Output carries ``jaccard_x1000`` (floor of ×1000 — exact integer across
+    engines) and keeps pairs ≥ threshold.
+    """
+    sh = signatures.select("doc_id", "shingles")
+    paired = (
+        candidates.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"), "doc_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.floor(inter * 1000 / F.greatest(union, F.lit(1))).cast("bigint")
+    return (
+        paired.select("doc_a", "doc_b", jac.alias("jaccard_x1000"))
+        .filter(F.col("jaccard_x1000") >= threshold_x1000)
+    )
+
+
+def minhash_lsh_duplicates(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    bands: int = 8,
+    rows_per_band: int = 2,
+    threshold_x1000: int = 600,
+) -> DataFrame:
+    """The full fuzzy-dedup pipeline: signatures → LSH candidates → verify.
+
+    The signature stage feeds three plan branches (band keys + both sides of
+    the verify join); persist it so shingling+hashing runs once — the same
+    reason a cluster pipeline checkpoints signatures before the LSH shuffle.
+    """
+    sigs = minhash_signatures(documents, id_col, text_col, shingle_n).persist()
+    cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    return jaccard_verify(cands, sigs, threshold_x1000).orderBy("doc_a", "doc_b")
+
+
+def simhash_signatures(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """doc_id → 32-bit SimHash signature (near-dup = small Hamming distance)."""
+    return documents.select(
+        F.col(id_col).alias("doc_id"), X.simhash32(text_col).alias("simhash")
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold_x1000: int = 800,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard — the small-data oracle / recall
+    baseline that LSH approximates. O(n²); never run above ~10⁵ docs."""
+    sh = documents.select(
+        F.col(id_col).alias("doc_id"),
+        X.word_shingles(text_col, shingle_n).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.floor(inter * 1000 / F.greatest(union, F.lit(1))).cast("bigint")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", jac.alias("jaccard_x1000"))
+        .filter(F.col("jaccard_x1000") >= threshold_x1000)
+        .orderBy("doc_a", "doc_b")
+    )

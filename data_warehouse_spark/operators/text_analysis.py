@@ -1,0 +1,65 @@
+"""Document text-analysis operators: profiling, language-ID, fingerprints.
+
+Everything is a single narrow projection over the documents table — at
+100 TB these run as map-only stages (no shuffle), bounded by parquet scan
+throughput; all expressions are JVM-codegen'd (functions/text.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as X
+
+
+def profile(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document quality metrics + token counts (exact integers)."""
+    m = X.quality_metrics(text_col)
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        m["n_chars"].alias("n_chars"),
+        m["n_tokens"].alias("n_tokens"),
+        X.bpe_ish_token_count(text_col).alias("n_pieces"),
+        m["mean_token_len_x1000"].alias("mean_token_len_x1000"),
+        m["alpha_ratio_x1000"].alias("alpha_ratio_x1000"),
+        m["digit_ratio_x1000"].alias("digit_ratio_x1000"),
+        m["punct_ratio_x1000"].alias("punct_ratio_x1000"),
+        m["stopword_ratio_x1000"].alias("stopword_ratio_x1000"),
+    )
+
+
+def language_id(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-vote language ID + agreement with the labeled lang column."""
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.col("lang").alias("labeled_lang"),
+        X.lang_id(text_col).alias("detected_lang"),
+    )
+
+
+def fingerprints(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Order-sensitive rolling-hash fingerprint + order-free content key."""
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        X.content_fingerprint(text_col).alias("fingerprint"),
+        X.h60(X.normalize(text_col)).alias("content_key"),
+    )
+
+
+def quality_filter(
+    documents: DataFrame,
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    min_alpha_x1000: int = 500,
+    max_digit_x1000: int = 300,
+    text_col: str = "text",
+) -> DataFrame:
+    """The classic pretraining quality gate as one pushed-down filter."""
+    m = X.quality_metrics(text_col)
+    return documents.filter(
+        (m["n_tokens"] >= min_tokens)
+        & (m["n_tokens"] <= max_tokens)
+        & (m["alpha_ratio_x1000"] >= min_alpha_x1000)
+        & (m["digit_ratio_x1000"] <= max_digit_x1000)
+    )

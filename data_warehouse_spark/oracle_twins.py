@@ -1,0 +1,291 @@
+"""Generated DuckDB SQL twins for the text/dedup/similarity operators.
+
+The Spark implementations and these SQL strings are generated from the SAME
+constants (MINHASH_PARAMS, LANG_STOPWORDS, hyperplanes) so the two sides
+cannot drift. Shared primitives (documented in functions/text.py):
+
+    h60(s)  : Spark  conv(substring(md5(s), 2, 15), 16, 10)::bigint
+              DuckDB CAST('0x' || substr(md5(s), 2, 15) AS BIGINT)
+    folds   : Spark  F.aggregate(arr, init, acc+x)  (sequential left fold)
+              DuckDB list_reduce(list_prepend(init, arr), (acc, x) -> acc+x)
+"""
+
+from __future__ import annotations
+
+from .functions.text import LANG_STOPWORDS, MERSENNE31, MINHASH_PARAMS
+
+P = MERSENNE31
+
+# ---------------------------------------------------------------------------
+# shared fragments
+# ---------------------------------------------------------------------------
+
+# normalize(text): lower → non-alnum runs → space → trim
+NORM = "trim(regexp_replace(lower({c}), '[^a-z0-9]+', ' ', 'g'))"
+TOKS = f"string_split({NORM}, ' ')"
+H60 = "CAST('0x' || substr(md5({s}), 2, 15) AS BIGINT)"
+H31 = f"({H60} % {P})"
+
+
+def _norm(c: str = "text") -> str:
+    return NORM.format(c=c)
+
+
+def _toks(c: str = "text") -> str:
+    return TOKS.format(c=c)
+
+
+def _h31(s: str) -> str:
+    return H31.format(s=s)
+
+
+def shingles_cte(n: int = 3) -> str:
+    """3-word shingle set per doc (matches functions.text.word_shingles)."""
+    idx = " , ".join(f"toks[i+{j}]" for j in range(n))
+    return f"""
+tok AS (SELECT doc_id, {_toks()} AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= {n}
+              THEN list_distinct(list_transform(range(1, len(toks) - {n - 2}),
+                                 i -> concat_ws(' ', {idx})))
+              ELSE [] END AS shingles
+  FROM tok
+)"""
+
+
+def exact_dedup_sql() -> str:
+    key = H60.format(s=_norm())
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, {key} AS content_key FROM documents
+),
+groups AS (
+  SELECT content_key, CAST(min(doc_id) AS BIGINT) AS canonical_id,
+         CAST(count(*) AS BIGINT) AS n_copies
+  FROM keyed GROUP BY content_key
+)
+SELECT k.doc_id, g.canonical_id, g.n_copies,
+       k.doc_id <> g.canonical_id AS is_duplicate
+FROM keyed k JOIN groups g USING (content_key)"""
+
+
+def minhash_lsh_sql(
+    bands: int = 8, rows_per_band: int = 2, threshold_x1000: int = 600, shingle_n: int = 3
+) -> str:
+    sig_exprs = ",\n         ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {P})) AS sig_{i}"
+        for i, (a, b) in enumerate(MINHASH_PARAMS[: bands * rows_per_band])
+    )
+    band_keys = ", ".join(
+        "concat_ws(':', {b}, {sigs})".format(
+            b=b,
+            sigs=", ".join(f"sig_{b * rows_per_band + r}" for r in range(rows_per_band)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH {shingles_cte(shingle_n)},
+hashed AS (
+  SELECT doc_id, shingles,
+         list_transform(shingles, s -> {_h31('s')}) AS hs
+  FROM sh
+),
+sig AS (
+  SELECT doc_id, shingles,
+         {sig_exprs}
+  FROM hashed
+),
+keyed AS (
+  SELECT s.doc_id, u.band_key
+  FROM sig s, unnest([{band_keys}]) AS u(band_key)
+  WHERE len(s.shingles) > 0
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM keyed a JOIN keyed b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(floor(len(list_intersect(sa.shingles, sb.shingles)) * 1000
+            / greatest(len(list_distinct(list_concat(sa.shingles, sb.shingles))), 1))
+            AS BIGINT) AS jaccard_x1000
+FROM cand
+JOIN sig sa ON sa.doc_id = cand.doc_a
+JOIN sig sb ON sb.doc_id = cand.doc_b
+WHERE floor(len(list_intersect(sa.shingles, sb.shingles)) * 1000
+      / greatest(len(list_distinct(list_concat(sa.shingles, sb.shingles))), 1))
+      >= {threshold_x1000}
+ORDER BY doc_a, doc_b"""
+
+
+def simhash_sql() -> str:
+    bit_terms = " + ".join(
+        f"CASE WHEN list_sum(list_transform(toks, s -> CASE WHEN ({_h31('s')} >> {b}) & 1 = 1"
+        f" THEN 1 ELSE -1 END)) > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END"
+        for b in range(32)
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, {_toks()} AS toks FROM documents)
+SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM tok"""
+
+
+def fingerprint_sql() -> str:
+    key = H60.format(s=_norm())
+    return f"""
+WITH tok AS (SELECT doc_id, text, {_toks()} AS toks FROM documents)
+SELECT doc_id,
+       CAST(list_reduce(list_prepend(CAST(7 AS BIGINT),
+                 list_transform(toks, s -> {_h31('s')})),
+            (acc, x) -> (acc * 31 + x) % {P}) AS BIGINT) AS fingerprint,
+       {key} AS content_key
+FROM tok"""
+
+
+def profile_sql() -> str:
+    norm = _norm()
+    punct_class = """[.,;:!?'"()\\[\\]{}-]"""
+    punct_sql = punct_class.replace("'", "''")
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, {norm} AS norm, {_toks()} AS toks,
+         CAST(length(text) AS BIGINT) AS n_chars
+  FROM documents
+),
+m AS (
+  SELECT doc_id, n_chars,
+         CAST(CASE WHEN length(norm) = 0 THEN 0 ELSE len(toks) END AS BIGINT) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_pieces,
+         CAST(n_chars - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+         CAST(n_chars - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+         CAST(n_chars - length(regexp_replace(text, '{punct_sql}', '', 'g')) AS BIGINT) AS n_punct,
+         CAST(len(list_filter(toks, x -> x IN ({_in_list(LANG_STOPWORDS['en'])}))) AS BIGINT) AS n_stop,
+         CAST(length(norm) AS BIGINT) AS n_norm_chars
+  FROM base
+)
+SELECT doc_id, n_chars, n_tokens, n_pieces,
+       CAST(floor((n_norm_chars - (n_tokens - 1)) * 1000 / greatest(n_tokens, 1)) AS BIGINT) AS mean_token_len_x1000,
+       CAST(floor(n_alpha * 1000 / greatest(n_chars, 1)) AS BIGINT) AS alpha_ratio_x1000,
+       CAST(floor(n_digit * 1000 / greatest(n_chars, 1)) AS BIGINT) AS digit_ratio_x1000,
+       CAST(floor(n_punct * 1000 / greatest(n_chars, 1)) AS BIGINT) AS punct_ratio_x1000,
+       CAST(floor(n_stop * 1000 / greatest(n_tokens, 1)) AS BIGINT) AS stopword_ratio_x1000
+FROM m"""
+
+
+def _in_list(words: list[str]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+def langid_sql() -> str:
+    hits = ",\n         ".join(
+        f"CAST(len(list_filter(toks, x -> x IN ({_in_list(ws)}))) AS BIGINT) AS hits_{lang}"
+        for lang, ws in sorted(LANG_STOPWORDS.items())
+    )
+    langs = sorted(LANG_STOPWORDS)
+    m = "greatest(" + ", ".join(f"hits_{lang}" for lang in langs) + ")"
+    cases = " ".join(f"WHEN hits_{lang} = m THEN '{lang}'" for lang in langs)
+    return f"""
+WITH tok AS (SELECT doc_id, lang, {_toks()} AS toks FROM documents),
+h AS (
+  SELECT doc_id, lang,
+         {hits}
+  FROM tok
+),
+mm AS (SELECT *, {m} AS m FROM h)
+SELECT doc_id, lang AS labeled_lang,
+       CASE WHEN m = 0 THEN 'und' {cases} ELSE 'und' END AS detected_lang
+FROM mm"""
+
+
+# ---------------------------------------------------------------------------
+# embeddings
+# ---------------------------------------------------------------------------
+
+_DOT = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE),"
+    " list_transform(range(1, {dim1}), i -> {a}[i] * {b}[i])), (acc, x) -> acc + x)"
+)
+
+
+def _dot(a: str, b: str, dim: int = 64) -> str:
+    return _DOT.format(a=a, b=b, dim1=dim + 1)
+
+
+def _cos(a: str, b: str, dim: int = 64) -> str:
+    return f"({_dot(a, b, dim)} / (sqrt({_dot(a, a, dim)}) * sqrt({_dot(b, b, dim)})))"
+
+
+def ann_bruteforce_sql(query_ids: list[int], k: int = 5, dim: int = 64) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN ({ids})),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, {_cos('q.qv', 'e.v', dim)} AS cos
+  FROM e, q WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank"""
+
+
+def _bucket_expr(vec: str, planes: list[list[float]], dim: int = 64) -> str:
+    terms = []
+    for m, plane in enumerate(planes):
+        lits = ", ".join(repr(x) for x in plane)
+        d = (
+            f"list_reduce(list_prepend(CAST(0 AS DOUBLE),"
+            f" list_transform(range(1, {dim + 1}), i -> {vec}[i] * ([{lits}]::DOUBLE[])[i])),"
+            f" (acc, x) -> acc + x)"
+        )
+        terms.append(f"CASE WHEN {d} > 0 THEN CAST({2**m} AS BIGINT) ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
+def ann_lsh_sql(planes: list[list[float]], query_ids: list[int], k: int = 5, dim: int = 64) -> str:
+    bucket = _bucket_expr("v", planes, dim)
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket AS q_bucket FROM b
+      WHERE vec_id IN ({ids})),
+scored AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id, {_cos('q.qv', 'b.v', dim)} AS cos
+  FROM b JOIN q ON b.bucket = q.q_bucket AND b.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank"""
+
+
+def embedding_neardup_sql(planes: list[list[float]], threshold: float = 0.95, dim: int = 64) -> str:
+    bucket = _bucket_expr("v", planes, dim)
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+pairs AS (
+  SELECT a.vec_id AS id_a, b2.vec_id AS id_b, a.v AS va, b2.v AS vb
+  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+)
+SELECT DISTINCT id_a, id_b FROM pairs
+WHERE {_cos('va', 'vb', dim)} >= {threshold}
+ORDER BY id_a, id_b"""

@@ -26,8 +26,9 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 from . import catalog as cat
+from . import oracle_twins as tw
 from .catalog import WAREHOUSE_CTE_SQL
-from .operators import analytics, queries as wh
+from .operators import analytics, dedup, queries as wh, similarity, text_analysis
 
 
 @dataclass(frozen=True)
@@ -405,3 +406,121 @@ def _sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def _top_users_per_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.top_users_per_event_type(cat.load_table(spark, sf_dir, "events"))
+
+
+# ===========================================================================
+# LLM-data-pipeline operators — dedup / text analysis / similarity search
+# (beyond the reference; designed for 100 TB, verified against generated
+# SQL twins built from the same constants — see oracle_twins.py)
+# ===========================================================================
+
+_ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+@register(
+    "doc_exact_dedup",
+    tw.exact_dedup_sql(),
+    "exact dedup: hash-groupBy on normalized text, canonical-id assignment",
+)
+def _doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_duplicates(cat.load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_minhash_lsh_dedup",
+    tw.minhash_lsh_sql(),
+    "MinHash(16) + 8×2 banded LSH candidates + exact Jaccard verify ≥ 0.6",
+)
+def _doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_duplicates(cat.load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_ngram_jaccard_pairs",
+    """WITH """
+    + tw.shingles_cte(3).split("WITH", 1)[-1].lstrip()
+    + """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(floor(len(list_intersect(a.shingles, b.shingles)) * 1000
+            / greatest(len(list_distinct(list_concat(a.shingles, b.shingles))), 1))
+            AS BIGINT) AS jaccard_x1000
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(a.shingles) > 0 AND len(b.shingles) > 0
+  AND floor(len(list_intersect(a.shingles, b.shingles)) * 1000
+      / greatest(len(list_distinct(list_concat(a.shingles, b.shingles))), 1)) >= 800
+ORDER BY doc_a, doc_b""",
+    "exact all-pairs 3-gram Jaccard ≥ 0.8 (small-data recall baseline for LSH)",
+)
+def _doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        cat.load_table(spark, sf_dir, "documents"), threshold_x1000=800
+    )
+
+
+@register(
+    "doc_simhash",
+    tw.simhash_sql(),
+    "32-bit SimHash signature per document (shuffle-free map stage)",
+)
+def _doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_signatures(cat.load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_fingerprint",
+    tw.fingerprint_sql(),
+    "rolling-hash fingerprint (order-sensitive) + normalized content key",
+)
+def _doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.fingerprints(cat.load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_profile",
+    tw.profile_sql(),
+    "per-doc quality metrics: token counts, alpha/digit/punct/stopword ratios",
+)
+def _doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.profile(cat.load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_langid",
+    tw.langid_sql(),
+    "stopword-vote language ID vs the labeled lang column",
+)
+def _doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.language_id(cat.load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "ann_bruteforce_topk",
+    tw.ann_bruteforce_sql(_ANN_QUERY_IDS, k=5),
+    "exact cosine top-5 neighbors for 5 query vectors (broadcast cross-score)",
+)
+def _ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.brute_force_topk(
+        cat.load_table(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS, k=5
+    )
+
+
+@register(
+    "ann_lsh_topk",
+    tw.ann_lsh_sql(similarity.hyperplanes(), _ANN_QUERY_IDS, k=5),
+    "hyperplane-LSH bucketed approximate top-5 (the 100 TB scale path)",
+)
+def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.lsh_topk(
+        cat.load_table(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS, k=5
+    )
+
+
+@register(
+    "emb_neardup_pairs",
+    tw.embedding_neardup_sql(similarity.hyperplanes(), threshold=0.4),
+    "embedding-cosine near-dup pairs ≥ 0.4 via shared LSH bucket",
+)
+def _emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_near_duplicates(
+        cat.load_table(spark, sf_dir, "embeddings"), threshold=0.4
+    )

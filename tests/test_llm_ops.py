@@ -1,0 +1,142 @@
+"""Semantic tests for the LLM-pipeline operators (beyond oracle equality):
+LSH recall vs the exact baseline, dedup behavior on crafted duplicates,
+multimodal plumbing determinism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_warehouse_spark.operators import dedup, multimodal, similarity
+
+from .conftest import SF_DIR
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "The quick brown fox jumps over the lazy dog near the river bank!"),  # exact mod punct
+        (3, "the quick brown fox jumps over the lazy dog near the river shore"),  # near-dup
+        (4, "completely different content about spark query engines and shuffles"),
+        (5, ""),  # empty
+        (6, "tiny doc"),  # < shingle size
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_normalized(spark):
+    out = {r["doc_id"]: r for r in dedup.exact_duplicates(_docs(spark)).collect()}
+    # 1 and 2 normalize identically → same group, canonical = min id
+    assert out[2]["canonical_id"] == 1 and out[2]["is_duplicate"]
+    assert out[1]["canonical_id"] == 1 and not out[1]["is_duplicate"]
+    assert out[3]["canonical_id"] == 3  # near-dup is NOT exact-dup
+
+
+def test_minhash_lsh_finds_near_dup(spark):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_x1000"]
+        for r in dedup.minhash_lsh_duplicates(_docs(spark)).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1000  # identical shingle sets
+    assert (1, 3) in pairs and 600 <= pairs[(1, 3)] < 1000
+    assert not any(4 in p for p in pairs)  # unrelated doc never pairs
+    assert not any(5 in p or 6 in p for p in pairs)  # shingle-less docs drop out
+
+
+def test_lsh_recall_vs_exact_baseline(spark):
+    """Every exact-Jaccard ≥0.8 pair on real data must be recalled by LSH
+    (8 bands × 2 rows ⇒ P[miss | j=0.8] = (1-0.64)^8 ≈ 0.03; the sf0.001
+    corpus near-dups sit at j≈0.97 where P[miss] ≈ 1e-9)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs(docs, threshold_x1000=800).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_duplicates(docs, threshold_x1000=800).collect()
+    }
+    assert exact, "test data should contain near-duplicate pairs"
+    assert exact == lsh
+
+
+def test_simhash_near_dup_small_hamming(spark):
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash_signatures(_docs(spark)).collect()}
+    ham_12 = bin(sigs[1] ^ sigs[2]).count("1")
+    ham_14 = bin(sigs[1] ^ sigs[4]).count("1")
+    assert ham_12 == 0  # identical token multiset after normalize
+    assert ham_14 > 4  # unrelated docs far apart
+
+
+def test_ann_lsh_neighbors_share_bucket(spark):
+    """The LSH invariant: every returned neighbor lives in its query's
+    hyperplane bucket, self never appears, ranks are dense from 1."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qids = [0, 1, 2]
+    buckets = {
+        r["vec_id"]: r["bucket"] for r in similarity.bucketize(emb).collect()
+    }
+    approx = similarity.lsh_topk(emb, qids, k=50).collect()
+    assert approx, "64-bucket LSH over ≥500 vectors must yield candidates"
+    per_q: dict[int, list[int]] = {}
+    for r in approx:
+        assert r["neighbor_id"] != r["query_id"]
+        assert buckets[r["neighbor_id"]] == buckets[r["query_id"]]
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_ann_bruteforce_is_exact(spark):
+    """Brute-force top-k must equal a NumPy-computed exact answer."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    rows = emb.orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = normed @ normed[0]  # query = vec_id 0 (first row)
+    order = [
+        int(ids[i])
+        for i in sorted(range(len(ids)), key=lambda i: (-sims[i], ids[i]))
+        if ids[i] != 0
+    ][:5]
+    got = [
+        r["neighbor_id"]
+        for r in similarity.brute_force_topk(emb, [0], k=5).collect()
+    ]
+    assert got == order
+
+
+def test_multimodal_plumbing(spark):
+    rows = [
+        (1, "image", bytearray(b"img-bytes-aaaa" * 10), "image/png", "s1"),
+        (2, "image", bytearray(b"img-bytes-bbbb" * 10), "image/png", "s1"),
+        (3, "video", bytearray(b"vid-bytes" * 40), "video/mp4", "s2"),
+        (4, "audio", bytearray(b"aud" * 5), "audio/wav", "s2"),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+    feats = multimodal.extract_image_features(media).collect()
+    assert {r["media_id"] for r in feats} == {1, 2}
+    f1 = [r for r in feats if r["media_id"] == 1][0]
+    assert len(f1["embedding"]) == 16 and 64 <= f1["width"] < 256
+    # determinism: same payload → same features
+    again = multimodal.extract_image_features(media).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, again))
+
+    frames = multimodal.sample_frames(media).collect()
+    assert {r["media_id"] for r in frames} == {3}
+    assert [r["frame_no"] for r in sorted(frames, key=lambda r: r["frame_no"])] == list(
+        range(len(frames))
+    )
+
+    stats = {r["kind"]: r for r in multimodal.media_stats(media).collect()}
+    assert stats["image"]["n_items"] == 2
+    assert stats["audio"]["total_bytes"] == 15
+
+    import pytest
+
+    with pytest.raises(Exception, match="NotImplementedError|real image decode"):
+        multimodal.extract_image_features(media, decode="real").collect()
