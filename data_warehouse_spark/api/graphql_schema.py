@@ -1,0 +1,293 @@
+"""GraphQL read API over the Spark warehouse.
+
+Mirrors the reference's Sangria schema (GraphQLService.scala:207-292 in the
+reference): 5 top-level query fields (tenant, tenants, account, accounts,
+transfers), nested tenant/credit/debit entity resolution, and the balance
+aggregate — re-expressed so every HTTP request compiles to a bounded number
+of DataFrame plans:
+
+  * list fields → one plan (filters + ORDER BY unique keys + OFFSET/LIMIT,
+    operators/queries.py)
+  * nested entities → ONE batched lookup per request (the reference
+    batches per Sangria Fetcher level — Q7/Q8; we prefetch after the
+    top-level page is known, which also collapses its per-tenant fan-out)
+  * balance → ONE grouped aggregate per request for every account on the
+    page (the reference issues one SUM per account — Q9's N+1 — explicitly
+    improved here, same results)
+
+Scalar edge rules pinned by the reference: status int⇄{queued, committed,
+rollbacked} (GraphQLService.scala:38-59), DateTime as ISO
+``yyyy-MM-ddTHH:mm:ss`` (:61-76), NaturalNumber = non-negative ints
+(:18-36). Filter-range arguments use the *intended* semantics (see
+operators/queries.py COMPAT_INVERTED_FILTERS note).
+"""
+
+from __future__ import annotations
+
+import decimal
+from typing import Any
+
+from graphql import (
+    GraphQLArgument,
+    GraphQLBoolean,
+    GraphQLField,
+    GraphQLFloat,
+    GraphQLInt,
+    GraphQLList,
+    GraphQLNonNull,
+    GraphQLObjectType,
+    GraphQLScalarType,
+    GraphQLSchema,
+    GraphQLString,
+)
+from graphql.error import GraphQLError
+from pyspark.sql import functions as F
+
+from ..functions.coercions import status_code
+from ..operators import queries as wh
+from ..schemas import STATUS_NAMES
+
+
+def _natural(value: Any) -> int:
+    iv = int(value)
+    if iv < 0:
+        raise GraphQLError(f"NaturalNumber must be >= 0, got {value}")
+    return iv
+
+
+NaturalNumber = GraphQLScalarType(
+    name="NaturalNumber",
+    serialize=int,
+    parse_value=_natural,
+    parse_literal=lambda node, _vars=None: _natural(getattr(node, "value", None)),
+)
+
+
+def _decimal_out(v) -> float:
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    return float(v)
+
+
+class WarehouseContext:
+    """Per-request resolver context: reads warehouse tables, memoizes the
+    batched lookups so each kind runs at most once per request."""
+
+    def __init__(self, store):
+        self.store = store
+
+    def tenants_df(self):
+        return self.store.read("tenant")
+
+    def accounts_df(self):
+        return self.store.read("account")
+
+    def transfers_df(self):
+        return self.store.read("transfer")
+
+    def abc_df(self):
+        return self.store.read("account_balance_change")
+
+    # --- batched nested resolution (Q7/Q8/Q9) --------------------------
+    def fetch_accounts(self, keys: list[tuple[str, str]]) -> dict[tuple[str, str], dict]:
+        """One semi-join + one grouped balance agg for a literal key batch."""
+        if not keys:
+            return {}
+        uniq = sorted(set(keys))
+        kdf = self.store.spark.createDataFrame(uniq, "tenant string, name string")
+        accounts = self.accounts_df().join(F.broadcast(kdf), ["tenant", "name"], "left_semi")
+        balances = wh.account_balances(self.abc_df(), keys=kdf)
+        rows = {
+            (r["tenant"], r["name"]): {
+                "tenant": r["tenant"],
+                "name": r["name"],
+                "currency": r["currency"],
+                "format": r["format"],
+                "balance": 0.0,
+            }
+            for r in accounts.collect()
+        }
+        for r in balances.collect():
+            k = (r["tenant"], r["name"])
+            if k in rows:
+                rows[k]["balance"] = _decimal_out(r["balance"])
+        return rows
+
+
+def _status_out(code: int) -> str:
+    return STATUS_NAMES.get(code, str(code))
+
+
+def _iso(dt) -> str:
+    return dt.strftime("%Y-%m-%dT%H:%M:%S")
+
+
+Tenant = GraphQLObjectType(
+    "Tenant", lambda: {"name": GraphQLField(GraphQLNonNull(GraphQLString))}
+)
+
+Account = GraphQLObjectType(
+    "Account",
+    lambda: {
+        "tenant": GraphQLField(GraphQLNonNull(GraphQLString)),
+        "name": GraphQLField(GraphQLNonNull(GraphQLString)),
+        "currency": GraphQLField(GraphQLNonNull(GraphQLString)),
+        "format": GraphQLField(GraphQLNonNull(GraphQLString)),
+        "balance": GraphQLField(GraphQLFloat),
+    },
+)
+
+Transfer = GraphQLObjectType(
+    "Transfer",
+    lambda: {
+        "tenant": GraphQLField(GraphQLNonNull(GraphQLString)),
+        "transaction": GraphQLField(GraphQLNonNull(GraphQLString)),
+        "transfer": GraphQLField(GraphQLNonNull(GraphQLString)),
+        "status": GraphQLField(GraphQLNonNull(GraphQLString)),
+        "credit": GraphQLField(Account),
+        "debit": GraphQLField(Account),
+        "amount": GraphQLField(GraphQLFloat),
+        "currency": GraphQLField(GraphQLNonNull(GraphQLString)),
+        "valueDate": GraphQLField(GraphQLString),
+    },
+)
+
+
+def _page_args():
+    return {
+        "limit": GraphQLArgument(NaturalNumber, default_value=100),
+        "offset": GraphQLArgument(NaturalNumber, default_value=0),
+    }
+
+
+def _resolve_tenants(_src, info, limit=100, offset=0):
+    ctx: WarehouseContext = info.context
+    return [
+        {"name": r["name"]}
+        for r in wh.tenants(ctx.tenants_df(), limit=limit, offset=offset).collect()
+    ]
+
+
+def _resolve_tenant(_src, info, tenant: str):
+    ctx: WarehouseContext = info.context
+    rows = wh.tenant_by_name(ctx.tenants_df(), tenant).collect()
+    return {"name": rows[0]["name"]} if rows else None
+
+
+def _resolve_accounts(_src, info, tenant: str, currency=None, format=None, limit=100, offset=0):  # noqa: A002
+    ctx: WarehouseContext = info.context
+    page = wh.accounts(
+        ctx.accounts_df(), tenant=tenant, currency=currency, format=format,
+        limit=limit, offset=offset,
+    ).collect()
+    fetched = ctx.fetch_accounts([(r["tenant"], r["name"]) for r in page])
+    return [fetched[(r["tenant"], r["name"])] for r in page]
+
+
+def _resolve_account(_src, info, tenant: str, name: str):
+    ctx: WarehouseContext = info.context
+    fetched = ctx.fetch_accounts([(tenant, name)])
+    return fetched.get((tenant, name))
+
+
+def _resolve_transfers(
+    _src, info, tenant: str, currency=None, status=None,
+    amount_lt=None, amount_lte=None, amount_gt=None, amount_gte=None,
+    valueDate_lt=None, valueDate_lte=None, valueDate_gt=None, valueDate_gte=None,
+    limit=100, offset=0,
+):
+    ctx: WarehouseContext = info.context
+    page = wh.transfers(
+        ctx.transfers_df(), tenant=tenant, currency=currency,
+        status=None if status is None else status_code(status),
+        amount_lt=amount_lt, amount_lte=amount_lte,
+        amount_gt=amount_gt, amount_gte=amount_gte,
+        value_date_lt=valueDate_lt, value_date_lte=valueDate_lte,
+        value_date_gt=valueDate_gt, value_date_gte=valueDate_gte,
+        limit=limit, offset=offset,
+    ).collect()
+    # ONE batched account fetch for every credit/debit on the page (Q8)
+    keys = [(r["credit_tenant"], r["credit_name"]) for r in page] + [
+        (r["debit_tenant"], r["debit_name"]) for r in page
+    ]
+    fetched = ctx.fetch_accounts(keys)
+    return [
+        {
+            "tenant": r["tenant"],
+            "transaction": r["transaction"],
+            "transfer": r["transfer"],
+            "status": _status_out(r["status"]),
+            "credit": fetched.get((r["credit_tenant"], r["credit_name"])),
+            "debit": fetched.get((r["debit_tenant"], r["debit_name"])),
+            "amount": _decimal_out(r["amount"]),
+            "currency": r["currency"],
+            "valueDate": _iso(r["value_date"]),
+        }
+        for r in page
+    ]
+
+
+QueryType = GraphQLObjectType(
+    "Query",
+    {
+        "tenants": GraphQLField(
+            GraphQLList(Tenant), args=_page_args(), resolve=_resolve_tenants
+        ),
+        "tenant": GraphQLField(
+            Tenant,
+            args={"tenant": GraphQLArgument(GraphQLNonNull(GraphQLString))},
+            resolve=_resolve_tenant,
+        ),
+        "accounts": GraphQLField(
+            GraphQLList(Account),
+            args={
+                "tenant": GraphQLArgument(GraphQLNonNull(GraphQLString)),
+                "currency": GraphQLArgument(GraphQLString),
+                "format": GraphQLArgument(GraphQLString),
+                **_page_args(),
+            },
+            resolve=_resolve_accounts,
+        ),
+        "account": GraphQLField(
+            Account,
+            args={
+                "tenant": GraphQLArgument(GraphQLNonNull(GraphQLString)),
+                "name": GraphQLArgument(GraphQLNonNull(GraphQLString)),
+            },
+            resolve=_resolve_account,
+        ),
+        "transfers": GraphQLField(
+            GraphQLList(Transfer),
+            args={
+                "tenant": GraphQLArgument(GraphQLNonNull(GraphQLString)),
+                "currency": GraphQLArgument(GraphQLString),
+                "status": GraphQLArgument(GraphQLString),
+                "amount_lt": GraphQLArgument(GraphQLFloat),
+                "amount_lte": GraphQLArgument(GraphQLFloat),
+                "amount_gt": GraphQLArgument(GraphQLFloat),
+                "amount_gte": GraphQLArgument(GraphQLFloat),
+                "valueDate_lt": GraphQLArgument(GraphQLString),
+                "valueDate_lte": GraphQLArgument(GraphQLString),
+                "valueDate_gt": GraphQLArgument(GraphQLString),
+                "valueDate_gte": GraphQLArgument(GraphQLString),
+                **_page_args(),
+            },
+            resolve=_resolve_transfers,
+        ),
+    },
+)
+
+schema = GraphQLSchema(query=QueryType)
+
+
+def execute(store, query: str, variables: dict | None = None, operation_name: str | None = None):
+    """Parse/validate/execute one GraphQL request against the warehouse."""
+    from graphql import graphql_sync
+
+    return graphql_sync(
+        schema,
+        query,
+        variable_values=variables,
+        operation_name=operation_name,
+        context_value=WarehouseContext(store),
+    )

@@ -1,0 +1,92 @@
+"""HTTP transport for the GraphQL API (reference: GraphQLRouter.scala /
+RootRouter.scala / HealthCheckRouter.scala).
+
+Routes and behaviors pinned by the reference:
+  POST /graphql   body = JSON object {query, operationName, variables} OR a
+                  JSON array whose FIRST element is that object
+                  (GraphQLRouter.scala:14-56); malformed → 400
+  GET  /graphql   ?query=... form (GraphQLRouter.scala:57-64)
+  GET  /health    executes a real self-query ``tenants(limit:1, offset:0)``
+                  through the full stack and reports
+                  {"healthy": bool, "graphql": bool}
+                  (HealthCheckService.scala:8-18)
+Error mapping: GraphQL syntax/validation errors → 400 with error JSON;
+execution errors → 500 (RootRouter.scala:22-41).
+"""
+
+from __future__ import annotations
+
+import json
+
+from flask import Flask, Response, request
+
+from .graphql_schema import execute
+
+GRAPHIQL_PAGE = """<!DOCTYPE html>
+<html><head><title>GraphiQL</title></head>
+<body><h3>GraphQL endpoint</h3>
+<p>POST /graphql with {"query": "{ tenants(limit: 10, offset: 0) { name } }"}</p>
+</body></html>"""
+
+
+def build_app(store) -> Flask:
+    app = Flask("data_warehouse_spark")
+
+    def run_query(payload: dict) -> Response:
+        query = payload.get("query")
+        if not isinstance(query, str) or not query.strip():
+            return _json({"error": "missing query"}, 400)
+        result = execute(
+            store,
+            query,
+            variables=payload.get("variables"),
+            operation_name=payload.get("operationName"),
+        )
+        if result.errors:
+            # no data at all → parse/validation problem → 400 (reference
+            # maps SyntaxError/QueryAnalysisError to 400, others to 500)
+            status = 400 if result.data is None else 500
+            return _json(
+                {
+                    "data": result.data,
+                    "errors": [e.formatted for e in result.errors],
+                },
+                status,
+            )
+        return _json({"data": result.data}, 200)
+
+    @app.post("/graphql")
+    def graphql_post():
+        try:
+            body = request.get_json(force=True)
+        except Exception:
+            return _json({"error": "malformed JSON body"}, 400)
+        if isinstance(body, list):  # reference accepts array-wrapped requests
+            if not body or not isinstance(body[0], dict):
+                return _json({"error": "empty batch"}, 400)
+            body = body[0]
+        if not isinstance(body, dict):
+            return _json({"error": "body must be an object"}, 400)
+        return run_query(body)
+
+    @app.get("/graphql")
+    def graphql_get():
+        q = request.args.get("query")
+        if q is None:
+            return Response(GRAPHIQL_PAGE, mimetype="text/html")
+        return run_query({"query": q})
+
+    @app.get("/health")
+    def health():
+        try:
+            result = execute(store, "query { tenants(limit: 1, offset: 0) { name } }")
+            ok = result.errors is None and result.data is not None
+        except Exception:
+            ok = False
+        return _json({"healthy": ok, "graphql": ok}, 200 if ok else 503)
+
+    return app
+
+
+def _json(obj, status: int) -> Response:
+    return Response(json.dumps(obj), status=status, mimetype="application/json")

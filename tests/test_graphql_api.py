@@ -1,0 +1,147 @@
+"""GraphQL API golden tests — ports of the reference's bbtest scenarios end
+to end THROUGH HTTP: fixture files → ingestion → warehouse → GraphQL JSON.
+
+Assertions are subset-matches of the reference's golden JSON
+(graphql_api.feature via FIXTURES.md), same as the reference's bbtest diff.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from data_warehouse_spark.api.http import build_app
+from data_warehouse_spark.streaming.ingest import IngestionPipeline, warehouse_store
+
+from .test_ingest import _write_transfer_fixture, write
+
+
+@pytest.fixture()
+def client(spark, tmp_path):
+    root = str(tmp_path / "data")
+    os.makedirs(os.path.join(root, "t_TENANT"))
+    write(
+        os.path.join(root, "t_TENANT_ACC", "account", "ACCOUNT", "snapshot", "0000000000"),
+        "CZK FORMAT_T\n",
+    )
+    _write_transfer_fixture(root)
+    store = warehouse_store(spark, str(tmp_path / "wh"))
+    IngestionPipeline(spark, root, store).run_once()
+    app = build_app(store)
+    app.config["TESTING"] = True
+    return app.test_client()
+
+
+def gql(client, query: str, **kw):
+    rv = client.post("/graphql", json={"query": query, **kw})
+    return rv.status_code, json.loads(rv.data)
+
+
+# --- golden scenario 1: tenants (graphql_api.feature:3-30) -------------------
+def test_tenants_golden(client):
+    code, body = gql(client, "query { tenants(limit: 1000, offset: 0) { name } }")
+    assert code == 200
+    names = {t["name"] for t in body["data"]["tenants"]}
+    assert "TENANT" in names  # subset-match semantics
+
+
+# --- golden scenario 2: account with zero balance (feature:32-67) -------------
+def test_account_zero_balance_golden(client):
+    code, body = gql(
+        client,
+        'query { accounts(tenant: "TENANT_ACC", limit: 1000, offset: 0) '
+        "{ name currency balance } }",
+    )
+    assert code == 200
+    accounts = body["data"]["accounts"]
+    assert {"name": "ACCOUNT", "currency": "CZK", "balance": 0} == {
+        k: accounts[0][k] for k in ("name", "currency", "balance")
+    }
+
+
+# --- golden scenario 3: transfer round-trip, signed balances (feature:69-142) --
+def test_transfer_roundtrip_golden(client):
+    code, body = gql(
+        client,
+        'query { transfers(tenant: "TENANT_TRN", limit: 1000, offset: 0) '
+        "{ transaction transfer status amount currency valueDate "
+        "  credit { name balance } debit { name balance } } }",
+    )
+    assert code == 200
+    (tr,) = body["data"]["transfers"]
+    assert tr["transaction"] == "TRN" and tr["transfer"] == "TRX"
+    assert tr["status"] == "committed"
+    assert tr["amount"] == 1 and tr["currency"] == "CZK"
+    assert tr["valueDate"] == "2020-01-01T00:00:00"
+    assert tr["credit"]["name"] == "CREDIT" and tr["credit"]["balance"] == 1
+    assert tr["debit"]["name"] == "DEBIT" and tr["debit"]["balance"] == -1
+
+    code, body = gql(
+        client,
+        'query { account(tenant: "TENANT_TRN", name: "CREDIT") { balance currency } }',
+    )
+    assert body["data"]["account"]["balance"] == 1
+
+
+# --- transport behaviors pinned by the reference ------------------------------
+def test_array_wrapped_body(client):
+    rv = client.post(
+        "/graphql",
+        json=[{"query": "query { tenants(limit: 1, offset: 0) { name } }"}],
+    )
+    assert rv.status_code == 200 and "data" in json.loads(rv.data)
+
+
+def test_get_query_form(client):
+    rv = client.get("/graphql?query={ tenants(limit: 1, offset: 0) { name } }")
+    assert rv.status_code == 200 and "data" in json.loads(rv.data)
+
+
+def test_syntax_error_400(client):
+    code, body = gql(client, "query { tenants(limit: } }")
+    assert code == 400 and body["errors"]
+
+
+def test_unknown_field_400(client):
+    code, body = gql(client, "query { nonexistent { x } }")
+    assert code == 400 and body["errors"]
+
+
+def test_malformed_body_400(client):
+    rv = client.post("/graphql", data="not json", content_type="application/json")
+    assert rv.status_code == 400
+
+
+def test_negative_natural_number_rejected(client):
+    code, body = gql(client, "query { tenants(limit: -1, offset: 0) { name } }")
+    assert code == 400 and body["errors"]
+
+
+def test_status_filter_coercion(client):
+    code, body = gql(
+        client,
+        'query { transfers(tenant: "TENANT_TRN", status: "committed", '
+        "limit: 10, offset: 0) { transfer } }",
+    )
+    assert code == 200 and len(body["data"]["transfers"]) == 1
+    code, body = gql(
+        client,
+        'query { transfers(tenant: "TENANT_TRN", status: "rollbacked", '
+        "limit: 10, offset: 0) { transfer } }",
+    )
+    assert code == 200 and body["data"]["transfers"] == []
+
+
+def test_health_self_query(client):
+    rv = client.get("/health")
+    assert rv.status_code == 200
+    assert json.loads(rv.data) == {"healthy": True, "graphql": True}
+
+
+def test_point_tenant_and_missing(client):
+    code, body = gql(client, 'query { tenant(tenant: "TENANT") { name } }')
+    assert body["data"]["tenant"] == {"name": "TENANT"}
+    code, body = gql(client, 'query { tenant(tenant: "NOPE") { name } }')
+    assert body["data"]["tenant"] is None
