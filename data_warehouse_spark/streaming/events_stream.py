@@ -1,0 +1,112 @@
+"""Structured Streaming operators over the events stream.
+
+The reference's only streaming concept is a 2 s incremental re-crawl (no
+event time); these operators supply the event-time layer a Spark warehouse
+is expected to have, as readStream-composable transformations:
+
+  hourly_rollup      watermarked tumbling-window counts/sums — the streaming
+                     twin of analytics.events_hourly (same output semantics
+                     on complete input)
+  session_windows    native session_window aggregation (gap-based)
+  running_user_state applyInPandasWithState: per-user running counters —
+                     the custom-stateful-operator template (timeout handling,
+                     state schema, Arrow batches)
+
+All take a DataFrame that may be batch or streaming: transformations are
+identical (Spark's unified model); tests drive them with a file stream +
+``availableNow`` trigger to completion.
+
+Scale notes: watermark bounds state (late rows beyond 10 min are dropped —
+the late-data policy); state store partitions by the grouping key, so
+user_id/session keys shard across executors; foreachBatch + the TableStore
+MERGE gives exactly-once sinks on replays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def hourly_rollup(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Tumbling 1 h windows per event_type; watermark bounds open windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+        )
+        .select(
+            F.col("w.start").alias("hour"),
+            "event_type",
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes") -> DataFrame:
+    """Per-user session windows with an inactivity gap (native operator —
+    the streaming counterpart of analytics.sessionize)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
+RUNNING_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("value_cents", T.LongType(), False),
+    ]
+)
+
+RUNNING_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("value_cents", T.LongType(), False),
+    ]
+)
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: running per-user
+    totals emitted every micro-batch (update mode).
+
+    The template for operators Spark lacks natively: explicit state schema,
+    Arrow-batched per-group input, GroupState get/update, timeout config.
+    """
+    import pandas as pd  # local import: executors pickle this closure
+
+    def update(key, pdf_iter, state):
+        (user_id,) = key
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            cents += int(round(float(pdf["value"].sum()) * 100))
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "value_cents": [cents]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_OUTPUT_SCHEMA,
+        stateStructType=RUNNING_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
