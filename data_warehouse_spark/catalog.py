@@ -54,15 +54,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
+class LazyTables(dict):
+    """Table dict that defers parquet footer reads until first access —
+    a query touching 2 tables must not pay schema resolution for 10."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        super().__init__()
+        self._spark = spark
+        self._sf_dir = sf_dir
+
+    def __getitem__(self, name: str) -> DataFrame:
+        if name not in self:
+            self[name] = load_table(self._spark, self._sf_dir, name)
+        return super().__getitem__(name)
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> LazyTables:
+    return LazyTables(spark, sf_dir)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Register every testdata table as a temp view (SQL entry point)."""
     tables = load_all(spark, sf_dir)
-    for name, df in tables.items():
-        df.createOrReplaceTempView(name)
+    for name in TESTDATA_TABLES:
+        tables[name].createOrReplaceTempView(name)
     return tables
 
 
@@ -165,16 +180,33 @@ def account_balance_change_view(transfers: DataFrame, amount_type=MONEY) -> Data
     return credit.unionByName(debit)
 
 
-def warehouse_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """All four warehouse tables derived from the testdata star schema."""
-    t = load_all(spark, sf_dir)
-    transfers = transfer_view(t)
-    return {
-        "tenant": tenant_view(t),
-        "account": account_view(t),
-        "transfer": transfers,
-        "account_balance_change": account_balance_change_view(transfers),
+class LazyViews(dict):
+    """Warehouse views built on first access — a tenants page must not plan
+    the five-way transfer join."""
+
+    _BUILDERS = {
+        "tenant": lambda t: tenant_view(t),
+        "account": lambda t: account_view(t),
+        "transfer": lambda t: transfer_view(t),
+        "account_balance_change": lambda t: account_balance_change_view(
+            transfer_view(t)
+        ),
     }
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        super().__init__()
+        self._tables = load_all(spark, sf_dir)
+
+    def __getitem__(self, name: str) -> DataFrame:
+        if name not in self:
+            self[name] = self._BUILDERS[name](self._tables)
+        return super().__getitem__(name)
+
+
+def warehouse_views(spark: SparkSession, sf_dir: str) -> LazyViews:
+    """The four warehouse tables derived from the testdata star schema,
+    built lazily per access."""
+    return LazyViews(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------

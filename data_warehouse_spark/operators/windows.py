@@ -1,0 +1,147 @@
+"""Window/time-series operators: running aggregates, as-of joins, pivots,
+hierarchical rollups, percentiles.
+
+None of these exist in the reference (SURVEY §2.4 explicitly: no window
+functions, no set ops beyond UNION ALL, one aggregate) — they're the operator
+classes any warehouse migration lands on next, implemented Spark-first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .analytics import cents
+
+
+def running_balance(abc: DataFrame) -> DataFrame:
+    """Cumulative signed balance per account ordered by value_date — the
+    windowed generalization of the reference's point-in-time SUM (Q6).
+
+    One shuffle on (tenant, name); within partitions an ordered running
+    frame. ROWS (not RANGE) so equal timestamps accumulate deterministically
+    via the amount tie-break.
+    """
+    w = (
+        Window.partitionBy("tenant", "name")
+        .orderBy("value_date", "amount")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return abc.select(
+        "tenant",
+        "name",
+        "value_date",
+        (F.col("amount") * 100).cast("bigint").alias("amount_cents"),
+        F.sum((F.col("amount") * 100).cast("bigint")).over(w).alias("running_cents"),
+    )
+
+
+def asof_join_purchase_to_click(events: DataFrame) -> DataFrame:
+    """As-of join: each *purchase* event matched to the latest *click* by
+    the same user at-or-before its timestamp.
+
+    Spark lacks a native as-of join; this is the composition strategy:
+    union both sides tagged, ONE window pass carries the last left-side row
+    forward, filter back to the right side. One shuffle on the join key and
+    no range explosion — the pattern that scales where a naive theta-join
+    (t_click <= t_purchase) would blow up quadratically.
+    """
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.col("event_id").alias("click_id"),
+        F.lit(0).alias("side"),
+        F.lit(None).cast("bigint").alias("purchase_id"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(None).cast("bigint").alias("click_id"),
+        F.lit(1).alias("side"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    # clicks sort before purchases at the same instant (side ascending) so a
+    # simultaneous click is visible (at-or-before); click_id breaks ts ties
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "side", "click_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = clicks.unionByName(purchases).withColumn(
+        "last_click", F.last("click_id", ignorenulls=True).over(w)
+    )
+    return (
+        merged.filter(F.col("side") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            F.col("t").alias("purchase_ts"),
+            F.col("last_click").alias("asof_click_id"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+def status_priority_rollup(orders: DataFrame) -> DataFrame:
+    """Hierarchical ROLLUP (status → priority) with grand total."""
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents("o_totalprice")).alias("total_cents"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+def event_type_pivot(events: DataFrame) -> DataFrame:
+    """Pivot: one row per user, one count column per event type. Explicit
+    pivot values keep the schema static (required for a 100 TB plan — an
+    unvalued pivot scans twice to discover columns)."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+        .select(
+            "user_id", *[F.col(t).cast("bigint").alias(f"n_{t}") for t in types]
+        )
+        .orderBy("user_id")
+    )
+
+
+def order_value_percentiles(orders: DataFrame) -> DataFrame:
+    """Exact percentiles (type-7 linear interpolation) of order value in
+    cents, per status. Exact `percentile` (sort-based) — at 100 TB swap in
+    `percentile_approx` (t-digest) and accept bounded error; both exposed.
+    """
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.expr(
+                "percentile(CAST(round(o_totalprice * 100) AS BIGINT), 0.5)"
+            ).alias("p50_cents"),
+            F.expr(
+                "percentile(CAST(round(o_totalprice * 100) AS BIGINT), 0.9)"
+            ).alias("p90_cents"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def distinct_user_counts(events: DataFrame) -> DataFrame:
+    """Exact + approximate distinct users per event type. The approx column
+    (HLL++) is the 100 TB default; exact requires a distinct shuffle."""
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users_exact"),
+            F.approx_count_distinct("user_id").alias("n_users_approx"),
+        )
+        .orderBy("event_type")
+    )

@@ -524,3 +524,122 @@ def _emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_duplicates(
         cat.load_table(spark, sf_dir, "embeddings"), threshold=0.4
     )
+
+
+# ===========================================================================
+# Window / time-series / OLAP-extension operators (absent from the reference
+# — SURVEY §2.4 — added as the classes a warehouse migration needs next)
+# ===========================================================================
+
+from .operators import windows  # noqa: E402
+
+
+@register(
+    "wh_running_balance",
+    WAREHOUSE_CTE_SQL
+    + """SELECT tenant, name, value_date,
+                CAST(amount * 100 AS BIGINT) AS amount_cents,
+                CAST(SUM(CAST(amount * 100 AS BIGINT)) OVER (
+                     PARTITION BY tenant, name
+                     ORDER BY value_date, amount
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
+         FROM account_balance_change_v""",
+    "running signed balance per account (windowed generalization of Q6)",
+)
+def _wh_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = cat.warehouse_views(spark, sf_dir)
+    return windows.running_balance(v["account_balance_change"])
+
+
+@register(
+    "asof_purchase_click",
+    """WITH tagged AS (
+         SELECT user_id, ts AS t, event_id AS click_id, 0 AS side,
+                CAST(NULL AS BIGINT) AS purchase_id
+         FROM events WHERE event_type = 'click'
+         UNION ALL
+         SELECT user_id, ts AS t, CAST(NULL AS BIGINT) AS click_id, 1 AS side,
+                event_id AS purchase_id
+         FROM events WHERE event_type = 'purchase'
+       ),
+       carried AS (
+         SELECT *, last_value(click_id IGNORE NULLS) OVER (
+                  PARTITION BY user_id ORDER BY t, side, click_id
+                  ROWS UNBOUNDED PRECEDING) AS last_click
+         FROM tagged
+       )
+       SELECT purchase_id, user_id, t AS purchase_ts, last_click AS asof_click_id
+       FROM carried WHERE side = 1 ORDER BY purchase_id""",
+    "as-of join via tagged-union + one window pass (no native op in Spark)",
+)
+def _asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.asof_join_purchase_to_click(cat.load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "orders_rollup",
+    """SELECT o_orderstatus, o_orderpriority,
+              CAST(count(*) AS BIGINT) AS n_orders,
+              CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                  AS total_cents
+       FROM orders
+       GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+       ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "hierarchical ROLLUP with subtotals + grand total",
+)
+def _orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.status_priority_rollup(cat.load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "events_pivot",
+    """SELECT user_id,
+              CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+              CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+              CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+              CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+              CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+       FROM events GROUP BY user_id ORDER BY user_id""",
+    "pivot with explicit values (static schema — no discovery scan)",
+)
+def _events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.event_type_pivot(cat.load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "order_value_percentiles",
+    """SELECT o_orderstatus,
+              quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5) AS p50_cents,
+              quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.9) AS p90_cents,
+              CAST(count(*) AS BIGINT) AS n_orders
+       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "exact type-7 percentiles of order value per status",
+)
+def _order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.order_value_percentiles(cat.load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "events_distinct_users",
+    """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact
+       FROM events GROUP BY event_type ORDER BY event_type""",
+    "exact distinct users per event type",
+)
+def _events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    return (
+        cat.load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users_exact"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "events_distinct_users_approx",
+    None,  # HLL sketches differ across engines — rows-only check by design
+    "approximate distinct (HLL++) — the 100 TB default; no cross-engine oracle",
+)
+def _events_distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.distinct_user_counts(cat.load_table(spark, sf_dir, "events"))

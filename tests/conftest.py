@@ -51,8 +51,8 @@ def duck_for(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 def _canon_value(v):
     """Canonicalize a cell so Spark/DuckDB representations compare equal."""
-    if v is None or (isinstance(v, float) and math.isnan(v)):
-        return None
+    if v is None or v is pd.NaT or (isinstance(v, float) and math.isnan(v)):
+        return ("null", "")
     if isinstance(v, decimal.Decimal):
         return ("num", float(v))
     if isinstance(v, float):
