@@ -45,7 +45,11 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
 
-    spark = get_spark(app_name="dwh-bench")
+    # shuffle partitions sized to the bench data (~100 MB at sf0.1), exactly
+    # as they'd be sized to cluster data volume: too many partitions = pure
+    # scheduling overhead (measured ~25% of wall at this SF)
+    n_shuffle = int(os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE", "8"))
+    spark = get_spark(app_name="dwh-bench", shuffle_partitions=n_shuffle)
     # warm up JVM / parquet footer cache without touching the timed plans
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 

@@ -77,6 +77,9 @@ def warehouse_store(spark: SparkSession, root: str) -> TableStore:
             "transfer": _ingest_transfer_schema(),
             "account_balance_change": ACCOUNT_BALANCE_CHANGE_SCHEMA,
         },
+        # hot tables partition by tenant: MERGE prunes to touched tenants,
+        # GraphQL tenant-filtered reads prune at the scan
+        partitions={"transfer": ["tenant"], "account_balance_change": ["tenant"]},
     )
 
 

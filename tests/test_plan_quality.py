@@ -80,3 +80,36 @@ def test_exact_dedup_single_exchange(spark):
     assert rep.cartesian_products == 0, rep.text
     cols = rep.scans_column_count("documents")
     assert cols is not None and cols <= 2, rep.text  # doc_id + text only
+
+
+def test_partitioned_transfer_scan_prunes_tenant(spark, tmp_path):
+    """The partitioned warehouse transfer table must show partition filters
+    (not data filters) for a tenant-filtered read."""
+    import os
+
+    from data_warehouse_spark.operators import queries as wh
+    from data_warehouse_spark.streaming.ingest import IngestionPipeline, warehouse_store
+
+    root = str(tmp_path / "data")
+    for t in ("t_P1", "t_P2"):
+        p = os.path.join(root, t, "account", "A", "snapshot", "0000000000")
+        os.makedirs(os.path.dirname(p))
+        with open(p, "w") as f:
+            f.write("CZK FORMAT_T\n")
+        tx = os.path.join(root, t, "transaction", "TR")
+        os.makedirs(os.path.dirname(tx))
+        with open(tx, "w") as f:
+            f.write(f"committed\nX {t[2:]} A {t[2:]} A 2020-01-01T00:00:00Z 1 CZK\n")
+        ev = os.path.join(root, t, "account", "A", "events", "0000000000", "1_1_TR")
+        os.makedirs(os.path.dirname(ev))
+        with open(ev, "w") as f:
+            f.write("1\n")
+    store = warehouse_store(spark, str(tmp_path / "wh"))
+    IngestionPipeline(spark, root, store).run_once()
+
+    df = wh.transfers(store.read("transfer"), tenant="P1")
+    rep = plan_report(df)
+    assert "PartitionFilters" in rep.text and "tenant" in rep.text.split(
+        "PartitionFilters"
+    )[1].splitlines()[0], rep.text
+    assert df.count() == 1

@@ -1,0 +1,122 @@
+"""Property-based tests (Hypothesis): parser round-trips and operator
+invariants that example-based tests can't sweep.
+
+Spark actions are expensive, so properties are driven data-parallel: one
+generated batch → one Spark job → per-row assertions.
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import os
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from data_warehouse_spark.operators.pagination import paginate
+from data_warehouse_spark.sources import primary
+
+SLOW = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+name_st = st.text(
+    alphabet=st.sampled_from("ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"), min_size=1, max_size=12
+)
+# transaction ids may contain underscores (split('_', 3) semantics)
+txn_st = st.text(
+    alphabet=st.sampled_from("ABCXYZ_0123456789"), min_size=1, max_size=16
+).filter(lambda s: not s.startswith("_") and not s.endswith("_"))
+amount_st = st.decimals(
+    min_value=decimal.Decimal("0.01"),
+    max_value=decimal.Decimal("999999.99"),
+    places=2,
+)
+dt_st = st.datetimes(
+    min_value=datetime.datetime(1990, 1, 1),
+    max_value=datetime.datetime(2030, 12, 28),
+).map(lambda d: d.replace(microsecond=0))
+
+
+@SLOW
+@given(
+    rows=st.lists(
+        st.tuples(name_st, txn_st, name_st, name_st, dt_st, amount_st, name_st),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda r: r[1],
+    ),
+    status=st.sampled_from(["committed", "rollbacked", "garbage"]),
+)
+def test_transaction_parse_roundtrip(spark, tmp_path_factory, rows, status):
+    """Writing a transaction file and parsing it recovers every field
+    exactly (amounts as exact decimals, value dates to the second)."""
+    root = str(tmp_path_factory.mktemp("prim"))
+    tdir = os.path.join(root, "t_T1", "transaction")
+    os.makedirs(tdir, exist_ok=True)
+    expected = {}
+    by_txn: dict[str, list] = {}
+    for transfer, txn, credit, debit, vd, amount, ccy in rows:
+        by_txn.setdefault(txn, []).append((transfer, credit, debit, vd, amount, ccy))
+    for txn, transfers in by_txn.items():
+        lines = [status]
+        for transfer, credit, debit, vd, amount, ccy in transfers:
+            iso = vd.strftime("%Y-%m-%dT%H:%M:%SZ")
+            lines.append(f"{transfer} T1 {credit} T1 {debit} {iso} {amount} {ccy}")
+            expected[(txn, transfer)] = (credit, debit, vd, decimal.Decimal(amount), ccy)
+        with open(os.path.join(tdir, txn), "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+    got = primary.read_transactions(spark, root).collect()
+    status_code = {"committed": 1, "rollbacked": 2}.get(status, 0)
+    assert len(got) == len(expected)
+    for r in got:
+        credit, debit, vd, amount, ccy = expected[(r["transaction"], r["transfer"])]
+        assert r["status"] == status_code
+        assert r["credit_name"] == credit and r["debit_name"] == debit
+        assert r["value_date"] == vd
+        assert r["amount"] == amount
+        assert r["currency"] == ccy
+
+
+@SLOW
+@given(
+    metas=st.lists(
+        st.tuples(name_st, st.sampled_from(["CZK", "EUR", "USD"]), name_st),
+        min_size=1,
+        max_size=6,
+        unique_by=lambda r: r[0],
+    )
+)
+def test_account_meta_parse_roundtrip(spark, tmp_path_factory, metas):
+    """Snapshot-0 line `CCY <format>XX` → (CCY, format): the parser drops
+    the trailing 2 chars of the remainder (pinned reference rule)."""
+    root = str(tmp_path_factory.mktemp("prim"))
+    for account, ccy, fmt in metas:
+        p = os.path.join(root, "t_TX", "account", account, "snapshot", "0000000000")
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "w") as f:
+            f.write(f"{ccy} {fmt}_T\n")  # suffix "_T" must be dropped
+    got = {r["name"]: r for r in primary.read_account_meta(spark, root).collect()}
+    assert set(got) == {m[0] for m in metas}
+    for account, ccy, fmt in metas:
+        assert got[account]["currency"] == ccy
+        assert got[account]["format"] == fmt
+
+
+@SLOW
+@given(
+    n=st.integers(min_value=0, max_value=40),
+    limit=st.integers(min_value=0, max_value=15),
+    offset=st.integers(min_value=0, max_value=45),
+)
+def test_pagination_partition_invariants(spark, n, limit, offset):
+    """Pages are disjoint, ordered, and their concatenation is the ordered
+    whole — for every (n, limit, offset)."""
+    df = spark.range(n).selectExpr("concat('k', lpad(id, 3, '0')) AS name")
+    page = [r["name"] for r in paginate(df, ["name"], limit, offset).collect()]
+    all_sorted = sorted(f"k{str(i).zfill(3)}" for i in range(n))
+    assert page == all_sorted[offset : offset + limit]
