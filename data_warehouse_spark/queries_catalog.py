@@ -643,3 +643,28 @@ def _events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def _events_distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.distinct_user_counts(cat.load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "doc_quality_gate",
+    """WITH base AS (
+         SELECT *, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+         FROM documents
+       ),
+       m AS (
+         SELECT *, CAST(length(text) AS BIGINT) AS n_chars,
+                CAST(CASE WHEN length(norm) = 0 THEN 0
+                     ELSE len(string_split(norm, ' ')) END AS BIGINT) AS n_tokens,
+                CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+                CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit
+         FROM base
+       )
+       SELECT doc_id, text, lang, source, n_chars
+       FROM m
+       WHERE n_tokens >= 20 AND n_tokens <= 100000
+         AND floor(n_alpha * 1000 / greatest(n_chars, 1)) >= 500
+         AND floor(n_digit * 1000 / greatest(n_chars, 1)) <= 300""",
+    "pretraining quality gate: token/alpha/digit thresholds as one filter",
+)
+def _doc_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.quality_filter(cat.load_table(spark, sf_dir, "documents"))
