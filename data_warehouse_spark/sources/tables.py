@@ -121,12 +121,41 @@ class TableStore:
                         )
             current_keys = current.select(*keys)
             fresh = fresh.join(F.broadcast(current_keys), keys, "left_anti")
-        fresh = fresh.cache()
-        n = fresh.count()
+        # materialize to a staging dir FIRST, then move the part files in:
+        # appending from a plan that reads the target dir could recompute
+        # mid-append (cache eviction) and observe its own output — the
+        # classic read-your-own-append duplication hazard
+        staging = f"{self._path(name)}.stage-{uuid.uuid4().hex[:8]}"
+        writer = fresh.select(*[f.name for f in self.schemas[name].fields]).write.mode(
+            "overwrite"
+        )
+        if self.partitions.get(name):
+            writer = writer.partitionBy(*self.partitions[name])
+        writer.parquet(staging)
+        n = self._adopt_files(staging, self._path(name))
+        shutil.rmtree(staging, ignore_errors=True)
         if n:
-            self.append(name, fresh)
-        fresh.unpersist()
+            self.spark.catalog.refreshByPath(self._path(name))
         return n
+
+    def _adopt_files(self, staging: str, target: str) -> int:
+        """Move parquet part files from staging into the table dir (file-level
+        append — no recomputation window). Returns row count adopted."""
+        import pyarrow.parquet as pq
+
+        n_rows = 0
+        os.makedirs(target, exist_ok=True)
+        for dirpath, _dirnames, filenames in os.walk(staging):
+            rel = os.path.relpath(dirpath, staging)
+            for fname in filenames:
+                if not fname.endswith(".parquet"):
+                    continue
+                src = os.path.join(dirpath, fname)
+                n_rows += pq.read_metadata(src).num_rows
+                dest_dir = target if rel == "." else os.path.join(target, rel)
+                os.makedirs(dest_dir, exist_ok=True)
+                os.rename(src, os.path.join(dest_dir, f"adopt-{uuid.uuid4().hex[:8]}-{fname}"))
+        return n_rows
 
     def merge_upsert(
         self, name: str, batch: DataFrame, keys: list[str]
