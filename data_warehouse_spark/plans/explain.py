@@ -66,14 +66,20 @@ def plan_report(df: DataFrame, run_first: bool = False) -> PlanReport:
         if sm and loc is not None:
             rep.read_schemas[loc] = sm.group(1)
             loc = None
-    rep.broadcast_joins = text.count("BroadcastHashJoin")
-    rep.sortmerge_joins = text.count("SortMergeJoin")
-    rep.shuffle_hash_joins = text.count("ShuffledHashJoin")
-    rep.cartesian_products = text.count("CartesianProduct") + text.count(
+    # count node DETAIL headers ("(n) OpName") — the tree section mentions
+    # every node a second time
+    def nodes(op: str) -> int:
+        return len(re.findall(rf"\(\d+\) {op}", text))
+
+    rep.broadcast_joins = nodes("BroadcastHashJoin")
+    rep.sortmerge_joins = nodes("SortMergeJoin")
+    rep.shuffle_hash_joins = nodes("ShuffledHashJoin")
+    rep.cartesian_products = nodes("CartesianProduct") + nodes(
         "BroadcastNestedLoopJoin"
     )
     rep.codegen_spans = len(re.findall(r"WholeStageCodegen \(\d+\)", text)) + len(
         set(re.findall(r"codegen id : (\d+)", text))
     )
-    rep.exchanges = len(re.findall(r"\bExchange\b", text))
+    rep.exchanges = nodes("Exchange")  # shuffle exchanges only (Broadcast
+    # Exchange headers read "BroadcastExchange" and don't match)
     return rep
