@@ -119,8 +119,11 @@ class TableStore:
                         current = current.filter(
                             F.col(c).isin([row[i] for row in pvals])
                         )
+            # no broadcast hint on current_keys: that side is the TABLE's key
+            # set (unbounded at scale — forcing it driver-side is an OOM
+            # hazard); AQE picks broadcast itself iff the pruned side is small
             current_keys = current.select(*keys)
-            fresh = fresh.join(F.broadcast(current_keys), keys, "left_anti")
+            fresh = fresh.join(current_keys, keys, "left_anti")
         # materialize to a staging dir FIRST, then move the part files in:
         # appending from a plan that reads the target dir could recompute
         # mid-append (cache eviction) and observe its own output — the

@@ -97,7 +97,9 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         n, cents = state.get if state.exists else (0, 0)
         for pdf in pdf_iter:
             n += len(pdf)
-            cents += int(round(float(pdf["value"].sum()) * 100))
+            # per-row fixed-point BEFORE summing — the cents() convention used
+            # engine-wide; rounding a float group-sum drifts by a cent at scale
+            cents += int(pdf["value"].mul(100).round().astype("int64").sum())
         state.update((n, cents))
         yield pd.DataFrame(
             {"user_id": [user_id], "n_events": [n], "value_cents": [cents]}

@@ -33,6 +33,7 @@ same ≤1-in-flight property — PrimaryDataExplorerActor.scala:34-127).
 
 from __future__ import annotations
 
+import logging
 import time
 from dataclasses import dataclass, field
 
@@ -158,12 +159,17 @@ class IngestionPipeline:
             "tenant",
             "account",
             F.col("version").alias("snapshot_version"),
+            "last_syn_snapshot",
             "last_syn_event",
         )
-        # reference skips only version < watermark (:150-178); == replays and
-        # the PK merge dedupes — that's the idempotence story
+        # the event watermark applies ONLY to the boundary snapshot
+        # (lastSynchronizedSnapshot == snapshot.version); event versions
+        # restart per snapshot, so a newer snapshot takes ALL its events
+        # (PrimaryDataExplorationService.scala:155-178). `>=` on the boundary
+        # replays the last event; the PK merge dedupes — the idempotence story
         picked = events.join(snap_keys, ["tenant", "account", "snapshot_version"]).filter(
-            F.col("version") >= F.col("last_syn_event")
+            (F.col("snapshot_version") > F.col("last_syn_snapshot"))
+            | (F.col("version") >= F.col("last_syn_event"))
         )
 
         # --- transaction expansion (D6 status gate) --------------------
@@ -213,26 +219,27 @@ class IngestionPipeline:
         )
 
         # --- marker advance (D10): per-account watermarks ----------------
-        snap_hw = selected_snaps.groupBy("tenant", "account").agg(
-            F.max("version").alias("new_snap")
-        )
-        event_hw = picked.groupBy("tenant", "account").agg(
-            F.max("version").alias("new_event")
+        # Assignment semantics, not max: the reference sets
+        # (lastSynchronizedSnapshot, lastSynchronizedEvent) := (snapshot,
+        # event) per processed event (:180-186), so the final value is the
+        # lexicographic max (snapshot, version) pair — and last_syn_event may
+        # DECREASE when the snapshot advances (versions restart per snapshot).
+        ev_pos = picked.groupBy("tenant", "account").agg(
+            F.max(F.struct("snapshot_version", "version")).alias("pos")
         )
         advanced = (
             accounts.join(
-                snap_hw.withColumnRenamed("account", "name"), ["tenant", "name"], "left"
+                ev_pos.withColumnRenamed("account", "name"), ["tenant", "name"], "left"
             )
-            .join(event_hw.withColumnRenamed("account", "name"), ["tenant", "name"], "left")
             .select(
                 "tenant",
                 "name",
                 "currency",
                 "format",
-                F.greatest(F.col("last_syn_snapshot"), F.coalesce(F.col("new_snap"), F.lit(0)))
+                F.coalesce(F.col("pos.snapshot_version"), F.col("last_syn_snapshot"))
                 .cast("int")
                 .alias("last_syn_snapshot"),
-                F.greatest(F.col("last_syn_event"), F.coalesce(F.col("new_event"), F.lit(0)))
+                F.coalesce(F.col("pos.version"), F.col("last_syn_event"))
                 .cast("int")
                 .alias("last_syn_event"),
             )
@@ -250,7 +257,8 @@ class IngestionPipeline:
     def run_forever(self, tick_seconds: float = 2.0, max_ticks: int | None = None):
         """The reference's 2 s single-flight cadence (D12). Ticks never
         overlap; a failed tick is logged and the next one retries (the
-        supervisor-restart behavior)."""
+        supervisor-restart behavior). :class:`InvariantViolation` (D8) is the
+        one fatal case — it propagates so the outer supervisor decides."""
         n = 0
         while max_ticks is None or n < max_ticks:
             started = time.monotonic()
@@ -258,6 +266,8 @@ class IngestionPipeline:
                 yield self.run_once()
             except InvariantViolation:
                 raise
+            except Exception:  # noqa: BLE001 — supervisor semantics: log, retry next tick
+                logging.getLogger(__name__).exception("ingestion tick failed; retrying next tick")
             n += 1
             elapsed = time.monotonic() - started
             if max_ticks is None or n < max_ticks:

@@ -142,6 +142,43 @@ def test_incremental_new_transaction(pipeline):
     assert acc["last_syn_event"] == 2
 
 
+def test_snapshot_rollover_resets_event_watermark(pipeline):
+    """Event versions restart per snapshot: after a snapshot advance, the new
+    snapshot's events with version < the old event watermark must still be
+    ingested, and last_syn_event must DECREASE to the new snapshot's position
+    (reference PrimaryDataExplorationService.scala:155-186)."""
+    pipe, root, store = pipeline
+    t = "t_TEN_ROLL"
+    write(os.path.join(root, t, "account", "R", "snapshot", "0000000000"), "CZK FORMAT_R\n")
+    write(
+        os.path.join(root, t, "transaction", "TR_A"),
+        "committed\nTA TEN_ROLL R TEN_ROLL R 2020-01-01T00:00:00Z 1 CZK\n",
+    )
+    write(
+        os.path.join(root, t, "transaction", "TR_B"),
+        "committed\nTB TEN_ROLL R TEN_ROLL R 2020-01-02T00:00:00Z 2 CZK\n",
+    )
+    write(os.path.join(root, t, "account", "R", "events", "0000000000", "1_1_TR_A"), "1\n")
+    write(os.path.join(root, t, "account", "R", "events", "0000000000", "1_2_TR_B"), "2\n")
+    pipe.run_once()
+    acc = store.read("account").filter("name = 'R'").collect()[0]
+    assert (acc["last_syn_snapshot"], acc["last_syn_event"]) == (0, 2)
+
+    # snapshot rolls over; its first event has version 1 < old watermark 2
+    write(os.path.join(root, t, "account", "R", "snapshot", "0000000001"), "CZK FORMAT_R\n")
+    write(
+        os.path.join(root, t, "transaction", "TR_C"),
+        "committed\nTC TEN_ROLL R TEN_ROLL R 2020-01-03T00:00:00Z 4 CZK\n",
+    )
+    write(os.path.join(root, t, "account", "R", "events", "0000000001", "1_4_TR_C"), "1\n")
+    m = pipe.run_once()
+    assert m.transfers_discovered == 1  # the rollover event is NOT skipped
+    acc = store.read("account").filter("name = 'R'").collect()[0]
+    # watermark reassigned to the new snapshot's position — event wm decreased
+    assert (acc["last_syn_snapshot"], acc["last_syn_event"]) == (1, 1)
+    assert store.read("transfer").filter("tenant = 'TEN_ROLL'").count() == 3
+
+
 def test_queued_event_does_not_expand(pipeline):
     pipe, root, store = pipeline
     t = "t_TEN_Q"
