@@ -79,6 +79,17 @@ def _read_wholetext(spark: SparkSession, pattern: str) -> DataFrame | None:
     return _with_path(spark.read.text(pattern, wholetext=True))
 
 
+def read_paths(spark: SparkSession, paths: list[str]) -> DataFrame | None:
+    """Distributed wholetext read of an EXPLICIT path list — the pruned-read
+    entry point: the ingestion tick lists directories first, applies the
+    watermark/count logic to names, and reads content only for the O(new)
+    files that survive (the reference reads exactly the selected files —
+    PrimaryDataExplorationService.scala:107-178)."""
+    if not paths:
+        return None
+    return _with_path(spark.read.text(list(paths), wholetext=True))
+
+
 ACCOUNT_META_SCHEMA = T.StructType(
     [
         T.StructField("tenant", T.StringType(), False),
@@ -92,7 +103,15 @@ ACCOUNT_META_SCHEMA = T.StructType(
 def read_account_meta(spark: SparkSession, root: str) -> DataFrame:
     """Account metadata from snapshot version 0, first line (S4)."""
     pattern = os.path.join(root, "t_*", "account", "*", "snapshot", "0000000000")
-    raw = _read_wholetext(spark, pattern)
+    return parse_account_meta(spark, _read_wholetext(spark, pattern))
+
+
+def read_account_meta_paths(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """S4 over an explicit snapshot-0 path list (new accounts only)."""
+    return parse_account_meta(spark, read_paths(spark, paths))
+
+
+def parse_account_meta(spark: SparkSession, raw: DataFrame | None) -> DataFrame:
     if raw is None:
         return _empty(spark, ACCOUNT_META_SCHEMA)
     line1 = F.split(F.col("value"), "\n").getItem(0)
@@ -146,7 +165,15 @@ def read_account_events(spark: SparkSession, root: str) -> DataFrame:
     """Account events: filename carries (status, _, transaction); first line
     of the file is the event version (S5)."""
     pattern = os.path.join(root, "t_*", "account", "*", "events", "*", "*")
-    raw = _read_wholetext(spark, pattern)
+    return parse_account_events(spark, _read_wholetext(spark, pattern))
+
+
+def read_account_event_paths(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """S5 over an explicit event-file path list (watermark/count-selected)."""
+    return parse_account_events(spark, read_paths(spark, paths))
+
+
+def parse_account_events(spark: SparkSession, raw: DataFrame | None) -> DataFrame:
     if raw is None:
         return _empty(spark, ACCOUNT_EVENT_SCHEMA)
     fname = F.element_at(F.split(F.col("path"), "/"), -1)
@@ -189,7 +216,16 @@ def read_transactions(spark: SparkSession, root: str) -> DataFrame:
     every further non-empty line explodes into one transfer row.
     """
     pattern = os.path.join(root, "t_*", "transaction", "*")
-    raw = _read_wholetext(spark, pattern)
+    return parse_transactions(spark, _read_wholetext(spark, pattern))
+
+
+def read_transaction_paths(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """S6 over an explicit transaction path list (only transactions named by
+    this tick's picked active events)."""
+    return parse_transactions(spark, read_paths(spark, paths))
+
+
+def parse_transactions(spark: SparkSession, raw: DataFrame | None) -> DataFrame:
     if raw is None:
         return _empty(spark, TRANSFER_ROW_SCHEMA)
 

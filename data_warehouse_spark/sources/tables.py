@@ -1,31 +1,50 @@
-"""Parquet-backed warehouse tables with idempotent MERGE semantics.
+"""Parquet-backed warehouse tables with idempotent MERGE semantics and
+snapshot-versioned reads.
 
 The reference's consistency mechanism is PostgreSQL ``INSERT … ON CONFLICT``
 (SecondaryPersistence.scala:30-127): replays are harmless, discovery is
-get-else-insert. Without Delta in this image, MERGE is emulated as
-anti-join + rewrite with an atomic directory swap:
+get-else-insert, and readers never observe a half-applied write. Without
+Delta in this image, both halves are emulated:
 
+**MERGE** — anti-join + write:
   * ``merge_insert_missing`` — ON CONFLICT DO NOTHING: left-anti join of the
-    batch against current keys, append-only write of the new rows.
-  * ``merge_upsert``        — ON CONFLICT DO UPDATE: current rows minus
-    matched keys, union the batch, rewrite.
+    batch against current keys, file-level append of only the new rows.
+  * ``merge_upsert``        — ON CONFLICT DO UPDATE: copy-on-write — only
+    partitions the batch touches are rewritten; untouched partitions'
+    files are hard-linked into the new snapshot (O(touched data) I/O +
+    O(#files) metadata, the same cost model as Delta/Iceberg MERGE).
 
-Scale note: on a cluster this is Delta/Iceberg MERGE (file-pruned, txn log).
-The emulation preserves the semantics and the *write amplification* story is
-kept honest: insert-missing appends only new files (O(batch)); upsert
-rewrites the table (O(table)) — callers partition hot tables (e.g. transfer
-by tenant) so the rewrite touches only affected partitions.
+**Snapshot isolation** — a table directory holds immutable version dirs plus
+an atomically-replaced ``_current`` pointer::
+
+    <root>/<table>/_current          # text: "v-<hex>" (os.replace = atomic)
+    <root>/<table>/v-<hex>/…parquet  # immutable once pointed at
+
+``read`` resolves the pointer at plan-build time; ``overwrite``/``upsert``
+write a NEW version dir and swap the pointer, keeping the PREVIOUS version
+on disk so a reader that resolved just before the swap still finds every
+file (the GraphQL server and the 2 s ingestion loop share one warehouse —
+reference runs both under one Postgres). Versions older than the previous
+are pruned at the next swap. On a cluster this is exactly a Delta/Iceberg
+snapshot + retention story; file-level appends (insert-missing) go into the
+current version dir, which is safe because parquet part files appear
+atomically (rename) and readers tolerate additive file sets.
 """
 
 from __future__ import annotations
 
 import os
 import shutil
+import urllib.parse
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# partition-pruned MERGE only engages when the batch touches at most this
+# many partition values (an IN-list any optimizer folds into pruning)
+MAX_PRUNE_PARTITIONS = 1000
 
 
 class TableStore:
@@ -33,9 +52,10 @@ class TableStore:
 
     ``partitions`` maps table name → hive-partition columns. Partitioned
     tables get partition-pruned MERGE: an insert-missing batch only
-    anti-joins against the partitions its keys touch, so upsert cost is
-    O(affected partitions), not O(table) — the property that matters when
-    ``transfer`` is 100 TB partitioned by tenant.
+    anti-joins against the partitions its keys touch, and an upsert only
+    rewrites the partitions its keys touch — O(affected partitions), not
+    O(table): the property that matters when ``transfer`` is 100 TB
+    partitioned by tenant.
     """
 
     def __init__(
@@ -51,53 +71,82 @@ class TableStore:
         self.partitions = partitions or {}
         os.makedirs(root, exist_ok=True)
 
-    def _path(self, name: str) -> str:
+    # ---- version plumbing ---------------------------------------------
+
+    def _table_dir(self, name: str) -> str:
         return os.path.join(self.root, name)
 
+    def _pointer(self, name: str) -> str:
+        return os.path.join(self._table_dir(name), "_current")
+
+    def _resolve(self, name: str) -> str | None:
+        """Current version dir, or None when the table has never been
+        written. One retry covers the unobservable window inside
+        ``os.replace`` on exotic filesystems."""
+        for _ in range(2):
+            try:
+                with open(self._pointer(name)) as f:
+                    v = f.read().strip()
+                if v:
+                    return os.path.join(self._table_dir(name), v)
+            except FileNotFoundError:
+                return None
+        return None
+
+    def _new_version_dir(self, name: str) -> str:
+        return os.path.join(self._table_dir(name), f"v-{uuid.uuid4().hex[:12]}")
+
+    def _swap(self, name: str, new_version_dir: str) -> None:
+        """Atomically point readers at ``new_version_dir``; keep the
+        immediately-previous version for in-flight readers, prune older."""
+        tdir = self._table_dir(name)
+        os.makedirs(tdir, exist_ok=True)
+        prev = self._resolve(name)
+        tmp = os.path.join(tdir, f"_current.tmp-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            f.write(os.path.basename(new_version_dir))
+        os.replace(tmp, self._pointer(name))  # the atomicity point
+        keep = {os.path.basename(new_version_dir)}
+        if prev:
+            keep.add(os.path.basename(prev))
+        for entry in os.listdir(tdir):
+            if entry.startswith("v-") and entry not in keep:
+                shutil.rmtree(os.path.join(tdir, entry), ignore_errors=True)
+        self.spark.catalog.refreshByPath(new_version_dir)
+
+    # ---- read surface --------------------------------------------------
+
     def exists(self, name: str) -> bool:
-        p = self._path(name)
-        return os.path.isdir(p) and any(
-            f.endswith(".parquet") or f == "_SUCCESS" or f.count("=")
-            for f in os.listdir(p)
-        )
+        return self._resolve(name) is not None
 
     def read(self, name: str) -> DataFrame:
-        if not self.exists(name):
+        vdir = self._resolve(name)
+        if vdir is None:
             return self.spark.createDataFrame([], self.schemas[name])
         reader = self.spark.read
         if self.partitions.get(name):
             # fix partition-column types (hive dirs would infer strings)
             reader = reader.schema(self.schemas[name])
-        df = reader.parquet(self._path(name))
+        df = reader.parquet(vdir)
         # project to declared column order (schema is fixed, never inferred)
         return df.select(*[f.name for f in self.schemas[name].fields])
 
-    def overwrite(self, name: str, df: DataFrame) -> None:
-        """Atomic replace: write to a temp dir, swap directories."""
-        target = self._path(name)
-        tmp = f"{target}.tmp-{uuid.uuid4().hex[:8]}"
+    # ---- writers -------------------------------------------------------
+
+    def _write_version(self, name: str, df: DataFrame) -> str:
+        vdir = self._new_version_dir(name)
         writer = df.select(*[f.name for f in self.schemas[name].fields]).write.mode(
             "overwrite"
         )
         if self.partitions.get(name):
             writer = writer.partitionBy(*self.partitions[name])
-        writer.parquet(tmp)
-        old = f"{target}.old-{uuid.uuid4().hex[:8]}"
-        if os.path.isdir(target):
-            os.rename(target, old)
-        os.rename(tmp, target)
-        if os.path.isdir(old):
-            shutil.rmtree(old, ignore_errors=True)
-        # refresh cached file listings for this path only
-        self.spark.catalog.refreshByPath(target)
+        writer.parquet(vdir)
+        return vdir
 
-    def append(self, name: str, df: DataFrame) -> None:
-        writer = df.select(*[f.name for f in self.schemas[name].fields]).write.mode(
-            "append"
-        )
-        if self.partitions.get(name):
-            writer = writer.partitionBy(*self.partitions[name])
-        writer.parquet(self._path(name))
+    def overwrite(self, name: str, df: DataFrame) -> None:
+        """Full replace as a new snapshot + pointer swap (readers of the
+        previous snapshot keep their files until the next swap)."""
+        self._swap(name, self._write_version(name, df))
 
     # ---- MERGE emulation ----------------------------------------------
 
@@ -114,7 +163,7 @@ class TableStore:
             pcols = [c for c in self.partitions.get(name, []) if c in keys]
             if pcols:
                 pvals = fresh.select(*pcols).distinct().collect()
-                if 0 < len(pvals) <= 1000:
+                if 0 < len(pvals) <= MAX_PRUNE_PARTITIONS:
                     for i, c in enumerate(pcols):
                         current = current.filter(
                             F.col(c).isin([row[i] for row in pvals])
@@ -124,26 +173,45 @@ class TableStore:
             # hazard); AQE picks broadcast itself iff the pruned side is small
             current_keys = current.select(*keys)
             fresh = fresh.join(current_keys, keys, "left_anti")
-        # materialize to a staging dir FIRST, then move the part files in:
-        # appending from a plan that reads the target dir could recompute
-        # mid-append (cache eviction) and observe its own output — the
-        # classic read-your-own-append duplication hazard
-        staging = f"{self._path(name)}.stage-{uuid.uuid4().hex[:8]}"
-        writer = fresh.select(*[f.name for f in self.schemas[name].fields]).write.mode(
-            "overwrite"
-        )
-        if self.partitions.get(name):
-            writer = writer.partitionBy(*self.partitions[name])
-        writer.parquet(staging)
-        n = self._adopt_files(staging, self._path(name))
+        # plan introspection for tests: the physical plan of what gets
+        # written (pins the no-forced-broadcast property in CI)
+        self.last_insert_plan = fresh
+        # empty-batch short-circuit: an idle ingestion tick must not touch
+        # the table directory at all (no staging write, no adopt, no refresh)
+        fresh = fresh.cache()
+        try:
+            if fresh.isEmpty():
+                return 0
+            # materialize to a staging dir FIRST, then move the part files
+            # in: appending from a plan that reads the target dir could
+            # recompute mid-append (cache eviction) and observe its own
+            # output — the classic read-your-own-append duplication hazard
+            staging = f"{self._table_dir(name)}.stage-{uuid.uuid4().hex[:8]}"
+            writer = fresh.select(
+                *[f.name for f in self.schemas[name].fields]
+            ).write.mode("overwrite")
+            if self.partitions.get(name):
+                writer = writer.partitionBy(*self.partitions[name])
+            writer.parquet(staging)
+        finally:
+            fresh.unpersist()
+        vdir = self._resolve(name)
+        if vdir is None:
+            vdir = self._new_version_dir(name)
+            n = self._adopt_files(staging, vdir)
+            self._swap(name, vdir)
+        else:
+            n = self._adopt_files(staging, vdir)
+            if n:
+                self.spark.catalog.refreshByPath(vdir)
         shutil.rmtree(staging, ignore_errors=True)
-        if n:
-            self.spark.catalog.refreshByPath(self._path(name))
         return n
 
     def _adopt_files(self, staging: str, target: str) -> int:
-        """Move parquet part files from staging into the table dir (file-level
-        append — no recomputation window). Returns row count adopted."""
+        """Move parquet part files from staging into the version dir
+        (file-level append — each part file appears atomically via rename,
+        so concurrent readers see whole files or nothing). Returns row count
+        adopted."""
         import pyarrow.parquet as pq
 
         n_rows = 0
@@ -163,22 +231,103 @@ class TableStore:
     def merge_upsert(
         self, name: str, batch: DataFrame, keys: list[str]
     ) -> tuple[int, int]:
-        """INSERT … ON CONFLICT DO UPDATE. Returns (#inserted, #updated)."""
+        """INSERT … ON CONFLICT DO UPDATE. Returns (#inserted, #updated).
+
+        Copy-on-write: with a partitioned table whose partition columns are
+        part of the PK, only the partitions the batch touches are recomputed
+        and rewritten; every other partition's files are hard-linked into
+        the new snapshot unchanged — O(touched partitions) I/O, O(#files)
+        metadata, never O(table)."""
         fresh = batch.dropDuplicates(keys).cache()
-        if not self.exists(name):
-            n = fresh.count()
-            self.overwrite(name, fresh)
+        try:
+            if fresh.isEmpty():
+                return 0, 0
+            if not self.exists(name):
+                n = fresh.count()
+                self.overwrite(name, fresh)
+                return n, 0
+            pcols = self.partitions.get(name, [])
+            # copy-on-write path: single-level partitioning whose column is
+            # part of the PK (all warehouse hot tables) — multi-level falls
+            # back to the full rewrite
+            if len(pcols) == 1 and pcols[0] in keys:
+                pvals = fresh.select(*pcols).distinct().collect()
+                if 0 < len(pvals) <= MAX_PRUNE_PARTITIONS:
+                    return self._upsert_partitions(name, fresh, keys, pcols, pvals)
+            return self._upsert_full(name, fresh, keys)
+        finally:
             fresh.unpersist()
-            return n, 0
+
+    def _upsert_full(self, name: str, fresh: DataFrame, keys: list[str]) -> tuple[int, int]:
         current = self.read(name).cache()
-        batch_keys = fresh.select(*keys)
-        kept = current.join(F.broadcast(batch_keys), keys, "left_anti")
-        n_total = current.count()
-        n_kept_plus = kept.count()
-        merged = kept.unionByName(fresh)
-        self.overwrite(name, merged)
-        n_new = fresh.count()
-        fresh.unpersist()
-        current.unpersist()
-        n_updated = n_total - n_kept_plus
+        try:
+            batch_keys = fresh.select(*keys)
+            kept = current.join(F.broadcast(batch_keys), keys, "left_anti")
+            n_total = current.count()
+            n_kept = kept.count()
+            self.overwrite(name, kept.unionByName(fresh))
+            n_new = fresh.count()
+        finally:
+            current.unpersist()
+        n_updated = n_total - n_kept
         return n_new - n_updated, n_updated
+
+    def _upsert_partitions(
+        self, name: str, fresh: DataFrame, keys: list[str], pcols: list[str], pvals
+    ) -> tuple[int, int]:
+        """Rewrite only touched partitions into a new snapshot; hard-link
+        the rest (same filesystem → free; falls back to copy)."""
+        old_vdir = self._resolve(name)
+        touched = self.read(name)
+        for i, c in enumerate(pcols):
+            touched = touched.filter(F.col(c).isin([row[i] for row in pvals]))
+        touched = touched.cache()
+        try:
+            batch_keys = fresh.select(*keys)
+            kept = touched.join(F.broadcast(batch_keys), keys, "left_anti")
+            n_touched = touched.count()
+            n_kept = kept.count()
+            merged_touched = kept.unionByName(fresh)
+            new_vdir = self._write_version(name, merged_touched)
+            # link untouched partitions' files into the new snapshot
+            touched_dirs = {
+                "=".join(
+                    (pcols[0], urllib.parse.quote(str(row[0]), safe=""))
+                )
+                for row in pvals
+            }
+            for entry in os.listdir(old_vdir):
+                src = os.path.join(old_vdir, entry)
+                if not (os.path.isdir(src) and "=" in entry):
+                    continue
+                if entry in touched_dirs or self._unquoted_match(entry, pcols[0], pvals):
+                    continue
+                self._link_tree(src, os.path.join(new_vdir, entry))
+            self._swap(name, new_vdir)
+            n_new = fresh.count()
+        finally:
+            touched.unpersist()
+        n_updated = n_touched - n_kept
+        return n_new - n_updated, n_updated
+
+    @staticmethod
+    def _unquoted_match(entry: str, pcol: str, pvals) -> bool:
+        col, _, raw = entry.partition("=")
+        if col != pcol:
+            return False
+        val = urllib.parse.unquote(raw)
+        return any(str(row[0]) == val for row in pvals)
+
+    @staticmethod
+    def _link_tree(src: str, dst: str) -> None:
+        for dirpath, _dirnames, filenames in os.walk(src):
+            rel = os.path.relpath(dirpath, src)
+            dest_dir = dst if rel == "." else os.path.join(dst, rel)
+            os.makedirs(dest_dir, exist_ok=True)
+            for fname in filenames:
+                s = os.path.join(dirpath, fname)
+                d = os.path.join(dest_dir, fname)
+                try:
+                    os.link(s, d)
+                except OSError:
+                    shutil.copy2(s, d)

@@ -6,25 +6,41 @@ store, bounded per tick by per-account high-watermarks
 (``last_syn_snapshot`` / ``last_syn_event`` — D4/D5/D10 in SURVEY §2.2).
 
 Spark re-expression: one :class:`IngestionPipeline` whose ``run_once`` is a
-tick — set-oriented instead of per-entity async loops:
+tick — set-oriented instead of per-entity async loops, and **O(new files)**
+in content reads, exactly like the reference:
 
+  listing      snapshot inventory from directory names only (versions are
+               file names — zero content reads); event files listed only
+               under watermark-selected snapshot dirs
   tenants      discovered dirs            → MERGE insert-missing
-  accounts     snapshot-0 metadata        → MERGE insert-missing (meta rows;
-               watermarks live on the account row, preserved on re-discovery)
-  snapshots    version inventory          → high-watermark filter
-               (version ≥ last_syn_snapshot), row_number ≤ 2 per account —
-               the reference's bounded incremental window (take(2) — :121)
-  events       watermark filter (version ≥ last_syn_event on the account's
-               current snapshot), status ≠ 0 gates transaction reads (D6)
-  transfers    transaction files → relevance filter (touches a discovering
-               account, D7) → invariant status check (D8) → MERGE
+  accounts     snapshot-0 metadata read ONLY for accounts not yet in the
+               table (anti-join on the listing, O(new) content reads)
+  snapshots    high-watermark filter (version ≥ last_syn_snapshot),
+               row_number ≤ 2 per account — the reference's bounded
+               incremental window (take(2) — :121)
+  events       the reference's count-skip: a boundary snapshot dir is read
+               only when it holds MORE files than last_syn_event
+               (PrimaryDataExplorationService.scala:150-156 — event versions
+               are dense 1..N per snapshot, so file count == max version);
+               newer snapshots read fully. Version watermark applies only to
+               the boundary snapshot (versions restart per snapshot).
+  transfers    transaction content read ONLY for transactions named by this
+               tick's picked active events (D6 status gate) → relevance
+               filter (D7) → invariant status check (D8) → MERGE
                insert-missing on PK (idempotent replay)
-  markers      account watermarks advanced in the same tick (D10)
-  balances     account_balance_change re-derived from committed transfers
+  balances     signed changes derived from THIS TICK's transfer batch and
+               MERGE-appended on a provenance PK — never a table rebuild
+  markers      account watermarks advanced in the same tick (D10), only for
+               accounts whose position actually moved
 
-Idempotence: every write is keyed MERGE; a crash between transfer-merge and
-marker-advance replays work that the PK merge then drops — the same guarantee
-the reference gets from ON CONFLICT DO NOTHING.
+An idle tick (nothing new anywhere) performs directory listings and ZERO
+content reads and ZERO table writes — ``TickMetrics.extra["files_read"]``
+instruments this.
+
+Idempotence: every write is keyed MERGE and markers advance LAST; a crash
+anywhere replays the tick's reads (watermarks unchanged) and the PK merges
+drop the duplicates — the same guarantee the reference gets from ON CONFLICT
+DO NOTHING.
 
 ``run_forever`` wraps ``run_once`` in the 2 s single-flight cadence
 (Trigger.ProcessingTime semantics; the reference's Lock/Free actor gives the
@@ -34,21 +50,21 @@ same ≤1-in-flight property — PrimaryDataExplorerActor.scala:34-127).
 from __future__ import annotations
 
 import logging
+import os
 import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from ..catalog import account_balance_change_view
 from ..schemas import (
-    ACCOUNT_BALANCE_CHANGE_SCHEMA,
     ACCOUNT_SCHEMA,
     PRIMARY_KEYS,
     TENANT_SCHEMA,
     TRANSFER_SCHEMA,
 )
-from ..sources import primary
+from ..sources import listing, primary
 from ..sources.tables import TableStore
 
 
@@ -60,12 +76,36 @@ class InvariantViolation(Exception):
 @dataclass
 class TickMetrics:
     """Discovery counters (the reference's StatsD metrics —
-    PrimaryDataExplorationService.scala:58,92,247)."""
+    PrimaryDataExplorationService.scala:58,92,247). ``extra["files_read"]``
+    counts CONTENT reads this tick — the O(new files) guarantee is testable."""
 
     tenants_discovered: int = 0
     accounts_discovered: int = 0
     transfers_discovered: int = 0
     extra: dict = field(default_factory=dict)
+
+
+# the ingested balance-change table carries provenance columns so the
+# incremental MERGE-append has a PK to be idempotent on (the reference's
+# Postgres trigger gets this for free from the transfer row it fires on);
+# the read surface only aggregates (tenant, name, amount) — extra columns
+# are pruned at the parquet scan
+def ingest_abc_schema() -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("tenant", T.StringType(), False),
+            T.StructField("name", T.StringType(), False),
+            T.StructField("value_date", T.TimestampType(), False),
+            T.StructField("amount", T.DecimalType(28, 10), False),  # signed
+            T.StructField("src_tenant", T.StringType(), False),
+            T.StructField("transaction", T.StringType(), False),
+            T.StructField("transfer", T.StringType(), False),
+            T.StructField("side", T.StringType(), False),  # 'c' | 'd'
+        ]
+    )
+
+
+ABC_PRIMARY_KEYS = ["tenant", "src_tenant", "transaction", "transfer", "side"]
 
 
 def warehouse_store(spark: SparkSession, root: str) -> TableStore:
@@ -76,18 +116,20 @@ def warehouse_store(spark: SparkSession, root: str) -> TableStore:
             "tenant": TENANT_SCHEMA,
             "account": ACCOUNT_SCHEMA,
             "transfer": _ingest_transfer_schema(),
-            "account_balance_change": ACCOUNT_BALANCE_CHANGE_SCHEMA,
+            "account_balance_change": ingest_abc_schema(),
         },
         # hot tables partition by tenant: MERGE prunes to touched tenants,
         # GraphQL tenant-filtered reads prune at the scan
-        partitions={"transfer": ["tenant"], "account_balance_change": ["tenant"]},
+        partitions={
+            "transfer": ["tenant"],
+            "account_balance_change": ["tenant"],
+            "account": ["tenant"],
+        },
     )
 
 
 def _ingest_transfer_schema():
     # transfer schema with the ingestion-grade amount precision (28,10)
-    from pyspark.sql import types as T
-
     fields = []
     for f in TRANSFER_SCHEMA.fields:
         if f.name == "amount":
@@ -95,6 +137,41 @@ def _ingest_transfer_schema():
         else:
             fields.append(f)
     return T.StructType(fields)
+
+
+def _signed_changes(transfers: DataFrame) -> DataFrame:
+    """This tick's committed transfer rows → signed per-account change rows
+    with provenance PK (semantics of catalog.account_balance_change_view,
+    restricted to a batch)."""
+    committed = transfers.filter(F.col("status") == 1)
+    base = [
+        F.col("value_date"),
+        F.col("amount").cast(T.DecimalType(28, 10)),
+        F.col("tenant").alias("src_tenant"),
+        F.col("transaction"),
+        F.col("transfer"),
+    ]
+    credit = committed.select(
+        F.col("credit_tenant").alias("tenant"),
+        F.col("credit_name").alias("name"),
+        *base,
+        F.lit("c").alias("side"),
+    )
+    debit = committed.select(
+        F.col("debit_tenant").alias("tenant"),
+        F.col("debit_name").alias("name"),
+        F.col("value_date"),
+        (-F.col("amount")).cast(T.DecimalType(28, 10)).alias("amount"),
+        F.col("tenant").alias("src_tenant"),
+        F.col("transaction"),
+        F.col("transfer"),
+        F.lit("d").alias("side"),
+    )
+    # column order per schema for the credit side too
+    credit = credit.select(
+        "tenant", "name", "value_date", "amount", "src_tenant", "transaction", "transfer", "side"
+    )
+    return credit.unionByName(debit)
 
 
 class IngestionPipeline:
@@ -109,52 +186,90 @@ class IngestionPipeline:
     # ------------------------------------------------------------------
     def run_once(self) -> TickMetrics:
         m = TickMetrics()
+        files_read = {"meta": 0, "events": 0, "transactions": 0}
+        m.extra["files_read"] = files_read
         spark, root, store = self.spark, self.root, self.store
 
-        # --- tenants (D3 get-else-insert) ------------------------------
-        tenants = primary.discover_tenants(spark, root).select(
-            F.col("tenant").alias("name")
-        )
+        # --- tenants (D3 get-else-insert); names reused for listing -----
+        tenants_df = primary.discover_tenants(spark, root)
+        tenant_names = [r["tenant"] for r in tenants_df.collect()]
         m.tenants_discovered = store.merge_insert_missing(
-            "tenant", tenants, PRIMARY_KEYS["tenant"]
+            "tenant", tenants_df.select(F.col("tenant").alias("name")), PRIMARY_KEYS["tenant"]
         )
 
-        # --- accounts: snapshot-0 metadata, watermarks start at 0 ------
-        meta = primary.read_account_meta(spark, root).select(
-            "tenant",
-            "name",
-            "currency",
-            "format",
-            F.lit(0).cast("int").alias("last_syn_snapshot"),
-            F.lit(0).cast("int").alias("last_syn_event"),
+        # --- snapshot inventory: directory names only, zero content -----
+        inv = listing.snapshot_inventory(spark, root, tenant_names).persist()
+        try:
+            return self._tick_body(m, files_read, inv)
+        finally:
+            inv.unpersist()
+
+    def _tick_body(self, m: TickMetrics, files_read: dict, inv: DataFrame) -> TickMetrics:
+        spark, root, store = self.spark, self.root, self.store
+
+        # --- account discovery: meta content read ONLY for new accounts --
+        known = store.read("account").select(
+            "tenant", F.col("name").alias("account")
         )
-        m.accounts_discovered = store.merge_insert_missing(
-            "account", meta, PRIMARY_KEYS["account"]
-        )
+        new_meta_paths = [
+            r["path"]
+            for r in inv.filter(F.col("version") == 0)
+            .join(known, ["tenant", "account"], "left_anti")
+            .select("path")
+            .collect()
+        ]
+        files_read["meta"] = len(new_meta_paths)
+        if new_meta_paths:
+            meta = primary.read_account_meta_paths(spark, new_meta_paths).select(
+                "tenant",
+                "name",
+                "currency",
+                "format",
+                F.lit(0).cast("int").alias("last_syn_snapshot"),
+                F.lit(0).cast("int").alias("last_syn_event"),
+            )
+            m.accounts_discovered = store.merge_insert_missing(
+                "account", meta, PRIMARY_KEYS["account"]
+            )
 
         accounts = store.read("account")
+        acc_marks = accounts.select(
+            "tenant",
+            F.col("name").alias("account"),
+            "last_syn_snapshot",
+            "last_syn_event",
+        )
 
         # --- snapshot selection (D4): ≥ watermark, ascending, take 2 ----
-        snaps = primary.read_snapshots(spark, root).withColumnRenamed(
-            "name", "account"
+        marked = inv.join(acc_marks, ["tenant", "account"]).filter(
+            F.col("version") >= F.col("last_syn_snapshot")
         )
-        marked = snaps.join(
-            accounts.select(
-                "tenant",
-                F.col("name").alias("account"),
-                "last_syn_snapshot",
-                "last_syn_event",
-            ),
-            ["tenant", "account"],
-        ).filter(F.col("version") >= F.col("last_syn_snapshot"))
         w = Window.partitionBy("tenant", "account").orderBy("version")
         selected_snaps = marked.withColumn("rn", F.row_number().over(w)).filter(
             F.col("rn") <= 2
         )
 
-        # --- event selection (D5): events of selected snapshots with
-        #     version ≥ the account's event watermark -------------------
-        events = primary.read_account_events(spark, root)
+        # --- event listing over selected dirs + the reference count-skip
+        #     (read a boundary dir only when it holds more files than the
+        #     event watermark; newer snapshots read fully) ----------------
+        ev_list = listing.event_files(
+            spark, root, selected_snaps.select("tenant", "account", "version")
+        )
+        wcnt = Window.partitionBy("tenant", "account", "snapshot_version")
+        qual_files = (
+            ev_list.join(acc_marks, ["tenant", "account"])
+            .withColumn("n_files", F.count(F.lit(1)).over(wcnt))
+            .filter(
+                (F.col("snapshot_version") > F.col("last_syn_snapshot"))
+                | (F.col("n_files") > F.col("last_syn_event"))
+            )
+        )
+        ev_paths = [r["path"] for r in qual_files.select("path").collect()]
+        files_read["events"] = len(ev_paths)
+        if not ev_paths:
+            return m  # idle tick: no content reads, no writes
+
+        events = primary.read_account_event_paths(spark, ev_paths)
         snap_keys = selected_snaps.select(
             "tenant",
             "account",
@@ -167,16 +282,46 @@ class IngestionPipeline:
         # restart per snapshot, so a newer snapshot takes ALL its events
         # (PrimaryDataExplorationService.scala:155-178). `>=` on the boundary
         # replays the last event; the PK merge dedupes — the idempotence story
-        picked = events.join(snap_keys, ["tenant", "account", "snapshot_version"]).filter(
-            (F.col("snapshot_version") > F.col("last_syn_snapshot"))
-            | (F.col("version") >= F.col("last_syn_event"))
+        picked = (
+            events.join(snap_keys, ["tenant", "account", "snapshot_version"])
+            .filter(
+                (F.col("snapshot_version") > F.col("last_syn_snapshot"))
+                | (F.col("version") >= F.col("last_syn_event"))
+            )
+            .persist()
         )
+        try:
+            self._expand_and_merge(m, files_read, picked, accounts)
+        finally:
+            picked.unpersist()
+        return m
 
-        # --- transaction expansion (D6 status gate) --------------------
+    def _expand_and_merge(
+        self, m: TickMetrics, files_read: dict, picked: DataFrame, accounts: DataFrame
+    ) -> None:
+        spark, root, store = self.spark, self.root, self.store
+
+        # --- transaction expansion (D6 status gate): content reads only
+        #     for transactions the picked active events name ---------------
         active = picked.filter(F.col("status") != 0).select(
             "tenant", "account", "transaction", F.col("status").alias("event_status")
         )
-        transfers_raw = primary.read_transactions(spark, root)
+        txn_keys = [
+            (r["tenant"], r["transaction"])
+            for r in active.select("tenant", "transaction").distinct().collect()
+        ]
+        txn_paths, missing = [], []
+        for tenant, txn in txn_keys:
+            p = os.path.join(root, f"t_{tenant}", "transaction", txn)
+            (txn_paths if os.path.exists(p) else missing).append(p)
+        if missing and self.strict:
+            # reference: the transaction read future fails → stream crash
+            raise InvariantViolation(
+                f"event names missing transaction file(s): {missing[:3]}"
+            )
+        files_read["transactions"] = len(txn_paths)
+
+        transfers_raw = primary.read_transaction_paths(spark, txn_paths)
         joined = transfers_raw.join(
             F.broadcast(active.select("tenant", "account", "transaction", "event_status")),
             ["tenant", "transaction"],
@@ -218,40 +363,42 @@ class IngestionPipeline:
             "transfer", new_transfers, PRIMARY_KEYS["transfer"]
         )
 
-        # --- marker advance (D10): per-account watermarks ----------------
+        # --- derived gold table: INCREMENTAL signed balance changes -------
+        # derived from this tick's batch (pre-merge, so a crash-replay
+        # regenerates them) and MERGE-appended on the provenance PK; an idle
+        # or replayed tick appends nothing and never rewrites the table
+        store.merge_insert_missing(
+            "account_balance_change", _signed_changes(new_transfers), ABC_PRIMARY_KEYS
+        )
+
+        # --- marker advance (D10), LAST so crash-replay re-reads ----------
         # Assignment semantics, not max: the reference sets
         # (lastSynchronizedSnapshot, lastSynchronizedEvent) := (snapshot,
         # event) per processed event (:180-186), so the final value is the
         # lexicographic max (snapshot, version) pair — and last_syn_event may
         # DECREASE when the snapshot advances (versions restart per snapshot).
+        # Only accounts whose position actually moved are rewritten.
         ev_pos = picked.groupBy("tenant", "account").agg(
             F.max(F.struct("snapshot_version", "version")).alias("pos")
         )
         advanced = (
             accounts.join(
-                ev_pos.withColumnRenamed("account", "name"), ["tenant", "name"], "left"
+                ev_pos.withColumnRenamed("account", "name"), ["tenant", "name"]
+            )
+            .filter(
+                (F.col("pos.snapshot_version") != F.col("last_syn_snapshot"))
+                | (F.col("pos.version") != F.col("last_syn_event"))
             )
             .select(
                 "tenant",
                 "name",
                 "currency",
                 "format",
-                F.coalesce(F.col("pos.snapshot_version"), F.col("last_syn_snapshot"))
-                .cast("int")
-                .alias("last_syn_snapshot"),
-                F.coalesce(F.col("pos.version"), F.col("last_syn_event"))
-                .cast("int")
-                .alias("last_syn_event"),
+                F.col("pos.snapshot_version").cast("int").alias("last_syn_snapshot"),
+                F.col("pos.version").cast("int").alias("last_syn_event"),
             )
         )
         self.store.merge_upsert("account", advanced, PRIMARY_KEYS["account"])
-
-        # --- derived gold table: signed balance changes -------------------
-        abc = account_balance_change_view(
-            store.read("transfer"), amount_type=primary.AMOUNT
-        )
-        store.overwrite("account_balance_change", abc)
-        return m
 
     # ------------------------------------------------------------------
     def run_forever(self, tick_seconds: float = 2.0, max_ticks: int | None = None):

@@ -142,6 +142,54 @@ def test_incremental_new_transaction(pipeline):
     assert acc["last_syn_event"] == 2
 
 
+def _walk_files(root: str) -> set[str]:
+    out = set()
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            out.add(os.path.join(dirpath, f))
+    return out
+
+
+def test_idle_tick_reads_zero_files_and_writes_nothing(pipeline):
+    """The O(new files) contract: a tick with no primary-storage changes
+    performs ZERO content reads and ZERO table writes (BASELINE.md target;
+    the reference's count-skip — PrimaryDataExplorationService.scala:150-156)."""
+    pipe, root, store = pipeline
+    _write_transfer_fixture(root)
+    pipe.run_once()
+    disk_before = _walk_files(store.root)
+    m = pipe.run_once()
+    assert m.extra["files_read"] == {"meta": 0, "events": 0, "transactions": 0}
+    assert _walk_files(store.root) == disk_before  # no rewrite, no append
+
+
+def test_incremental_tick_reads_o_of_new_files(pipeline):
+    """One new transaction → reads only the touched event dirs (bounded by
+    events-per-snapshot) + exactly the one new transaction file; meta is
+    never re-read for known accounts."""
+    pipe, root, store = pipeline
+    _write_transfer_fixture(root)
+    pipe.run_once()
+    t = "t_TENANT_TRN"
+    write(
+        os.path.join(root, t, "transaction", "TRN2"),
+        "committed\nTRX2 TENANT_TRN DEBIT TENANT_TRN CREDIT 2020-02-01T00:00:00Z 3.50 CZK\n",
+    )
+    write(os.path.join(root, t, "account", "CREDIT", "events", "0000000000", "1_-3.5_TRN2"), "2\n")
+    write(os.path.join(root, t, "account", "DEBIT", "events", "0000000000", "1_3.5_TRN2"), "2\n")
+    m = pipe.run_once()
+    fr = m.extra["files_read"]
+    assert fr["meta"] == 0
+    # both touched boundary dirs re-read fully (2 files each — the
+    # reference's behavior too); nothing else
+    assert fr["events"] == 4
+    # the boundary event (version == watermark) replays by design, so its
+    # transaction is re-fetched alongside the new one — still O(new), never
+    # O(corpus): 2, not the full transaction tree
+    assert fr["transactions"] == 2
+    assert m.transfers_discovered == 1
+
+
 def test_snapshot_rollover_resets_event_watermark(pipeline):
     """Event versions restart per snapshot: after a snapshot advance, the new
     snapshot's events with version < the old event watermark must still be

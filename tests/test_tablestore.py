@@ -1,0 +1,112 @@
+"""TableStore snapshot-versioning and copy-on-write MERGE guarantees."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import types as T
+
+from data_warehouse_spark.sources.tables import TableStore
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("tenant", T.StringType(), False),
+        T.StructField("name", T.StringType(), False),
+        T.StructField("v", T.IntegerType(), False),
+    ]
+)
+
+
+def _store(spark, tmp_path) -> TableStore:
+    return TableStore(
+        spark, str(tmp_path / "wh"), {"t": SCHEMA}, partitions={"t": ["tenant"]}
+    )
+
+
+def _rows(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _part_files(store: TableStore, name: str, part: str) -> dict[str, int]:
+    """{basename: inode} of parquet files in one partition of the CURRENT
+    version."""
+    vdir = store._resolve(name)
+    pdir = os.path.join(vdir, part)
+    out = {}
+    for dirpath, _d, files in os.walk(pdir):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(dirpath, f)
+                out[f] = os.stat(p).st_ino
+    return out
+
+
+def test_upsert_rewrites_only_touched_partition(spark, tmp_path):
+    """An upsert touching tenant A must hard-link tenant B's files unchanged
+    into the new snapshot (copy-on-write, not O(table) rewrite)."""
+    store = _store(spark, tmp_path)
+    store.merge_insert_missing(
+        "t",
+        _rows(spark, [("A", "x", 1), ("A", "y", 1), ("B", "x", 1)]),
+        ["tenant", "name"],
+    )
+    b_before = _part_files(store, "t", "tenant=B")
+    assert b_before
+
+    ins, upd = store.merge_upsert("t", _rows(spark, [("A", "x", 2)]), ["tenant", "name"])
+    assert (ins, upd) == (0, 1)
+    # same basenames AND same inodes: linked, not rewritten
+    assert _part_files(store, "t", "tenant=B") == b_before
+    rows = {(r["tenant"], r["name"]): r["v"] for r in store.read("t").collect()}
+    assert rows == {("A", "x"): 2, ("A", "y"): 1, ("B", "x"): 1}
+
+
+def test_reader_resolved_before_swap_still_reads(spark, tmp_path):
+    """A plan built against the pre-swap snapshot must still collect after
+    an overwrite (the previous version is retained for in-flight readers)."""
+    store = _store(spark, tmp_path)
+    store.merge_insert_missing("t", _rows(spark, [("A", "x", 1)]), ["tenant", "name"])
+    old_plan = store.read("t")  # resolves the current pointer NOW
+    store.overwrite("t", _rows(spark, [("A", "x", 2)]))
+    # old snapshot files still on disk → the stale plan completes
+    assert [r["v"] for r in old_plan.collect()] == [1]
+    assert [r["v"] for r in store.read("t").collect()] == [2]
+
+
+def test_version_pruning_keeps_current_and_previous(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    for i in range(4):
+        store.overwrite("t", _rows(spark, [("A", "x", i)]))
+    tdir = store._table_dir("t")
+    versions = [e for e in os.listdir(tdir) if e.startswith("v-")]
+    assert len(versions) == 2  # current + previous, older pruned
+    assert [r["v"] for r in store.read("t").collect()] == [3]
+
+
+def test_insert_missing_never_forces_broadcast_of_table_side(spark, tmp_path):
+    """The MERGE anti-join must not carry a broadcast HINT on the current
+    table's key set — at 100 TB that side is unbounded and a forced
+    broadcast is a driver OOM; AQE may still pick broadcast when the pruned
+    side is measurably small, which is fine (runtime decision, not a
+    hint)."""
+    store = _store(spark, tmp_path)
+    store.merge_insert_missing("t", _rows(spark, [("A", "x", 1)]), ["tenant", "name"])
+    store.merge_insert_missing("t", _rows(spark, [("A", "y", 1)]), ["tenant", "name"])
+    plan = store.last_insert_plan._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftAnti" in plan
+    assert "ResolvedHint" not in plan and "broadcast" not in plan.lower()
+
+
+def test_insert_missing_appends_into_current_version(spark, tmp_path):
+    """File-level append must not create a new version (no pointer churn for
+    additive writes) and must dedupe on PK."""
+    store = _store(spark, tmp_path)
+    store.merge_insert_missing("t", _rows(spark, [("A", "x", 1)]), ["tenant", "name"])
+    v1 = store._resolve("t")
+    n = store.merge_insert_missing(
+        "t", _rows(spark, [("A", "x", 9), ("B", "z", 1)]), ["tenant", "name"]
+    )
+    assert n == 1  # ("A","x") dropped by the anti-join
+    assert store._resolve("t") == v1
+    rows = {(r["tenant"], r["name"]): r["v"] for r in store.read("t").collect()}
+    assert rows == {("A", "x"): 1, ("B", "z"): 1}
