@@ -152,6 +152,59 @@ def simhash_signatures(
     )
 
 
+def simhash_neardup_pairs(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup PAIRS via banded Hamming-≤k join — the operator that
+    turns signatures into dedup decisions.
+
+    Pigeonhole banding: split the 32-bit signature into ``max_hamming + 1``
+    equal bands; any pair within Hamming distance ≤ k must agree EXACTLY on
+    at least one band, so a self-join on (band index, band value) has 100 %
+    recall — one shuffle carrying (band, 8-bit value) keys, never all pairs.
+    Candidates then verify with an exact popcount on the XOR. Same
+    candidate-vs-verify shape as MinHash-LSH; the DuckDB twin brute-forces
+    all pairs, independently checking the banding's recall.
+    """
+    assert 32 % (max_hamming + 1) == 0, "band count must divide 32"
+    bands = max_hamming + 1
+    width = 32 // bands
+    mask = (1 << width) - 1
+    sigs = simhash_signatures(documents, id_col, text_col)
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(b),
+                F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask)),
+            )
+            for b in range(bands)
+        ]
+    )
+    keyed = sigs.select("doc_id", "simhash", F.explode(band_keys).alias("band_key"))
+    a = keyed.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "band_key"
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"), "band_key"
+    )
+    cand = (
+        a.join(b, ["band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("bigint")
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def ngram_jaccard_pairs(
     documents: DataFrame,
     id_col: str = "doc_id",

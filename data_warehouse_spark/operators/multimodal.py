@@ -60,15 +60,47 @@ _EMBED_DIM = 16
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, int, np.ndarray]:
-    """Deterministic pseudo-decode: dims and features derived from a digest
-    of the payload. Stands in for PIL.Image.open/np.asarray."""
-    d = hashlib.sha256(payload).digest()
-    width = 64 + d[0] % 192
-    height = 64 + d[1] % 192
-    channels = 3
-    rng = np.frombuffer(d, dtype=np.uint8).astype(np.float32)
-    emb = np.resize(rng, _EMBED_DIM) / 255.0
+    """Deterministic pseudo-decode that PARSES THE PAYLOAD HEADER, the way a
+    real codec reads an image header (PNG IHDR / JPEG SOF): dimensions from
+    the leading bytes, channel count from the next, features from the byte
+    stream. Stands in for PIL.Image.open/np.asarray — and because it reads
+    actual payload bytes, the Spark→Arrow→pandas binary plumbing is
+    oracle-checkable (the DuckDB twin recomputes the same header fields)."""
+    p = payload + bytes(8)  # pad pathological tiny payloads
+    width = 1 + int.from_bytes(p[0:2], "big") % 2048
+    height = 1 + int.from_bytes(p[2:4], "big") % 2048
+    channels = 1 + p[4] % 4
+    arr = np.frombuffer(p, dtype=np.uint8).astype(np.float32)
+    emb = np.resize(arr, _EMBED_DIM) / 255.0
     return width, height, channels, emb
+
+
+def media_from_documents(documents: DataFrame) -> DataFrame:
+    """Deterministic media fixture derived from the ``documents`` table: an
+    opaque binary payload (bytes of a repeated md5 digest) plus typed
+    metadata. Gives the multimodal operators a corpus at any SF without
+    shipping binary testdata — and every payload byte is a pure function of
+    ``doc_id``, so SQL oracles can recompute header-derived features from
+    the same md5 hex string without ever touching the binary."""
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3).cast("int") + 1,
+    )
+    mime = F.element_at(
+        F.array(F.lit("image/png"), F.lit("audio/wav"), F.lit("video/mp4")),
+        (F.col("doc_id") % 3).cast("int") + 1,
+    )
+    # payload length varies 32..128 bytes: md5 hex repeated 2 + doc_id % 7 times
+    payload = F.unhex(
+        F.expr("repeat(md5(cast(doc_id as string)), cast(2 + doc_id % 7 as int))")
+    )
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        payload.alias("payload"),
+        mime.alias("mime"),
+        F.col("source").alias("source"),
+    )
 
 
 def extract_image_features(media: DataFrame, decode: str = "fake") -> DataFrame:

@@ -129,6 +129,24 @@ WITH tok AS (SELECT doc_id, {_toks()} AS toks FROM documents)
 SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM tok"""
 
 
+def simhash_neardup_sql(max_hamming: int = 3) -> str:
+    """Brute-force all-pairs Hamming twin of the banded Spark pipeline —
+    banding is exact by pigeonhole, so the result sets must be identical."""
+    bit_terms = " + ".join(
+        f"CASE WHEN list_sum(list_transform(toks, s -> CASE WHEN ({_h31('s')} >> {b}) & 1 = 1"
+        f" THEN 1 ELSE -1 END)) > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END"
+        for b in range(32)
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, {_toks()} AS toks FROM documents),
+sig AS (SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM tok)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+ORDER BY doc_a, doc_b"""
+
+
 def fingerprint_sql() -> str:
     key = H60.format(s=_norm())
     return f"""
@@ -194,6 +212,52 @@ mm AS (SELECT *, {m} AS m FROM h)
 SELECT doc_id, lang AS labeled_lang,
        CASE WHEN m = 0 THEN 'und' {cases} ELSE 'und' END AS detected_lang
 FROM mm"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal (media view derived from documents — operators/multimodal.py)
+# ---------------------------------------------------------------------------
+
+# payload = unhex(repeat(md5(doc_id), 2 + doc_id % 7)) on the Spark side; the
+# twin recomputes header-derived features from the md5 HEX STRING (hex chars
+# [1,4] = payload bytes [0,2) big-endian, etc.) — the binary never needs to
+# exist in DuckDB
+_MEDIA_CTE = """
+m AS (
+  SELECT doc_id AS media_id,
+         CASE CAST(doc_id % 3 AS INT)
+              WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         md5(CAST(doc_id AS VARCHAR)) AS h,
+         CAST(16 * (2 + doc_id % 7) AS BIGINT) AS n_bytes
+  FROM documents
+)"""
+
+
+def media_features_sql() -> str:
+    return f"""
+WITH {_MEDIA_CTE}
+SELECT media_id,
+       CAST(1 + CAST('0x' || substr(h, 1, 4) AS BIGINT) % 2048 AS BIGINT) AS width,
+       CAST(1 + CAST('0x' || substr(h, 5, 4) AS BIGINT) % 2048 AS BIGINT) AS height,
+       CAST(1 + CAST('0x' || substr(h, 9, 2) AS BIGINT) % 4 AS BIGINT) AS channels,
+       n_bytes
+FROM m WHERE kind = 'image' ORDER BY media_id"""
+
+
+def media_stats_sql() -> str:
+    return f"""
+WITH {_MEDIA_CTE}
+SELECT kind, CAST(count(*) AS BIGINT) AS n_items,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes
+FROM m GROUP BY kind ORDER BY kind"""
+
+
+def media_frame_counts_sql() -> str:
+    return f"""
+WITH {_MEDIA_CTE}
+SELECT media_id,
+       CAST(least(8, greatest(1, n_bytes // 32)) AS BIGINT) AS n_frames
+FROM m WHERE kind = 'video' ORDER BY media_id"""
 
 
 # ---------------------------------------------------------------------------

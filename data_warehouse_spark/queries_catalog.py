@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from . import catalog as cat
 from . import oracle_twins as tw
 from .catalog import WAREHOUSE_CTE_SQL
-from .operators import analytics, dedup, queries as wh, similarity, text_analysis
+from .operators import analytics, dedup, multimodal, queries as wh, similarity, text_analysis
 
 
 @dataclass(frozen=True)
@@ -467,6 +467,18 @@ def _doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_simhash_neardup_pairs",
+    tw.simhash_neardup_sql(max_hamming=3),
+    "SimHash near-dup pairs: pigeonhole-banded Hamming ≤ 3 candidate join + "
+    "exact popcount verify (oracle brute-forces all pairs)",
+)
+def _doc_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_neardup_pairs(
+        cat.load_table(spark, sf_dir, "documents"), max_hamming=3
+    )
+
+
+@register(
     "doc_fingerprint",
     tw.fingerprint_sql(),
     "rolling-hash fingerprint (order-sensitive) + normalized content key",
@@ -523,6 +535,62 @@ def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_duplicates(
         cat.load_table(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+# --- multimodal: binary payload columns + Pandas-UDF feature extraction ----
+# The media corpus derives deterministically from `documents` (payload =
+# repeated-md5 bytes), so the Arrow/mapInPandas decode path — which parses
+# REAL payload bytes — is verifiable against a SQL twin that recomputes the
+# header fields from the same md5 hex string.
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.media_from_documents(cat.load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "media_features",
+    tw.media_features_sql(),
+    "image header decode via Arrow-batched mapInPandas over the binary "
+    "payload column (dims/channels parsed from leading bytes)",
+)
+def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    feats = multimodal.extract_image_features(_media(spark, sf_dir))
+    return feats.select(
+        "media_id",
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        F.col("channels").cast("bigint").alias("channels"),
+        "n_bytes",
+    ).orderBy("media_id")
+
+
+@register(
+    "media_stats",
+    tw.media_stats_sql(),
+    "per-kind media rollup (counts are metadata-only; bytes scan the blob "
+    "column)",
+)
+def _media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.media_stats(_media(spark, sf_dir))
+
+
+@register(
+    "media_frame_counts",
+    tw.media_frame_counts_sql(),
+    "video frame sampling (1→N mapInPandas) rolled up to frames per video",
+)
+def _media_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    frames = multimodal.sample_frames(_media(spark, sf_dir))
+    return (
+        frames.groupBy("media_id")
+        .agg(F.count(F.lit(1)).alias("n_frames"))
+        .orderBy("media_id")
     )
 
 

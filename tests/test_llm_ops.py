@@ -121,7 +121,8 @@ def test_multimodal_plumbing(spark):
     feats = multimodal.extract_image_features(media).collect()
     assert {r["media_id"] for r in feats} == {1, 2}
     f1 = [r for r in feats if r["media_id"] == 1][0]
-    assert len(f1["embedding"]) == 16 and 64 <= f1["width"] < 256
+    # header codec: width = 1 + first-two-bytes % 2048 (b"im" → 0x696d)
+    assert len(f1["embedding"]) == 16 and f1["width"] == 1 + 0x696D % 2048
     # determinism: same payload → same features
     again = multimodal.extract_image_features(media).collect()
     assert sorted(map(str, feats)) == sorted(map(str, again))
