@@ -63,10 +63,30 @@ NaturalNumber = GraphQLScalarType(
 )
 
 
-def _decimal_out(v) -> float:
+def _to_decimal(v) -> decimal.Decimal:
     if isinstance(v, decimal.Decimal):
-        return float(v)
-    return float(v)
+        return v
+    # never round-trip through float: Decimal(str(...)) only for non-floats
+    if isinstance(v, float):
+        raise GraphQLError("ExactDecimal refuses float input (lossy)")
+    return decimal.Decimal(str(v))
+
+
+# The reference serializes money as an exact BigDecimal JSON number
+# (Sangria's BigDecimal scalar). float64 loses exactness above 2^53 cents —
+# unobservable at test scale, wrong at warehouse scale — so balance/amount
+# flow as decimal.Decimal end-to-end; the HTTP layer emits the exact numeric
+# token (api/http.py _dumps_exact).
+ExactDecimal = GraphQLScalarType(
+    name="Decimal",
+    serialize=lambda v: v if isinstance(v, decimal.Decimal) else _to_decimal(v),
+    parse_value=_to_decimal,
+    parse_literal=lambda node, _vars=None: decimal.Decimal(getattr(node, "value")),
+)
+
+
+def _decimal_out(v) -> decimal.Decimal:
+    return v if isinstance(v, decimal.Decimal) else decimal.Decimal(str(v))
 
 
 class WarehouseContext:
@@ -103,7 +123,7 @@ class WarehouseContext:
                 "name": r["name"],
                 "currency": r["currency"],
                 "format": r["format"],
-                "balance": 0.0,
+                "balance": decimal.Decimal(0),
             }
             for r in accounts.collect()
         }
@@ -133,7 +153,7 @@ Account = GraphQLObjectType(
         "name": GraphQLField(GraphQLNonNull(GraphQLString)),
         "currency": GraphQLField(GraphQLNonNull(GraphQLString)),
         "format": GraphQLField(GraphQLNonNull(GraphQLString)),
-        "balance": GraphQLField(GraphQLFloat),
+        "balance": GraphQLField(ExactDecimal),
     },
 )
 
@@ -146,7 +166,7 @@ Transfer = GraphQLObjectType(
         "status": GraphQLField(GraphQLNonNull(GraphQLString)),
         "credit": GraphQLField(Account),
         "debit": GraphQLField(Account),
-        "amount": GraphQLField(GraphQLFloat),
+        "amount": GraphQLField(ExactDecimal),
         "currency": GraphQLField(GraphQLNonNull(GraphQLString)),
         "valueDate": GraphQLField(GraphQLString),
     },

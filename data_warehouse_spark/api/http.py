@@ -16,17 +16,39 @@ execution errors → 500 (RootRouter.scala:22-41).
 
 from __future__ import annotations
 
+import decimal
 import json
 
 from flask import Flask, Response, request
 
 from .graphql_schema import execute
 
+# the embedded GraphiQL IDE (reference serves the same single-page asset on
+# GET /graphql — GraphQLRouter.scala:66-73); assets ride the public CDN so
+# the engine ships no JS bundle
 GRAPHIQL_PAGE = """<!DOCTYPE html>
-<html><head><title>GraphiQL</title></head>
-<body><h3>GraphQL endpoint</h3>
-<p>POST /graphql with {"query": "{ tenants(limit: 10, offset: 0) { name } }"}</p>
-</body></html>"""
+<html>
+<head>
+  <title>GraphiQL</title>
+  <style>body { margin: 0; } #graphiql { height: 100vh; }</style>
+  <link rel="stylesheet" href="https://unpkg.com/graphiql/graphiql.min.css" />
+</head>
+<body>
+  <div id="graphiql">Loading GraphiQL…</div>
+  <script crossorigin src="https://unpkg.com/react@18/umd/react.production.min.js"></script>
+  <script crossorigin src="https://unpkg.com/react-dom@18/umd/react-dom.production.min.js"></script>
+  <script crossorigin src="https://unpkg.com/graphiql/graphiql.min.js"></script>
+  <script>
+    const fetcher = GraphiQL.createFetcher({ url: '/graphql' });
+    ReactDOM.createRoot(document.getElementById('graphiql')).render(
+      React.createElement(GraphiQL, {
+        fetcher,
+        defaultQuery: '{ tenants(limit: 10, offset: 0) { name } }',
+      })
+    );
+  </script>
+</body>
+</html>"""
 
 
 def build_app(store) -> Flask:
@@ -88,5 +110,36 @@ def build_app(store) -> Flask:
     return app
 
 
+def _dumps_exact(obj) -> str:
+    """JSON text with ``decimal.Decimal`` emitted as an EXACT numeric token
+    (the reference serializes money as a BigDecimal JSON number; float64
+    would corrupt balances above 2^53 cents). Standard ``json`` cannot emit
+    raw tokens from ``default``, so decimals detour through unique string
+    placeholders that are substituted back."""
+    placeholders: dict[str, str] = {}
+
+    def default(o):
+        if isinstance(o, decimal.Decimal):
+            key = f"\u0000dec:{len(placeholders)}\u0000"
+            placeholders[key] = _num_token(o)
+            return key
+        raise TypeError(f"not JSON serializable: {type(o)}")
+
+    s = json.dumps(obj, default=default)
+    for key, num in placeholders.items():
+        s = s.replace(json.dumps(key), num)
+    return s
+
+
+def _num_token(d: decimal.Decimal) -> str:
+    """Plain positional notation, storage scale dropped (DECIMAL(28,10)
+    sums carry ten fractional zeros the reference's BigDecimal JSON does
+    not)."""
+    s = format(d, "f")
+    if "." in s:
+        s = s.rstrip("0").rstrip(".")
+    return s or "0"
+
+
 def _json(obj, status: int) -> Response:
-    return Response(json.dumps(obj), status=status, mimetype="application/json")
+    return Response(_dumps_exact(obj), status=status, mimetype="application/json")

@@ -40,6 +40,32 @@ from pyspark.sql import types as T
 # reference parses BigDecimal.exact; (28,10) per the reconstructed DDL
 AMOUNT = T.DecimalType(28, 10)
 
+# the reference frames every primary-storage read with
+# Framing.delimiter(lineSeparator, maximumFrameLength = 256,
+# allowTruncation = true) (PrimaryPersistence.scala:136-142): a line longer
+# than 256 BYTES fails the stream (FramingException → the read's Future
+# fails → supervisor restart); allowTruncation only permits a FINAL line
+# without a trailing delimiter. Spark twin: raise_error inside the parse
+# expression — the executor task fails the job at exactly the same point.
+MAX_LINE_BYTES = 256
+
+
+def _framed(line, what: str):
+    """Pass ``line`` through, failing the job when it exceeds the frame
+    bound — byte length (octet_length), as Akka frames bytes not chars."""
+    return (
+        F.when(
+            F.octet_length(line) > MAX_LINE_BYTES,
+            F.raise_error(
+                F.concat(
+                    F.lit(f"FramingException: {what} line exceeds {MAX_LINE_BYTES} bytes in "),
+                    F.col("path"),
+                )
+            ).cast("string"),
+        )
+        .otherwise(line)
+    )
+
 
 def _empty(spark: SparkSession, schema: T.StructType) -> DataFrame:
     return spark.createDataFrame([], schema)
@@ -114,16 +140,15 @@ def read_account_meta_paths(spark: SparkSession, paths: list[str]) -> DataFrame:
 def parse_account_meta(spark: SparkSession, raw: DataFrame | None) -> DataFrame:
     if raw is None:
         return _empty(spark, ACCOUNT_META_SCHEMA)
-    line1 = F.split(F.col("value"), "\n").getItem(0)
+    line1 = _framed(F.split(F.col("value"), "\n").getItem(0), "account meta")
     return raw.select(
         F.regexp_extract("path", r"/t_([^/]+)/account/", 1).alias("tenant"),
         F.regexp_extract("path", r"/account/([^/]+)/snapshot/", 1).alias("name"),
         F.substring(line1, 1, 3).alias("currency"),
         # chars [4, len-2): substring(pos=5), length = len - 4 - 2
-        F.expr(
-            "substring(split(value, '\n')[0], 5,"
-            " greatest(length(split(value, '\n')[0]) - 6, 0))"
-        ).alias("format"),
+        line1.substr(F.lit(5), F.greatest(F.length(line1) - 6, F.lit(0))).alias(
+            "format"
+        ),
     )
 
 
@@ -186,7 +211,9 @@ def parse_account_events(spark: SparkSession, raw: DataFrame | None) -> DataFram
         F.regexp_extract("path", r"/events/(\d+)/", 1)
         .cast("int")
         .alias("snapshot_version"),
-        F.split(F.col("value"), "\n").getItem(0).cast("int").alias("version"),
+        _framed(F.split(F.col("value"), "\n").getItem(0), "event version")
+        .cast("int")
+        .alias("version"),
     )
 
 
@@ -230,9 +257,10 @@ def parse_transactions(spark: SparkSession, raw: DataFrame | None) -> DataFrame:
         return _empty(spark, TRANSFER_ROW_SCHEMA)
 
     lines = F.split(F.col("value"), "\n")
+    header = _framed(lines.getItem(0), "transaction status")
     status = (
-        F.when(F.trim(lines.getItem(0)) == "committed", F.lit(1))
-        .when(F.trim(lines.getItem(0)) == "rollbacked", F.lit(2))
+        F.when(F.trim(header) == "committed", F.lit(1))
+        .when(F.trim(header) == "rollbacked", F.lit(2))
         .otherwise(F.lit(0))  # reference warns + treats as queued/promised
         .cast("int")
     )
@@ -240,10 +268,13 @@ def parse_transactions(spark: SparkSession, raw: DataFrame | None) -> DataFrame:
         F.regexp_extract("path", r"/t_([^/]+)/transaction/", 1).alias("tenant"),
         F.regexp_extract("path", r"/transaction/([^/]+)$", 1).alias("transaction"),
         status.alias("status"),
+        F.col("path"),  # kept for the frame-bound error message
         F.posexplode(lines).alias("line_no", "line"),
     ).filter((F.col("line_no") >= 1) & (F.length(F.trim(F.col("line"))) > 0))
 
-    p = F.split(F.trim(F.col("line")), " ")
+    # every transfer line passes through the same 256-byte frame bound the
+    # reference applies to the whole file stream
+    p = F.split(F.trim(_framed(F.col("line"), "transfer")), " ")
     return body.select(
         "tenant",
         "transaction",

@@ -145,3 +145,46 @@ def test_point_tenant_and_missing(client):
     assert body["data"]["tenant"] == {"name": "TENANT"}
     code, body = gql(client, 'query { tenant(tenant: "NOPE") { name } }')
     assert body["data"]["tenant"] is None
+
+
+def test_exact_decimal_beyond_float53(spark, tmp_path):
+    """A balance above 2^53 cents must survive the HTTP edge EXACTLY (the
+    reference serializes BigDecimal as an exact JSON number; float64 would
+    corrupt the low digits)."""
+    root = str(tmp_path / "data")
+    t = "t_TEN_BIG"
+    amount = "12345678901234567.89"  # != float round-trip
+    write(os.path.join(root, t, "account", "BIGC", "snapshot", "0000000000"), "CZK FORMAT_F\n")
+    write(os.path.join(root, t, "account", "BIGD", "snapshot", "0000000000"), "CZK FORMAT_F\n")
+    write(
+        os.path.join(root, t, "transaction", "TBIG"),
+        f"committed\nTX TEN_BIG BIGC TEN_BIG BIGD 2020-01-01T00:00:00Z {amount} CZK\n",
+    )
+    write(os.path.join(root, t, "account", "BIGC", "events", "0000000000", "1_x_TBIG"), "1\n")
+    write(os.path.join(root, t, "account", "BIGD", "events", "0000000000", "1_y_TBIG"), "1\n")
+    store = warehouse_store(spark, str(tmp_path / "wh"))
+    IngestionPipeline(spark, root, store).run_once()
+    app = build_app(store)
+    app.config["TESTING"] = True
+    client = app.test_client()
+    rv = client.post(
+        "/graphql",
+        json={"query": 'query { account(tenant: "TEN_BIG", name: "BIGC") { balance } }'},
+    )
+    assert rv.status_code == 200
+    # raw-token assertion: json.loads would floatify and hide the corruption
+    assert amount.encode() in rv.data, rv.data
+    assert b"-" + amount.encode() not in rv.data
+    rv2 = client.post(
+        "/graphql",
+        json={"query": 'query { account(tenant: "TEN_BIG", name: "BIGD") { balance } }'},
+    )
+    assert (b"-" + amount.encode()) in rv2.data, rv2.data
+
+
+def test_graphiql_ide_served(client):
+    rv = client.get("/graphql")
+    assert rv.status_code == 200
+    page = rv.data.decode()
+    assert "graphiql.min.js" in page and 'id="graphiql"' in page
+    assert "createFetcher" in page  # wired to POST /graphql

@@ -266,3 +266,45 @@ def test_transaction_id_with_underscores(pipeline):
     assert m.transfers_discovered == 1
     tr = store.read("transfer").collect()[0]
     assert tr["transaction"] == "TX_WITH_UNDERSCORES"
+
+
+# --- 256-byte line framing (reference Framing.delimiter(_, 256, true)) --------
+def test_framing_oversize_transfer_line_fails(pipeline):
+    """A transfer line longer than 256 bytes must fail the read, exactly as
+    the reference's FramingException fails the stream."""
+    pipe, root, store = pipeline
+    t = "t_TEN_FRAME"
+    write(os.path.join(root, t, "account", "F", "snapshot", "0000000000"), "EUR FORMAT_X\n")
+    long_name = "X" * 300
+    write(
+        os.path.join(root, t, "transaction", "TF"),
+        f"committed\nT1 TEN_FRAME F TEN_FRAME {long_name} 2020-01-01T00:00:00Z 1 EUR\n",
+    )
+    write(os.path.join(root, t, "account", "F", "events", "0000000000", "1_1_TF"), "1\n")
+    with pytest.raises(Exception, match="FramingException"):
+        pipe.run_once()
+
+
+def test_framing_oversize_event_version_line_fails(pipeline):
+    pipe, root, store = pipeline
+    t = "t_TEN_FRAME2"
+    write(os.path.join(root, t, "account", "G", "snapshot", "0000000000"), "EUR FORMAT_X\n")
+    write(os.path.join(root, t, "transaction", "TG"), "committed\nT1 TEN_FRAME2 G TEN_FRAME2 G 2020-01-01T00:00:00Z 1 EUR\n")
+    write(os.path.join(root, t, "account", "G", "events", "0000000000", "1_1_TG"), "9" * 300 + "\n")
+    with pytest.raises(Exception, match="FramingException"):
+        pipe.run_once()
+
+
+def test_missing_trailing_newline_parses(pipeline):
+    """allowTruncation = true parity: a final line without a delimiter is
+    still a frame."""
+    pipe, root, store = pipeline
+    t = "t_TEN_NONL"
+    write(os.path.join(root, t, "account", "N", "snapshot", "0000000000"), "EUR FORMAT_X")
+    write(
+        os.path.join(root, t, "transaction", "TN"),
+        "committed\nT1 TEN_NONL N TEN_NONL N 2020-01-01T00:00:00Z 2 EUR",  # no \n
+    )
+    write(os.path.join(root, t, "account", "N", "events", "0000000000", "1_1_TN"), "1")
+    m = pipe.run_once()
+    assert m.transfers_discovered == 1
