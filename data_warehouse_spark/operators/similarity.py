@@ -1,6 +1,6 @@
 """Similarity search over embedding columns (array<float>).
 
-Two paths:
+Three paths:
 
   brute_force_topk   exact cosine top-k: broadcast the (small) query set
                      against the corpus; per-partition top-k via window.
@@ -11,17 +11,28 @@ Two paths:
                      only. The 100 TB path: bucket count scales the
                      candidate set down exponentially (16 planes → 65k
                      buckets). Approximate — recall measured in tests.
+  ivf_topk           inverted-file index (IVF-flat): a small deterministic
+                     centroid set partitions the corpus into cells
+                     (map-only assignment against broadcast centroids);
+                     queries probe only the `nprobe` nearest cells. The
+                     other classic ANN scale path — candidate count is
+                     |corpus|·nprobe/n_cells instead of bucket-collision
+                     driven, so recall degrades gracefully with nprobe.
 
-Hyperplanes are deterministic literals (seeded numpy, fixed), so results are
-reproducible and SQL-twin-able.
+Hyperplanes are deterministic literals (seeded numpy, fixed), and IVF
+centroids are hash-selected corpus vectors, so results are reproducible and
+SQL-twin-able.
 """
 
 from __future__ import annotations
+
+import math
 
 import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions import text as TXT
 from ..functions import vectors as V
 
 # 6 planes → 64 buckets: sized for the synthetic corpus (≈500–50k vectors,
@@ -29,6 +40,11 @@ from ..functions import vectors as V
 # each plane halves expected candidates (bucket count doubles).
 N_PLANES = 6
 _EMBED_DIM = 64
+
+# IVF geometry for the synthetic corpus; at real scale n_cells ~ sqrt(N)
+# (classic IVF sizing) and nprobe is the recall/latency knob.
+N_CELLS = 16
+N_PROBE = 4
 
 
 def hyperplanes(dim: int = _EMBED_DIM, n: int = N_PLANES, seed: int = 42) -> list[list[float]]:
@@ -107,6 +123,120 @@ def lsh_topk(
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
     return (
         cands.select("query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def ivf_centroids(
+    embeddings: DataFrame,
+    n_cells: int = N_CELLS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float], float]]:
+    """Deterministic coarse quantizer: the ``n_cells`` corpus vectors whose
+    ids hash lowest under the cross-engine h60 primitive (a seeded sample
+    any engine can reproduce — no k-means state to ship). Returns
+    ``(cell_id, vector, norm)`` rows; tiny (n_cells ≪ corpus), collected
+    once per index build and broadcast as literals thereafter.
+
+    The norm is folded sequentially in double precision — the exact IEEE
+    operation sequence of the SQL twin's ``sqrt(list_reduce(...))`` — so
+    baking it in as a literal cannot drift from the oracle.
+    """
+    rows = (
+        embeddings.select(
+            F.col(id_col).alias("cell_id"),
+            F.col(vec_col).alias("cv"),
+            TXT.h60(F.col(id_col).cast("string")).alias("hh"),
+        )
+        .orderBy("hh", "cell_id")
+        .limit(n_cells)
+        .select("cell_id", "cv")
+        .collect()
+    )
+    out = []
+    for r in rows:
+        v = [float(x) for x in r["cv"]]
+        acc = 0.0
+        for x in v:
+            acc = acc + x * x
+        out.append((int(r["cell_id"]), v, math.sqrt(acc)))
+    return out
+
+
+def _centroid_scores(vec_col, centroids) -> F.Column:
+    """array<struct<cos,cell>> of the cosine from ``vec_col`` to every
+    centroid — a pure map-side expression (centroids ride the plan as
+    literals; the corpus never shuffles to find its cell)."""
+    v_norm = V.norm2(vec_col)
+    entries = []
+    for cell_id, cvec, cnorm in centroids:
+        lit_vec = F.array(*[F.lit(x) for x in cvec])
+        cos = V.dot(vec_col, lit_vec) / (v_norm * F.lit(cnorm))
+        entries.append(
+            F.struct(
+                cos.alias("cos"), F.lit(cell_id).cast("bigint").alias("cell")
+            )
+        )
+    return F.array(*entries)
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_cells: int = N_CELLS,
+    nprobe: int = N_PROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate top-k.
+
+    Plan shape (the one that survives 100 TB):
+      1. index build — centroid selection is a top-``n_cells`` driver
+         collect (tiny); cell assignment is map-only (``array_max`` over
+         literal-centroid cosines: max cos, ties → max cell — mirrored by
+         the twin's ``ORDER BY cos DESC, cell_id DESC``);
+      2. probe — each query ranks the same literal centroids and keeps
+         ``nprobe`` cells (map-only on a tiny side), then broadcast-joins
+         the corpus on ``cell``: candidates shrink by ~nprobe/n_cells;
+      3. exact cosine + per-query top-k window over candidates only.
+    """
+    centroids = ivf_centroids(embeddings, n_cells, id_col, vec_col)
+
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("n_vec"),
+        F.array_max(_centroid_scores(F.col(vec_col), centroids))
+        .getField("cell")
+        .alias("cell"),
+    )
+    probed = (
+        embeddings.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.slice(
+                F.sort_array(
+                    _centroid_scores(F.col(vec_col), centroids), asc=False
+                ),
+                1,
+                nprobe,
+            ).alias("cells"),
+        )
+        .select("query_id", "q_vec", F.explode("cells").alias("c"))
+        .select("query_id", "q_vec", F.col("c.cell").alias("cell"))
+    )
+    cands = corpus.join(F.broadcast(probed), "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    sim = V.cosine("q_vec", "n_vec")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        cands.select("query_id", "neighbor_id", sim.alias("cosine"))
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")

@@ -338,6 +338,64 @@ SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {k}
 ORDER BY query_id, rank"""
 
 
+def ann_ivf_sql(
+    query_ids: list[int],
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    dim: int = 64,
+) -> str:
+    """IVF-flat twin: hash-selected centroids (h60 over the id, same
+    primitive as the Spark side), assignment = max cos with ties to the
+    larger cell id (mirrors Spark ``array_max`` over struct<cos,cell>),
+    probe the ``nprobe`` best cells, exact cosine among candidates."""
+    ids = ", ".join(str(i) for i in query_ids)
+    cell_hash = H60.format(s="CAST(vec_id AS VARCHAR)")
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+c AS (SELECT vec_id AS cell_id, v AS cv FROM e
+      ORDER BY {cell_hash}, vec_id LIMIT {n_cells}),
+ca AS (
+  SELECT e.vec_id, e.v, c.cell_id, {_cos('e.v', 'c.cv', dim)} AS cos
+  FROM e, c
+),
+assigned AS (
+  SELECT vec_id, v, cell_id FROM (
+    SELECT vec_id, v, cell_id,
+           row_number() OVER (PARTITION BY vec_id
+                ORDER BY cos DESC, cell_id DESC) AS rn
+    FROM ca) WHERE rn = 1
+),
+qc AS (
+  SELECT q.vec_id AS query_id, q.v AS qv, c.cell_id,
+         {_cos('q.v', 'c.cv', dim)} AS cos
+  FROM e q, c WHERE q.vec_id IN ({ids})
+),
+probed AS (
+  SELECT query_id, qv, cell_id FROM (
+    SELECT query_id, qv, cell_id,
+           row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, cell_id DESC) AS rn
+    FROM qc) WHERE rn <= {nprobe}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, {_cos('p.qv', 'a.v', dim)} AS cos
+  FROM assigned a JOIN probed p ON a.cell_id = p.cell_id
+  WHERE a.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank"""
+
+
 def embedding_neardup_sql(planes: list[list[float]], threshold: float = 0.95, dim: int = 64) -> str:
     bucket = _bucket_expr("v", planes, dim)
     return f"""

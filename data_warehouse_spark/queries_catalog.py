@@ -528,6 +528,18 @@ def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_topk",
+    tw.ann_ivf_sql(_ANN_QUERY_IDS, k=5, n_cells=similarity.N_CELLS, nprobe=similarity.N_PROBE),
+    "IVF-flat approximate top-5: hash-selected centroids, map-only cell "
+    "assignment, nprobe-cell probing (the other classic ANN scale path)",
+)
+def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivf_topk(
+        cat.load_table(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS, k=5
+    )
+
+
+@register(
     "emb_neardup_pairs",
     tw.embedding_neardup_sql(similarity.hyperplanes(), threshold=0.4),
     "embedding-cosine near-dup pairs ≥ 0.4 via shared LSH bucket",

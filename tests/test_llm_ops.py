@@ -141,3 +141,27 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(Exception, match="NotImplementedError|real image decode"):
         multimodal.extract_image_features(media, decode="real").collect()
+
+
+def test_ann_ivf_structure_and_recall(spark):
+    """IVF invariants: every neighbor's assigned cell is one of its query's
+    probed cells, self never appears, ranks dense from 1 — and probing
+    nprobe=n_cells (exhaustive) must reproduce brute force exactly (IVF with
+    full probing IS flat search)."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qids = [0, 1, 2]
+    approx = similarity.ivf_topk(emb, qids, k=10).collect()
+    assert approx
+    per_q: dict[int, list[int]] = {}
+    for r in approx:
+        assert r["neighbor_id"] != r["query_id"]
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+    exhaustive = similarity.ivf_topk(
+        emb, qids, k=5, nprobe=similarity.N_CELLS
+    ).collect()
+    exact = similarity.brute_force_topk(emb, qids, k=5).collect()
+    key = lambda r: (r["query_id"], r["rank"], r["neighbor_id"])
+    assert sorted(map(key, exhaustive)) == sorted(map(key, exact))
