@@ -226,3 +226,132 @@ def top_users_per_event_type(events: DataFrame, k: int = 5) -> DataFrame:
         .filter(F.col("rank") <= k)
         .orderBy("event_type", "rank")
     )
+
+
+# --- TPC-H Q13 shape: left-outer join + double aggregation --------------------
+def customer_order_histogram(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Orders-per-customer distribution INCLUDING zero-order customers.
+
+    The left outer join is the whole point (an inner join silently drops
+    the 0 bucket). Agg-then-join: the fact aggregates to ≤ |customer| rows
+    before joining, so the join input is dim-sized on both sides; one
+    shuffle for each agg, join co-partitioned on the custkey by AQE.
+    """
+    per_cust = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    counts = customer.join(
+        per_cust, F.col("c_custkey") == F.col("o_custkey"), "left"
+    ).select(F.coalesce(F.col("n_orders"), F.lit(0)).cast("bigint").alias("n_orders"))
+    return (
+        counts.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.desc("n_customers"), F.desc("n_orders"))
+    )
+
+
+# --- TPC-H Q14 shape: dim join + conditional aggregation ----------------------
+def promo_revenue_by_month(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Per-month promo vs total revenue (integer fixed point; the Q14 ratio
+    is left to the client — dividing here would reintroduce float drift).
+
+    part is always the broadcast side; the conditional SUM is a map-side
+    partial agg, one shuffle on the month key.
+    """
+    rev = cents("l_extendedprice") * (100 - cents("l_discount"))
+    return (
+        lineitem.join(
+            F.broadcast(part.select("p_partkey", "p_type")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))).alias(
+                "promo_rev_x10k"
+            ),
+            F.sum(rev).alias("total_rev_x10k"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+# --- NOT EXISTS shape: left-anti join ----------------------------------------
+def dormant_customers(
+    customer: DataFrame, orders: DataFrame, since: str = "2000-01-01"
+) -> DataFrame:
+    """Customers with NO order on/after ``since``, counted per segment.
+
+    NOT EXISTS → left-anti join. The anti side is pre-filtered and
+    projected to the key column only before the shuffle; no broadcast hint
+    (the key set is O(|orders|) — AQE decides, never the driver).
+    """
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit(since).cast("timestamp")
+    ).select("o_custkey")
+    return (
+        customer.join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_dormant"),
+            F.min("c_custkey").alias("first_custkey"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# --- TPC-H Q17 shape: decorrelated per-group scalar subquery ------------------
+def small_quantity_revenue(
+    lineitem: DataFrame, part: DataFrame, brand: str = "Brand#9"
+) -> DataFrame:
+    """Revenue of lines whose quantity is below half the part's average.
+
+    The correlated subquery ``qty < 0.5 * avg(qty) OVER part`` decorrelates
+    into agg-then-self-join, and the predicate is kept INTEGER-exact:
+    ``qty < sum/(2·cnt)  ⇔  2·qty·cnt < sum`` — no float average crosses an
+    engine boundary. Only brand lines survive the broadcast semi-join
+    before either shuffle.
+    """
+    qty_c = cents("l_quantity")
+    brand_keys = part.filter(F.col("p_brand") == brand).select("p_partkey")
+    li = lineitem.join(
+        F.broadcast(brand_keys),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left_semi",
+    ).select("l_partkey", qty_c.alias("qty_c"), cents("l_extendedprice").alias("price_c"))
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum("qty_c").alias("sum_qty_c"), F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        li.join(per_part.withColumnRenamed("l_partkey", "pk"), F.col("l_partkey") == F.col("pk"))
+        .filter(F.lit(2) * F.col("qty_c") * F.col("cnt") < F.col("sum_qty_c"))
+        .agg(
+            F.sum("price_c").alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# --- set op: UNION ALL of two ordered top-k sides -----------------------------
+def acctbal_extremes_union(customer: DataFrame, supplier: DataFrame, k: int = 10) -> DataFrame:
+    """Top-k account balances from two entity tables, unioned with a
+    discriminator column (the reference's closest set-op shape: Q8's
+    per-tenant batch concatenation = UNION ALL). Each side is a global
+    top-k (TakeOrderedAndProject — no full sort), union is a zero-shuffle
+    concatenation."""
+    c = (
+        customer.select(
+            F.lit("customer").alias("party"),
+            F.col("c_name").alias("name"),
+            cents("c_acctbal").alias("acctbal_cents"),
+        )
+        .orderBy(F.desc("acctbal_cents"), "name")
+        .limit(k)
+    )
+    s = (
+        supplier.select(
+            F.lit("supplier").alias("party"),
+            F.col("s_name").alias("name"),
+            cents("s_acctbal").alias("acctbal_cents"),
+        )
+        .orderBy(F.desc("acctbal_cents"), "name")
+        .limit(k)
+    )
+    return c.unionByName(s).orderBy("party", F.desc("acctbal_cents"), "name")

@@ -350,6 +350,114 @@ def _order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "customer_order_histogram",
+    """WITH per_cust AS (
+         SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+         FROM orders GROUP BY o_custkey
+       )
+       SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_customers FROM (
+         SELECT COALESCE(p.n_orders, 0) AS n_orders
+         FROM customer c LEFT JOIN per_cust p ON c.c_custkey = p.o_custkey
+       ) GROUP BY n_orders ORDER BY n_customers DESC, n_orders DESC""",
+    "TPC-H Q13 shape: LEFT OUTER join (zero bucket kept) + double aggregation",
+)
+def _customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.customer_order_histogram(
+        cat.load_table(spark, sf_dir, "customer"),
+        cat.load_table(spark, sf_dir, "orders"),
+    )
+
+
+@register(
+    "promo_revenue_by_month",
+    """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+              CAST(SUM(CASE WHEN p_type = 'PROMO'
+                   THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                   ELSE 0 END) AS BIGINT) AS promo_rev_x10k,
+              CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+                  AS total_rev_x10k
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       GROUP BY ship_month ORDER BY ship_month""",
+    "TPC-H Q14 shape: broadcast dim join + conditional aggregation "
+    "(integer fixed point; ratio left to the client)",
+)
+def _promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.promo_revenue_by_month(
+        cat.load_table(spark, sf_dir, "lineitem"),
+        cat.load_table(spark, sf_dir, "part"),
+    )
+
+
+@register(
+    "dormant_customers",
+    """SELECT c_mktsegment,
+              CAST(COUNT(*) AS BIGINT) AS n_dormant,
+              CAST(MIN(c_custkey) AS BIGINT) AS first_custkey
+       FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+       GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "NOT EXISTS shape: left-anti join, anti side filtered+projected pre-shuffle",
+)
+def _dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.dormant_customers(
+        cat.load_table(spark, sf_dir, "customer"),
+        cat.load_table(spark, sf_dir, "orders"),
+    )
+
+
+@register(
+    "small_quantity_revenue",
+    """WITH li AS (
+         SELECT l_partkey,
+                CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+                CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+         FROM lineitem
+         WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#9')
+       ),
+       per_part AS (
+         SELECT l_partkey AS pk, CAST(SUM(qty_c) AS BIGINT) AS sum_qty_c,
+                CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM li GROUP BY l_partkey
+       )
+       SELECT CAST(SUM(price_c) AS BIGINT) AS revenue_cents,
+              CAST(COUNT(*) AS BIGINT) AS n_lines
+       FROM li JOIN per_part ON li.l_partkey = per_part.pk
+       WHERE 2 * qty_c * cnt < sum_qty_c""",
+    "TPC-H Q17 shape: decorrelated per-group scalar subquery, integer-exact "
+    "half-average predicate (2·qty·cnt < sum)",
+)
+def _small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.small_quantity_revenue(
+        cat.load_table(spark, sf_dir, "lineitem"),
+        cat.load_table(spark, sf_dir, "part"),
+    )
+
+
+@register(
+    "acctbal_extremes_union",
+    """SELECT * FROM (
+         (SELECT 'customer' AS party, c_name AS name,
+                 CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+          FROM customer ORDER BY acctbal_cents DESC, name LIMIT 10)
+         UNION ALL
+         (SELECT 'supplier' AS party, s_name AS name,
+                 CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_cents
+          FROM supplier ORDER BY acctbal_cents DESC, name LIMIT 10)
+       ) ORDER BY party, acctbal_cents DESC, name""",
+    "set op: two global top-k sides (TakeOrderedAndProject) + UNION ALL",
+)
+def _acctbal_extremes_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.acctbal_extremes_union(
+        cat.load_table(spark, sf_dir, "customer"),
+        cat.load_table(spark, sf_dir, "supplier"),
+    )
+
+
+@register(
     "events_hourly",
     """SELECT date_trunc('hour', ts) AS hour, event_type,
               CAST(COUNT(*) AS BIGINT) AS n_events,
