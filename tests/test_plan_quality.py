@@ -113,3 +113,75 @@ def test_partitioned_transfer_scan_prunes_tenant(spark, tmp_path):
         "PartitionFilters"
     )[1].splitlines()[0], rep.text
     assert df.count() == 1
+
+
+def test_promo_revenue_broadcasts_part_and_prunes(spark):
+    df = analytics.promo_revenue_by_month(
+        cat.load_table(spark, SF_DIR, "lineitem"),
+        cat.load_table(spark, SF_DIR, "part"),
+    )
+    rep = plan_report(df)
+    assert rep.broadcast_joins >= 1, rep.text
+    assert rep.cartesian_products == 0, rep.text
+    cols = rep.scans_column_count("part")
+    assert cols is not None and cols <= 2, rep.text  # p_partkey + p_type only
+
+
+def test_customer_order_histogram_prunes_orders_to_key(spark):
+    df = analytics.customer_order_histogram(
+        cat.load_table(spark, SF_DIR, "customer"),
+        cat.load_table(spark, SF_DIR, "orders"),
+    )
+    rep = plan_report(df)
+    # agg-then-join: the orders scan feeds a count-only agg → single column
+    assert rep.scans_column_count("orders") == 1, rep.text
+    assert rep.cartesian_products == 0, rep.text
+
+
+def test_dormant_customers_anti_join_filtered_prejoin(spark):
+    df = analytics.dormant_customers(
+        cat.load_table(spark, SF_DIR, "customer"),
+        cat.load_table(spark, SF_DIR, "orders"),
+    )
+    rep = plan_report(df)
+    assert "LeftAnti" in rep.text, rep.text
+    # the anti side is filtered+projected BEFORE any exchange: date filter
+    # pushed to the orders scan, which reads only key+date
+    assert any("o_orderdate" in f for f in rep.pushed_filters), rep.text
+    cols = rep.scans_column_count("orders")
+    assert cols is not None and cols <= 2, rep.text
+
+
+def test_small_quantity_revenue_semi_join_and_pushdown(spark):
+    df = analytics.small_quantity_revenue(
+        cat.load_table(spark, SF_DIR, "lineitem"),
+        cat.load_table(spark, SF_DIR, "part"),
+    )
+    rep = plan_report(df)
+    assert "LeftSemi" in rep.text, rep.text
+    assert any("p_brand" in f for f in rep.pushed_filters), rep.text
+    cols = rep.scans_column_count("lineitem")
+    assert cols is not None and cols <= 3, rep.text  # partkey, qty, price
+
+
+def test_union_topk_uses_take_ordered(spark):
+    df = analytics.acctbal_extremes_union(
+        cat.load_table(spark, SF_DIR, "customer"),
+        cat.load_table(spark, SF_DIR, "supplier"),
+    )
+    rep = plan_report(df)
+    # each side is a global top-k, never a full sort-then-limit
+    assert rep.text.count("TakeOrderedAndProject") >= 2, rep.text
+
+
+def test_ivf_corpus_assignment_is_map_side(spark):
+    from data_warehouse_spark.operators import similarity
+
+    emb = cat.load_table(spark, SF_DIR, "embeddings")
+    df = similarity.ivf_topk(emb, [0, 1, 2], k=5)
+    rep = plan_report(df)
+    # probe side broadcast; corpus never shuffles to find its cell — the
+    # only exchanges are the top-k window (query_id) and the final order
+    assert rep.broadcast_joins >= 1, rep.text
+    assert rep.cartesian_products == 0, rep.text
+    assert rep.exchanges <= 3, rep.text
