@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from . import catalog as cat
 from . import oracle_twins as tw
 from .catalog import WAREHOUSE_CTE_SQL
-from .operators import analytics, dedup, multimodal, queries as wh, similarity, text_analysis
+from .operators import analytics, dedup, multimodal, queries as wh, similarity, skew, text_analysis
 
 
 @dataclass(frozen=True)
@@ -454,6 +454,43 @@ def _acctbal_extremes_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.acctbal_extremes_union(
         cat.load_table(spark, sf_dir, "customer"),
         cat.load_table(spark, sf_dir, "supplier"),
+    )
+
+
+@register(
+    "events_salted_join_rollup",
+    """WITH totals AS (
+         SELECT user_id,
+                CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                    AS user_total_cents
+         FROM events GROUP BY user_id
+       )
+       SELECT event_type,
+              CAST(COUNT(*) AS BIGINT) AS n_events,
+              CAST(SUM(user_total_cents) AS BIGINT) AS sum_user_totals_cents
+       FROM events e JOIN totals t ON e.user_id = t.user_id
+       GROUP BY event_type ORDER BY event_type""",
+    "hot-key salted large-large join (events ⋈ per-user totals on the "
+    "skew-prone user_id); oracle is the PLAIN join — same rows, different "
+    "physical distribution",
+)
+def _events_salted_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    ev = cat.load_table(spark, sf_dir, "events")
+    totals = ev.groupBy("user_id").agg(
+        F.sum(analytics.cents("value")).alias("user_total_cents")
+    )
+    joined = skew.salted_join(
+        ev.select("event_id", "event_type", "user_id"), totals, on=["user_id"]
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("user_total_cents").alias("sum_user_totals_cents"),
+        )
+        .orderBy("event_type")
     )
 
 
