@@ -11,6 +11,8 @@ is expected to have, as readStream-composable transformations:
   running_user_state applyInPandasWithState: per-user running counters —
                      the custom-stateful-operator template (timeout handling,
                      state schema, Arrow batches)
+  dedup_stream       exactly-once key dedup with watermark-bounded state
+  enrich_stream      stream-static broadcast enrichment join
 
 All take a DataFrame that may be batch or streaming: transformations are
 identical (Spark's unified model); tests drive them with a file stream +
@@ -65,6 +67,34 @@ def session_windows(events: DataFrame, gap: str = "30 minutes", watermark: str =
             "value_cents",
         )
     )
+
+
+def dedup_stream(
+    events: DataFrame, key: str = "event_id", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming exact dedup on a key: at-least-once upstream (replayed
+    files, retried producers) → exactly-once downstream.
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only for the
+    watermark horizon, so state is bounded by (arrival rate × horizon), not
+    by stream lifetime — the property that makes dedup viable on an
+    unbounded stream. Batch DataFrames (no watermark support) fall back to
+    plain ``dropDuplicates`` — same output on complete input."""
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            [key]
+        )
+    return events.dropDuplicates([key])
+
+
+def enrich_stream(events: DataFrame, user_dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins the (small,
+    slowly-changing) dimension — broadcast per batch, no stream state at
+    all (the static side is re-resolved every trigger, so dim updates are
+    picked up without restarting the query)."""
+    return events.join(
+        F.broadcast(user_dim), events["user_id"] == user_dim["uid"], "left"
+    ).drop("uid")
 
 
 RUNNING_STATE_SCHEMA = T.StructType(

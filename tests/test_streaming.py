@@ -153,3 +153,45 @@ def test_foreachbatch_merge_idempotent(spark, events_batch, events_streaming, tm
     n2 = store.read("events_clean").count()
     assert n1 == events_batch.count()
     assert n2 == n1
+
+
+def test_dedup_stream_removes_replayed_duplicates(spark, events_batch, tmp_path):
+    """A file replayed verbatim (at-least-once upstream) must not double
+    rows downstream: the streamed dedup output equals the batch distinct."""
+    src = str(tmp_path / "dup_src")
+    os.makedirs(src)
+    sample = events_batch.limit(500).cache()
+    sample.write.mode("overwrite").parquet(str(tmp_path / "one"))
+    for f in os.listdir(str(tmp_path / "one")):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(str(tmp_path / "one"), f), os.path.join(src, f"a_{f}"))
+            shutil.copy(os.path.join(str(tmp_path / "one"), f), os.path.join(src, f"b_{f}"))
+    sdf = (
+        spark.readStream.schema(events_batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = _run_to_completion(
+        spark, events_stream.dedup_stream(sdf), "dedup_stream_t", "append"
+    )
+    assert out.count() == sample.count()
+    assert out.select("event_id").distinct().count() == sample.count()
+    sample.unpersist()
+
+
+def test_enrich_stream_static_join(spark, events_batch, events_streaming):
+    """Stream-static left join: every event carries its dim attribute; dim
+    misses survive as NULL (left join, not inner)."""
+    user_ids = [r["user_id"] for r in events_batch.select("user_id").distinct().limit(3).collect()]
+    dim = spark.createDataFrame(
+        [(int(u), f"seg_{i}") for i, u in enumerate(user_ids)], ["uid", "segment"]
+    )
+    out = _run_to_completion(
+        spark,
+        events_stream.enrich_stream(events_streaming, dim),
+        "enrich_stream_t",
+        "append",
+    )
+    assert out.count() == events_batch.count()
+    tagged = out.filter(F.col("segment").isNotNull())
+    assert tagged.count() == events_batch.filter(F.col("user_id").isin(user_ids)).count()
