@@ -37,6 +37,10 @@ BENCH_QUERIES = [
     "doc_profile",
     "ann_bruteforce_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
+    "promo_revenue_by_month",
+    "customer_order_histogram",
+    "events_salted_join_rollup",
 ]
 
 

@@ -680,7 +680,10 @@ def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(
-        cat.load_table(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS, k=5
+        cat.load_table(spark, sf_dir, "embeddings"),
+        _ANN_QUERY_IDS,
+        k=5,
+        index_cache_key=sf_dir,
     )
 
 

@@ -181,7 +181,9 @@ def test_ivf_corpus_assignment_is_map_side(spark):
     df = similarity.ivf_topk(emb, [0, 1, 2], k=5)
     rep = plan_report(df)
     # probe side broadcast; corpus never shuffles to find its cell — the
-    # only exchanges are the top-k window (query_id) and the final order
+    # exchanges are the probe-ranking window, the top-k window (query_id)
+    # and the final order. The one nested-loop join is the INTENTIONAL
+    # |queries|×n_cells centroid-ranking cross product (16-row broadcast).
     assert rep.broadcast_joins >= 1, rep.text
-    assert rep.cartesian_products == 0, rep.text
-    assert rep.exchanges <= 3, rep.text
+    assert rep.cartesian_products <= 1, rep.text
+    assert rep.exchanges <= 4, rep.text
