@@ -230,3 +230,67 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard_x1000") >= threshold_x1000)
         .orderBy("doc_a", "doc_b")
     )
+
+
+def neardup_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs: every document in a
+    component gets ``cluster_id`` = the component's minimum doc id (the one
+    a dedup pass keeps). Input is any pair DataFrame (MinHash-LSH, SimHash,
+    embedding near-dups); output covers only docs that appear in a pair —
+    singletons are trivially their own cluster and would bloat the result.
+
+    Iterative min-label propagation: labels flow along edges until a
+    fixpoint; each round is one shuffle (join on node id) + one grouped
+    min. Rounds needed = component diameter ≈ log for the chain-y clusters
+    near-dup graphs have (dup clusters are near-cliques — typically 2-3
+    rounds). ``localCheckpoint`` truncates the growing lineage each round
+    so the final plan stays iteration-count-independent (an iterative
+    driver loop, NOT a driver-side union-find: the edge set never leaves
+    the executors). At extreme scale, swap for large-star/small-star
+    (Kiveris et al.) — same contract.
+
+    Not SQL-expressible in one query (recursive CTE over an arbitrary graph
+    explodes); the catalog records it rows-only, pytest pins exactness
+    against a Python union-find on collected pairs.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        prop = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .groupBy(F.col("dst").alias("nid"))
+            .agg(F.min("label").alias("cand"))
+        )
+        new_labels = (
+            labels.join(prop, labels["id"] == prop["nid"], "left")
+            .select("id", F.least("label", "cand").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).orderBy("doc_id")

@@ -63,3 +63,57 @@ def quality_filter(
         & (m["alpha_ratio_x1000"] >= min_alpha_x1000)
         & (m["digit_ratio_x1000"] <= max_digit_x1000)
     )
+
+
+def top_ngrams(
+    documents: DataFrame,
+    n: int = 2,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide n-gram DOCUMENT frequency, top-k.
+
+    Shingles are distinct per doc (word_shingles), so the count is document
+    frequency, not raw term frequency — the statistic vocabulary builders
+    and contamination checks actually want. Map-side explode → partial agg
+    → one shuffle on the ngram key → global top-k (TakeOrderedAndProject,
+    never a full sort).
+    """
+    sh = documents.select(F.explode(X.word_shingles(text_col, n)).alias("ngram"))
+    return (
+        sh.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), "ngram")
+        .limit(k)
+    )
+
+
+# per-language keep-percentages for the stratified sample (downsample the
+# high-resource language, keep the rest) — literals shared with the SQL twin
+SAMPLE_RATES = {"en": 25, "zh": 80, "es": 80, "de": 80, "fr": 80}
+SAMPLE_DEFAULT_PCT = 100
+_SAMPLE_SALT = ":sample"
+
+
+def stratified_hash_sample(
+    documents: DataFrame,
+    rates: dict[str, int] | None = None,
+    default_pct: int = SAMPLE_DEFAULT_PCT,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified sampling: keep a per-language percentage of
+    documents, decided by a salted content-free hash of the id — no RNG, so
+    the sample is stable across runs, engines, and partitionings (exactly
+    reproducible pipeline slices; ``sampleBy`` is seed+partition dependent).
+
+    Map-only: the keep-decision is a pushed-down filter, zero shuffle.
+    """
+    rates = SAMPLE_RATES if rates is None else rates
+    bucket = X.h60(F.concat(F.col(id_col).cast("string"), F.lit(_SAMPLE_SALT))) % 100
+    keep = F.lit(default_pct)
+    for lang, pct in sorted(rates.items()):
+        keep = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(keep)
+    return documents.select(
+        F.col(id_col).alias("doc_id"), "lang", bucket.alias("sample_bucket")
+    ).filter(F.col("sample_bucket") < keep)

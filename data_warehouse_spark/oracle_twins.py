@@ -338,6 +338,26 @@ SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {k}
 ORDER BY query_id, rank"""
 
 
+def top_ngrams_sql(n: int = 2, k: int = 20) -> str:
+    return f"""
+WITH {shingles_cte(n)}
+SELECT ngram, CAST(COUNT(*) AS BIGINT) AS doc_freq
+FROM (SELECT doc_id, unnest(shingles) AS ngram FROM sh)
+GROUP BY ngram ORDER BY doc_freq DESC, ngram LIMIT {k}"""
+
+
+def stratified_sample_sql(rates: dict[str, int], default_pct: int, salt: str) -> str:
+    whens = " ".join(
+        f"WHEN '{lang}' THEN {pct}" for lang, pct in sorted(rates.items())
+    )
+    bucket = H60.format(s=f"concat(CAST(doc_id AS VARCHAR), '{salt}')")
+    return f"""
+SELECT doc_id, lang, ({bucket}) % 100 AS sample_bucket
+FROM documents
+WHERE ({bucket}) % 100 < (CASE lang {whens} ELSE {default_pct} END)
+ORDER BY doc_id"""
+
+
 def ann_ivf_sql(
     query_ids: list[int],
     k: int = 5,

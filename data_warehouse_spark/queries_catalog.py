@@ -651,6 +651,44 @@ def _doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_top_ngrams",
+    tw.top_ngrams_sql(n=2, k=20),
+    "corpus-wide 2-gram document frequency, global top-20 "
+    "(explode → partial agg → single shuffle → TakeOrdered)",
+)
+def _doc_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.top_ngrams(cat.load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_hash_sample",
+    tw.stratified_sample_sql(
+        text_analysis.SAMPLE_RATES,
+        text_analysis.SAMPLE_DEFAULT_PCT,
+        ":sample",
+    ),
+    "deterministic stratified sample (per-language keep %, salted id hash "
+    "— reproducible across runs/engines/partitionings, zero shuffle)",
+)
+def _doc_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.stratified_hash_sample(
+        cat.load_table(spark, sf_dir, "documents")
+    ).orderBy("doc_id")
+
+
+@register(
+    "doc_neardup_clusters",
+    None,  # iterative graph algorithm — recursive SQL twin intractable;
+    # rows-only here, exactness pinned by pytest vs a Python union-find
+    "connected components over MinHash-LSH near-dup pairs: cluster_id = "
+    "min doc id (iterative min-label propagation, lineage-checkpointed)",
+)
+def _doc_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup.minhash_lsh_duplicates(cat.load_table(spark, sf_dir, "documents"))
+    return dedup.neardup_clusters(pairs)
+
+
+@register(
     "ann_bruteforce_topk",
     tw.ann_bruteforce_sql(_ANN_QUERY_IDS, k=5),
     "exact cosine top-5 neighbors for 5 query vectors (broadcast cross-score)",

@@ -165,3 +165,50 @@ def test_ann_ivf_structure_and_recall(spark):
     exact = similarity.brute_force_topk(emb, qids, k=5).collect()
     key = lambda r: (r["query_id"], r["rank"], r["neighbor_id"])
     assert sorted(map(key, exhaustive)) == sorted(map(key, exact))
+
+
+def test_neardup_clusters_match_union_find(spark):
+    """Label propagation must produce EXACTLY the components a reference
+    union-find computes on the same pairs (min-id as cluster id)."""
+    pairs = spark.createDataFrame(
+        # two chains that meet + an isolated pair: {1,2,3,9}, {4,7}, {5,6}
+        [(2, 3), (1, 2), (3, 9), (4, 7), (5, 6)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.neardup_clusters(pairs).collect()
+    }
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in [(2, 3), (1, 2), (3, 9), (4, 7), (5, 6)]:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {(n, find(n)) for n in parent}
+    assert got == want
+
+
+def test_neardup_clusters_on_real_pairs(spark):
+    """End-to-end on the corpus: every pair's two docs share a cluster, and
+    each cluster id is the min doc id of its members."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pairs = dedup.minhash_lsh_duplicates(docs)
+    clusters = dedup.neardup_clusters(pairs)
+    label = {r["doc_id"]: r["cluster_id"] for r in clusters.collect()}
+    pair_rows = [(r["doc_a"], r["doc_b"]) for r in pairs.collect()]
+    assert pair_rows, "fixture must contain near-dup pairs"
+    for a, b in pair_rows:
+        assert label[a] == label[b], (a, b)
+    members: dict[int, list[int]] = {}
+    for doc, cl in label.items():
+        members.setdefault(cl, []).append(doc)
+    for cl, ms in members.items():
+        assert cl == min(ms)
