@@ -117,3 +117,67 @@ def stratified_hash_sample(
     return documents.select(
         F.col(id_col).alias("doc_id"), "lang", bucket.alias("sample_bucket")
     ).filter(F.col("sample_bucket") < keep)
+
+
+def repetition_profile(
+    documents: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document n-gram repetition ratio — the boilerplate/spam signal
+    quality pipelines gate on: 1000·(total n-grams − distinct n-grams) ÷
+    total, as exact integer permille (`div`, never float division — a
+    correctly-rounded double quotient can truncate across an integer
+    boundary and disagree with exact floor). Map-only, zero shuffle."""
+    toks = X.tokens(text_col)
+    total = F.greatest(F.size(toks) - (n - 1), F.lit(0)).cast("bigint")
+    distinct = F.size(X.word_shingles(text_col, n)).cast("bigint")
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        total.alias("total_ngrams"),
+        distinct.alias("distinct_ngrams"),
+    ).select(
+        "doc_id",
+        "total_ngrams",
+        "distinct_ngrams",
+        F.when(
+            F.col("total_ngrams") > 0,
+            F.expr("(1000 * (total_ngrams - distinct_ngrams)) div total_ngrams"),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("repetition_x1000"),
+    )
+
+
+def benchmark_contamination(
+    documents: DataFrame,
+    bench_mod: int = 97,
+    n: int = 3,
+    k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train/benchmark contamination scan: corpus docs sharing ≥1 distinct
+    n-gram with the held-out set (docs whose id ≡ 0 mod ``bench_mod`` —
+    stand-in for an external eval suite), top-k by shared-gram count.
+
+    The decontamination plan shape at scale: both sides explode to
+    (doc, gram-HASH) — the 60-bit key shrinks the shuffle payload vs
+    shipping gram strings — the benchmark side dedups to a gram set
+    (small: |bench| ≪ |corpus|), and the join shuffles on the gram key
+    where skew is bounded because benchmark grams are distinct."""
+    grams = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(X.word_shingles(text_col, n)).alias("g"),
+    ).select("doc_id", X.h60(F.col("g")).alias("gk"))
+    bench = grams.filter(F.col("doc_id") % bench_mod == 0).select("gk").distinct()
+    corpus = grams.filter(F.col("doc_id") % bench_mod != 0)
+    return (
+        corpus.join(bench, "gk")
+        .groupBy("doc_id")
+        .agg(F.count_distinct(F.col("gk")).alias("n_shared_grams"))
+        .orderBy(F.desc("n_shared_grams"), "doc_id")
+        .limit(k)
+    )

@@ -358,6 +358,40 @@ WHERE ({bucket}) % 100 < (CASE lang {whens} ELSE {default_pct} END)
 ORDER BY doc_id"""
 
 
+def repetition_sql(n: int = 3) -> str:
+    return f"""
+WITH tok AS (SELECT doc_id, {_toks()} AS toks FROM documents),
+m AS (
+  SELECT doc_id,
+         CAST(greatest(len(toks) - {n - 1}, 0) AS BIGINT) AS total_ngrams,
+         CAST(CASE WHEN len(toks) >= {n}
+              THEN len(list_distinct(list_transform(range(1, len(toks) - {n - 2}),
+                       i -> concat_ws(' ', {' , '.join(f'toks[i+{j}]' for j in range(n))}))))
+              ELSE 0 END AS BIGINT) AS distinct_ngrams
+  FROM tok
+)
+SELECT doc_id, total_ngrams, distinct_ngrams,
+       CAST(CASE WHEN total_ngrams > 0
+            THEN (1000 * (total_ngrams - distinct_ngrams)) // total_ngrams
+            ELSE 0 END AS BIGINT) AS repetition_x1000
+FROM m"""
+
+
+def contamination_sql(bench_mod: int = 97, n: int = 3, k: int = 50) -> str:
+    gk = H60.format(s="g")
+    return f"""
+WITH {shingles_cte(n)},
+grams AS (
+  SELECT doc_id, {gk} AS gk
+  FROM (SELECT doc_id, unnest(shingles) AS g FROM sh)
+),
+bench AS (SELECT DISTINCT gk FROM grams WHERE doc_id % {bench_mod} = 0),
+corpus AS (SELECT * FROM grams WHERE doc_id % {bench_mod} <> 0)
+SELECT doc_id, CAST(COUNT(DISTINCT corpus.gk) AS BIGINT) AS n_shared_grams
+FROM corpus JOIN bench ON corpus.gk = bench.gk
+GROUP BY doc_id ORDER BY n_shared_grams DESC, doc_id LIMIT {k}"""
+
+
 def ann_ivf_sql(
     query_ids: list[int],
     k: int = 5,

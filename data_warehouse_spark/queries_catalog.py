@@ -689,6 +689,28 @@ def _doc_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_repetition",
+    tw.repetition_sql(n=3),
+    "per-doc 3-gram repetition permille (boilerplate/spam signal) — "
+    "integer `div`, map-only",
+)
+def _doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.repetition_profile(cat.load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_contamination",
+    tw.contamination_sql(bench_mod=97, n=3, k=50),
+    "train/benchmark contamination: corpus docs sharing 3-grams with the "
+    "held-out set, joined on 60-bit gram hashes, top-50",
+)
+def _doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.benchmark_contamination(
+        cat.load_table(spark, sf_dir, "documents")
+    )
+
+
+@register(
     "ann_bruteforce_topk",
     tw.ann_bruteforce_sql(_ANN_QUERY_IDS, k=5),
     "exact cosine top-5 neighbors for 5 query vectors (broadcast cross-score)",
