@@ -102,6 +102,12 @@ class TableStore:
         tdir = self._table_dir(name)
         os.makedirs(tdir, exist_ok=True)
         prev = self._resolve(name)
+        # record lineage BEFORE the swap: version dirs are unordered uuids,
+        # so the _previous pointer is what makes time travel resolvable
+        ptmp = os.path.join(tdir, f"_previous.tmp-{uuid.uuid4().hex[:8]}")
+        with open(ptmp, "w") as f:
+            f.write(os.path.basename(prev) if prev else "")
+        os.replace(ptmp, os.path.join(tdir, "_previous"))
         tmp = os.path.join(tdir, f"_current.tmp-{uuid.uuid4().hex[:8]}")
         with open(tmp, "w") as f:
             f.write(os.path.basename(new_version_dir))
@@ -129,6 +135,30 @@ class TableStore:
             reader = reader.schema(self.schemas[name])
         df = reader.parquet(vdir)
         # project to declared column order (schema is fixed, never inferred)
+        return df.select(*[f.name for f in self.schemas[name].fields])
+
+    def read_previous(self, name: str) -> DataFrame | None:
+        """Time travel, depth 1: the table as of the snapshot BEFORE the
+        last write, or None when no previous snapshot exists.
+
+        Depth matches the store's retention (current + previous — the same
+        two snapshots kept for in-flight readers), so a time-travel read is
+        always backed by live files; deeper history would need a retention
+        policy, not different read plumbing. The audit/debug answer to
+        "what did the 2 s tick just change?": diff read vs read_previous.
+        """
+        tdir = self._table_dir(name)
+        try:
+            with open(os.path.join(tdir, "_previous")) as f:
+                v = f.read().strip()
+        except FileNotFoundError:
+            return None
+        if not v or not os.path.isdir(os.path.join(tdir, v)):
+            return None
+        reader = self.spark.read
+        if self.partitions.get(name):
+            reader = reader.schema(self.schemas[name])
+        df = reader.parquet(os.path.join(tdir, v))
         return df.select(*[f.name for f in self.schemas[name].fields])
 
     # ---- writers -------------------------------------------------------

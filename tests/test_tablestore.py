@@ -110,3 +110,25 @@ def test_insert_missing_appends_into_current_version(spark, tmp_path):
     assert store._resolve("t") == v1
     rows = {(r["tenant"], r["name"]): r["v"] for r in store.read("t").collect()}
     assert rows == {("A", "x"): 1, ("B", "z"): 1}
+
+
+def test_time_travel_reads_previous_snapshot(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    assert store.read_previous("t") is None  # never written
+    store.overwrite("t", _rows(spark, [("A", "x", 1)]))
+    assert store.read_previous("t") is None  # no snapshot before the first
+    store.overwrite("t", _rows(spark, [("A", "x", 2)]))
+    assert [r["v"] for r in store.read_previous("t").collect()] == [1]
+    assert [r["v"] for r in store.read("t").collect()] == [2]
+    store.overwrite("t", _rows(spark, [("A", "x", 3)]))
+    assert [r["v"] for r in store.read_previous("t").collect()] == [2]
+
+
+def test_time_travel_after_merge_shows_pre_merge_state(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    store.overwrite("t", _rows(spark, [("A", "x", 1)]))
+    store.merge_upsert("t", _rows(spark, [("A", "x", 9), ("A", "y", 1)]), ["tenant", "name"])
+    now = {(r["name"], r["v"]) for r in store.read("t").collect()}
+    before = {(r["name"], r["v"]) for r in store.read_previous("t").collect()}
+    assert now == {("x", 9), ("y", 1)}
+    assert before == {("x", 1)}
