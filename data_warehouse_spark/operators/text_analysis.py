@@ -7,7 +7,7 @@ throughput; all expressions are JVM-codegen'd (functions/text.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as X
@@ -180,4 +180,54 @@ def benchmark_contamination(
         .agg(F.count_distinct(F.col("gk")).alias("n_shared_grams"))
         .orderBy(F.desc("n_shared_grams"), "doc_id")
         .limit(k)
+    )
+
+
+PACK_SALT = ":pack"
+
+
+def pack_sequences(
+    documents: DataFrame,
+    max_tokens: int = 512,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-sequence packing, concat-and-chunk semantics: within each
+    shard, documents are concatenated in deterministic (doc_id) order and
+    the token stream is cut every ``max_tokens`` — each doc gets the
+    sequence id and offset where its tokens start (docs may straddle a
+    boundary, exactly like pretraining packing).
+
+    Shards are salted-hash buckets, so packing is embarrassingly parallel:
+    one window per shard (the partition key of the single shuffle), never a
+    global single-partition window — the difference between a packing job
+    that finishes at 100 TB and one that funnels the corpus through one
+    task. All arithmetic is integer (cumsum/div/mod): exact on any engine.
+    """
+    tok = X.token_count(text_col)
+    shard = (
+        X.h60(F.concat(F.col(id_col).cast("string"), F.lit(PACK_SALT))) % n_shards
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    base = documents.select(
+        F.col(id_col).alias("doc_id"),
+        shard.cast("bigint").alias("shard"),
+        tok.alias("n_tokens"),
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("bigint")
+    return base.select(
+        "doc_id", "shard", "n_tokens", start.alias("tok_start")
+    ).select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        # integer `div`/`%`, never float division (a correctly-rounded
+        # double quotient can truncate across an integer boundary)
+        F.expr(f"tok_start div {max_tokens}").cast("bigint").alias("seq_id"),
+        (F.col("tok_start") % max_tokens).cast("bigint").alias("seq_offset"),
     )

@@ -392,6 +392,29 @@ FROM corpus JOIN bench ON corpus.gk = bench.gk
 GROUP BY doc_id ORDER BY n_shared_grams DESC, doc_id LIMIT {k}"""
 
 
+def pack_sequences_sql(max_tokens: int = 512, n_shards: int = 8, salt: str = ":pack") -> str:
+    shard = H60.format(s=f"concat(CAST(doc_id AS VARCHAR), '{salt}')")
+    norm = _norm()
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         ({shard}) % {n_shards} AS shard,
+         CAST(CASE WHEN length({norm}) = 0 THEN 0
+              ELSE len({_toks()}) END AS BIGINT) AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS tok_start
+  FROM base
+)
+SELECT doc_id, shard, n_tokens,
+       CAST(tok_start // {max_tokens} AS BIGINT) AS seq_id,
+       CAST(tok_start % {max_tokens} AS BIGINT) AS seq_offset
+FROM packed"""
+
+
 def ann_ivf_sql(
     query_ids: list[int],
     k: int = 5,

@@ -711,6 +711,16 @@ def _doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_pack_sequences",
+    tw.pack_sequences_sql(max_tokens=512, n_shards=8),
+    "training-sequence packing (concat-and-chunk): shard-parallel window "
+    "cumsum, integer div/mod — each doc's sequence id + offset",
+)
+def _doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.pack_sequences(cat.load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "ann_bruteforce_topk",
     tw.ann_bruteforce_sql(_ANN_QUERY_IDS, k=5),
     "exact cosine top-5 neighbors for 5 query vectors (broadcast cross-score)",

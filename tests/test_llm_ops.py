@@ -212,3 +212,25 @@ def test_neardup_clusters_on_real_pairs(spark):
         members.setdefault(cl, []).append(doc)
     for cl, ms in members.items():
         assert cl == min(ms)
+
+
+def test_pack_sequences_contiguous_within_shard(spark):
+    """Concat-and-chunk invariants: within a shard, each doc starts exactly
+    where the previous ended (no gaps, no overlaps), and offsets stay below
+    max_tokens."""
+    from data_warehouse_spark.operators import text_analysis
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    packed = text_analysis.pack_sequences(docs, max_tokens=512).collect()
+    by_shard: dict[int, list] = {}
+    for r in packed:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert len(by_shard) == 8
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r["doc_id"])
+        expect_start = 0
+        for r in rows:
+            got_start = r["seq_id"] * 512 + r["seq_offset"]
+            assert got_start == expect_start
+            assert 0 <= r["seq_offset"] < 512
+            expect_start += r["n_tokens"]
