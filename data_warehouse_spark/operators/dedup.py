@@ -56,10 +56,14 @@ def minhash_signatures(
     Signature computation is entirely within-row (array transforms) — at
     cluster scale this stage is embarrassingly parallel with zero shuffle.
     """
-    sh = X.word_shingles(text_col, shingle_n)
     sigs = X.minhash_signature(F.col("hs"))
     return (
-        documents.select(F.col(id_col).alias("doc_id"), sh.alias("shingles"))
+        X.add_shingles(
+            documents.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t")),
+            "__t",
+            shingle_n,
+        )
+        .drop("__t")
         .withColumn("hs", X.hashed_shingles(F.col("shingles")))
         .select(
             "doc_id",
@@ -214,10 +218,15 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard — the small-data oracle / recall
     baseline that LSH approximates. O(n²); never run above ~10⁵ docs."""
-    sh = documents.select(
-        F.col(id_col).alias("doc_id"),
-        X.word_shingles(text_col, shingle_n).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
+    sh = (
+        X.add_shingles(
+            documents.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t")),
+            "__t",
+            shingle_n,
+        )
+        .drop("__t")
+        .filter(F.size("shingles") > 0)
+    )
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

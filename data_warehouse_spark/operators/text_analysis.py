@@ -80,7 +80,9 @@ def top_ngrams(
     → one shuffle on the ngram key → global top-k (TakeOrderedAndProject,
     never a full sort).
     """
-    sh = documents.select(F.explode(X.word_shingles(text_col, n)).alias("ngram"))
+    sh = X.add_shingles(
+        documents.select(F.col(text_col).alias("__t")), "__t", n
+    ).select(F.explode("shingles").alias("ngram"))
     return (
         sh.groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("doc_freq"))
@@ -130,13 +132,17 @@ def repetition_profile(
     total, as exact integer permille (`div`, never float division — a
     correctly-rounded double quotient can truncate across an integer
     boundary and disagree with exact floor). Map-only, zero shuffle."""
-    toks = X.tokens(text_col)
+    toks = X.tokens("__t")
     total = F.greatest(F.size(toks) - (n - 1), F.lit(0)).cast("bigint")
-    distinct = F.size(X.word_shingles(text_col, n)).cast("bigint")
-    return documents.select(
-        F.col(id_col).alias("doc_id"),
+    base = X.add_shingles(
+        documents.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t")),
+        "__t",
+        n,
+    )
+    return base.select(
+        "doc_id",
         total.alias("total_ngrams"),
-        distinct.alias("distinct_ngrams"),
+        F.size("shingles").cast("bigint").alias("distinct_ngrams"),
     ).select(
         "doc_id",
         "total_ngrams",
@@ -168,10 +174,15 @@ def benchmark_contamination(
     shipping gram strings — the benchmark side dedups to a gram set
     (small: |bench| ≪ |corpus|), and the join shuffles on the gram key
     where skew is bounded because benchmark grams are distinct."""
-    grams = documents.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(X.word_shingles(text_col, n)).alias("g"),
-    ).select("doc_id", X.h60(F.col("g")).alias("gk"))
+    grams = (
+        X.add_shingles(
+            documents.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t")),
+            "__t",
+            n,
+        )
+        .select("doc_id", F.explode("shingles").alias("g"))
+        .select("doc_id", X.h60(F.col("g")).alias("gk"))
+    )
     bench = grams.filter(F.col("doc_id") % bench_mod == 0).select("gk").distinct()
     corpus = grams.filter(F.col("doc_id") % bench_mod != 0)
     return (

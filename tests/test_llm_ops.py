@@ -234,3 +234,16 @@ def test_pack_sequences_contiguous_within_shard(spark):
             assert got_start == expect_start
             assert 0 <= r["seq_offset"] < 512
             expect_start += r["n_tokens"]
+
+
+def test_add_shingles_equals_word_shingles(spark):
+    """The JVM NGram fast path must be set-identical to the HOF Column form
+    on the real corpus (incl. empty/short docs)."""
+    from data_warehouse_spark.functions import text as X
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    hof = docs.select("doc_id", F.array_sort(X.word_shingles("text", 3)).alias("s"))
+    fast = X.add_shingles(docs.select("doc_id", "text"), "text", 3).select(
+        "doc_id", F.array_sort("shingles").alias("s")
+    )
+    assert hof.join(fast, "doc_id").filter(hof["s"] != fast["s"]).count() == 0
