@@ -168,3 +168,108 @@ def media_stats(media: DataFrame) -> DataFrame:
         )
         .orderBy("kind")
     )
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("duration_ms", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+    ]
+)
+
+
+def extract_audio_features(media: DataFrame, decode: str = "fake") -> DataFrame:
+    """payload → (sample_rate, n_samples, duration_ms) via mapInPandas.
+    Fake codec parses the header bytes the way a WAV/FLAC reader would
+    (rate from a header byte, sample count from the data length) — all
+    integer arithmetic, so the SQL twin recomputes it exactly."""
+    if decode not in ("fake", "real"):
+        raise ValueError("decode must be 'fake' or 'real'")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if decode == "real":
+                raise NotImplementedError(
+                    "real audio decode requires soundfile/ffmpeg — not in "
+                    "this image; plumbing is exercised via decode='fake'"
+                )
+            out = {k.name: [] for k in AUDIO_FEATURES_SCHEMA.fields}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                p = raw + bytes(8)
+                rate = 8000 * (1 + p[4] % 6)
+                n_samples = max(len(raw) - 4, 0) * 4
+                out["media_id"].append(mid)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(n_samples)
+                out["duration_ms"].append(n_samples * 1000 // rate)
+                out["n_bytes"].append(len(raw))
+            yield pd.DataFrame(out)
+
+    pruned = media.filter(F.col("kind") == "audio").select("media_id", "payload")
+    return pruned.mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
+
+
+RESIZED_IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("channels", T.IntegerType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+    ]
+)
+
+_RESIZE_PIXEL_CAP = 256  # fake codec caps the pixel buffer it synthesizes
+
+
+def resize_images(
+    media: DataFrame, target_w: int = 64, target_h: int = 64, decode: str = "fake"
+) -> DataFrame:
+    """payload → re-encoded payload at (target_w, target_h) via mapInPandas
+    — the map-only re-encode stage of an image pipeline (thumbnailing /
+    model-input normalization). Fake codec: 5-byte header (dims+channels) +
+    a digest-stretched pixel buffer of min(w·h·c, cap) bytes; output size
+    is a pure function of the input header, so the catalog checks the
+    metadata against a SQL twin while pytest pins payload determinism."""
+    if decode not in ("fake", "real"):
+        raise ValueError("decode must be 'fake' or 'real'")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if decode == "real":
+                raise NotImplementedError(
+                    "real resize requires PIL/libvips — not in this image; "
+                    "plumbing is exercised via decode='fake'"
+                )
+            out = {k.name: [] for k in RESIZED_IMAGE_SCHEMA.fields}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                p = raw + bytes(8)
+                channels = 1 + p[4] % 4
+                n_pix = min(target_w * target_h * channels, _RESIZE_PIXEL_CAP)
+                pixels = bytearray()
+                seed = raw + target_w.to_bytes(2, "big") + target_h.to_bytes(2, "big")
+                while len(pixels) < n_pix:
+                    seed = hashlib.sha256(seed).digest()
+                    pixels.extend(seed)
+                body = (
+                    target_w.to_bytes(2, "big")
+                    + target_h.to_bytes(2, "big")
+                    + bytes([channels])
+                    + bytes(pixels[:n_pix])
+                )
+                out["media_id"].append(mid)
+                out["width"].append(target_w)
+                out["height"].append(target_h)
+                out["channels"].append(channels)
+                out["payload"].append(body)
+                out["n_bytes"].append(len(body))
+            yield pd.DataFrame(out)
+
+    pruned = media.filter(F.col("kind") == "image").select("media_id", "payload")
+    return pruned.mapInPandas(batches, RESIZED_IMAGE_SCHEMA)

@@ -392,6 +392,32 @@ FROM corpus JOIN bench ON corpus.gk = bench.gk
 GROUP BY doc_id ORDER BY n_shared_grams DESC, doc_id LIMIT {k}"""
 
 
+def media_audio_features_sql() -> str:
+    rate = "8000 * (1 + CAST('0x' || substr(h, 9, 2) AS BIGINT) % 6)"
+    samples = "greatest(n_bytes - 4, 0) * 4"
+    return f"""
+WITH {_MEDIA_CTE}
+SELECT media_id,
+       CAST({rate} AS BIGINT) AS sample_rate,
+       CAST({samples} AS BIGINT) AS n_samples,
+       CAST(({samples} * 1000) // ({rate}) AS BIGINT) AS duration_ms,
+       n_bytes
+FROM m WHERE kind = 'audio' ORDER BY media_id"""
+
+
+def media_resize_sql(target_w: int = 64, target_h: int = 64, pixel_cap: int = 256) -> str:
+    channels = "1 + CAST('0x' || substr(h, 9, 2) AS BIGINT) % 4"
+    return f"""
+WITH {_MEDIA_CTE}
+SELECT media_id,
+       CAST({target_w} AS BIGINT) AS width,
+       CAST({target_h} AS BIGINT) AS height,
+       CAST({channels} AS BIGINT) AS channels,
+       CAST(5 + least({target_w} * {target_h} * ({channels}), {pixel_cap}) AS BIGINT)
+           AS n_bytes
+FROM m WHERE kind = 'image' ORDER BY media_id"""
+
+
 def pack_sequences_sql(max_tokens: int = 512, n_shards: int = 8, salt: str = ":pack") -> str:
     shard = H60.format(s=f"concat(CAST(doc_id AS VARCHAR), '{salt}')")
     norm = _norm()

@@ -799,6 +799,35 @@ def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_audio_features",
+    tw.media_audio_features_sql(),
+    "audio header decode via mapInPandas: sample rate, sample count, "
+    "integer-exact duration",
+)
+def _media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.extract_audio_features(_media(spark, sf_dir)).orderBy("media_id")
+
+
+@register(
+    "media_resize",
+    tw.media_resize_sql(target_w=64, target_h=64),
+    "image re-encode to 64×64 via mapInPandas (metadata oracle-checked; "
+    "payload determinism pinned by pytest)",
+)
+def _media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    resized = multimodal.resize_images(_media(spark, sf_dir), 64, 64)
+    return resized.select(
+        "media_id",
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        F.col("channels").cast("bigint").alias("channels"),
+        "n_bytes",
+    ).orderBy("media_id")
+
+
+@register(
     "media_stats",
     tw.media_stats_sql(),
     "per-kind media rollup (counts are metadata-only; bytes scan the blob "

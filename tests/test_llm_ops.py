@@ -247,3 +247,17 @@ def test_add_shingles_equals_word_shingles(spark):
         "doc_id", F.array_sort("shingles").alias("s")
     )
     assert hof.join(fast, "doc_id").filter(hof["s"] != fast["s"]).count() == 0
+
+
+def test_resize_payload_deterministic_and_shaped(spark):
+    """Fake re-encode: payload = 5-byte header + capped pixel buffer, and
+    byte-identical across runs (resumable pipelines re-derive shards)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(30)
+    media = multimodal.media_from_documents(docs)
+    a = {r["media_id"]: bytes(r["payload"]) for r in multimodal.resize_images(media, 8, 8).collect()}
+    b = {r["media_id"]: bytes(r["payload"]) for r in multimodal.resize_images(media, 8, 8).collect()}
+    assert a and a == b
+    for r in multimodal.resize_images(media, 8, 8).collect():
+        assert len(bytes(r["payload"])) == 5 + min(8 * 8 * r["channels"], 256)
+        w = int.from_bytes(bytes(r["payload"])[0:2], "big")
+        assert w == 8 == r["width"]
