@@ -187,3 +187,43 @@ def test_ivf_corpus_assignment_is_map_side(spark):
     assert rep.broadcast_joins >= 1, rep.text
     assert rep.cartesian_products <= 1, rep.text
     assert rep.exchanges <= 4, rep.text
+
+
+def test_hash_sample_is_shuffle_free(spark):
+    from data_warehouse_spark.operators import text_analysis
+
+    df = text_analysis.stratified_hash_sample(cat.load_table(spark, SF_DIR, "documents"))
+    rep = plan_report(df)
+    assert rep.exchanges == 0, rep.text  # pure map-side filter
+    cols = rep.scans_column_count("documents")
+    assert cols is not None and cols <= 2, rep.text  # doc_id + lang only
+
+
+def test_repetition_profile_is_shuffle_free(spark):
+    from data_warehouse_spark.operators import text_analysis
+
+    df = text_analysis.repetition_profile(cat.load_table(spark, SF_DIR, "documents"))
+    rep = plan_report(df)
+    assert rep.exchanges == 0, rep.text
+
+
+def test_pack_sequences_single_shuffle(spark):
+    from data_warehouse_spark.operators import text_analysis
+
+    df = text_analysis.pack_sequences(cat.load_table(spark, SF_DIR, "documents"))
+    rep = plan_report(df)
+    # one exchange: the per-shard window. A global (single-partition) window
+    # would also show one exchange but SinglePartition — assert the
+    # partitioning carries the shard key.
+    assert rep.exchanges == 1, rep.text
+    assert "hashpartitioning(shard" in rep.text, rep.text
+
+
+def test_contamination_no_cartesian_and_pruned(spark):
+    from data_warehouse_spark.operators import text_analysis
+
+    df = text_analysis.benchmark_contamination(cat.load_table(spark, SF_DIR, "documents"))
+    rep = plan_report(df)
+    assert rep.cartesian_products == 0, rep.text
+    cols = rep.scans_column_count("documents")
+    assert cols is not None and cols <= 2, rep.text  # doc_id + text
