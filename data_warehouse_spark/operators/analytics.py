@@ -355,3 +355,81 @@ def acctbal_extremes_union(customer: DataFrame, supplier: DataFrame, k: int = 10
         .limit(k)
     )
     return c.unionByName(s).orderBy("party", F.desc("acctbal_cents"), "name")
+
+
+# --- events: multi-step funnel -----------------------------------------------
+def funnel(
+    events: DataFrame,
+    steps: list[str] = ("view", "click", "purchase"),
+    within_days: int = 7,
+) -> DataFrame:
+    """Ordered conversion funnel: users whose step-k event follows their
+    step-(k-1) event, all within ``within_days`` of step 1.
+
+    Progressive agg-then-join: each stage aggregates to ≤ |users| rows
+    (min event time per user) BEFORE joining the next step's filtered
+    scan — never an events×events self-join. Time math in integer µs
+    (``unix_micros`` ≡ DuckDB ``epoch_us``), the engine's timestamp
+    convention. Output: one row per step with the surviving user count.
+    """
+    us = F.unix_micros(F.col("ts"))
+    window_us = within_days * 86_400_000_000
+    reached = (
+        events.filter(F.col("event_type") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min(us).alias("t_prev"))
+        .withColumn("t_first", F.col("t_prev"))
+    )
+
+    def stage_count(df, i, step):
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i + 1).cast("bigint").alias("step"),
+            F.lit(step).alias("event_type"),
+            "n_users",
+        )
+
+    out = stage_count(reached, 0, steps[0])
+    for i, step in enumerate(steps[1:], start=1):
+        nxt = events.filter(F.col("event_type") == step).select(
+            "user_id", us.alias("t_step")
+        )
+        reached = (
+            nxt.join(reached, "user_id")
+            .filter(
+                (F.col("t_step") > F.col("t_prev"))
+                & (F.col("t_step") <= F.col("t_first") + window_us)
+            )
+            .groupBy("user_id", "t_first")
+            .agg(F.min("t_step").alias("t_prev"))
+            .select("user_id", "t_prev", "t_first")
+        )
+        out = out.unionByName(stage_count(reached, i, step))
+    return out.orderBy("step")
+
+
+# --- events: retention cohorts ------------------------------------------------
+def retention_cohorts(events: DataFrame, max_weeks: int = 8) -> DataFrame:
+    """Weekly retention triangle: users grouped by first-seen DATE-derived
+    cohort, counted distinct per whole-week offset.
+
+    Cohort anchor is each user's min event DATE (never ``date_trunc('week')``
+    — week-start conventions differ across engines); the offset is integer
+    day-difference ``div`` 7. Agg-then-join: first-seen shrinks to |users|
+    before rejoining the event stream.
+    """
+    first = events.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_day"))
+    joined = events.select("user_id", F.to_date("ts").alias("day")).join(first, "user_id")
+    return (
+        joined.select(
+            "user_id",
+            "cohort_day",
+            F.expr("datediff(day, cohort_day) div 7").cast("bigint").alias("week_offset"),
+        )
+        .filter(F.col("week_offset") <= max_weeks)
+        # DATE output degrades differently across engine→pandas bridges;
+        # surface the cohort anchor as midnight TIMESTAMP (the engine's
+        # proven cross-engine output type for day-grain keys)
+        .groupBy(F.col("cohort_day").cast("timestamp").alias("cohort_day"), "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_active_users"))
+        .orderBy("cohort_day", "week_offset")
+    )

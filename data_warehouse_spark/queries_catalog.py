@@ -495,6 +495,67 @@ def _events_salted_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_funnel",
+    """WITH s1 AS (
+         SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+         WHERE event_type = 'view' GROUP BY user_id
+       ),
+       s2 AS (
+         SELECT e.user_id, s1.t1, MIN(epoch_us(e.ts)) AS t2
+         FROM events e JOIN s1 ON e.user_id = s1.user_id
+         WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1
+           AND epoch_us(e.ts) <= s1.t1 + 604800000000
+         GROUP BY e.user_id, s1.t1
+       ),
+       s3 AS (
+         SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+         FROM events e JOIN s2 ON e.user_id = s2.user_id
+         WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+           AND epoch_us(e.ts) <= s2.t1 + 604800000000
+         GROUP BY e.user_id
+       )
+       SELECT * FROM (
+         SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+                CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
+         UNION ALL
+         SELECT CAST(2 AS BIGINT), 'click',
+                CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+         UNION ALL
+         SELECT CAST(3 AS BIGINT), 'purchase',
+                CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
+       ) ORDER BY step""",
+    "ordered view→click→purchase funnel within 7 days: progressive "
+    "agg-then-join, integer-µs time math, one row per step",
+)
+def _events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.funnel(cat.load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_retention_cohorts",
+    """WITH first AS (
+         SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+         FROM events GROUP BY user_id
+       ),
+       j AS (
+         SELECT e.user_id, f.cohort_day,
+                date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) // 7
+                    AS week_offset
+         FROM events e JOIN first f ON e.user_id = f.user_id
+       )
+       SELECT CAST(cohort_day AS TIMESTAMP) AS cohort_day,
+              CAST(week_offset AS BIGINT) AS week_offset,
+              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active_users
+       FROM j WHERE week_offset <= 8
+       GROUP BY cohort_day, week_offset ORDER BY cohort_day, week_offset""",
+    "weekly retention triangle anchored on first-seen DATE (integer "
+    "day-diff div 7 — no cross-engine week-start semantics)",
+)
+def _events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.retention_cohorts(cat.load_table(spark, sf_dir, "events"))
+
+
+@register(
     "events_hourly",
     """SELECT date_trunc('hour', ts) AS hour, event_type,
               CAST(COUNT(*) AS BIGINT) AS n_events,
