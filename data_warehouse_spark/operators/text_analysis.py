@@ -242,3 +242,28 @@ def pack_sequences(
         F.expr(f"tok_start div {max_tokens}").cast("bigint").alias("seq_id"),
         (F.col("tok_start") % max_tokens).cast("bigint").alias("seq_offset"),
     )
+
+
+def corpus_report(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """The dataset-card rollup: per (lang, source) doc counts, token mass,
+    and integer-permille mean quality — the one-page summary a corpus
+    release ships with. Single shuffle on the (tiny) group key; all
+    measures integer."""
+    m = X.quality_metrics(text_col)
+    per_doc = documents.select(
+        "lang",
+        "source",
+        m["n_tokens"].alias("n_tokens"),
+        m["alpha_ratio_x1000"].alias("alpha_x1000"),
+        m["stopword_ratio_x1000"].alias("stop_x1000"),
+    )
+    return (
+        per_doc.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.expr("sum(alpha_x1000) div count(*)").cast("bigint").alias("mean_alpha_x1000"),
+            F.expr("sum(stop_x1000) div count(*)").cast("bigint").alias("mean_stop_x1000"),
+        )
+        .orderBy("lang", "source")
+    )

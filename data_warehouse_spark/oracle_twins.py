@@ -193,6 +193,39 @@ def _in_list(words: list[str]) -> str:
     return ", ".join(f"'{w}'" for w in words)
 
 
+def corpus_report_sql() -> str:
+    """Rollup over the SAME per-doc quality expressions as profile_sql —
+    any edit there must be mirrored here (both derive from
+    functions/text.py quality_metrics)."""
+    norm = _norm()
+    return f"""
+WITH base AS (
+  SELECT lang, source, {norm} AS norm, {_toks()} AS toks,
+         CAST(length(text) AS BIGINT) AS n_chars, text
+  FROM documents
+),
+m AS (
+  SELECT lang, source,
+         CAST(CASE WHEN length(norm) = 0 THEN 0 ELSE len(toks) END AS BIGINT) AS n_tokens,
+         CAST(n_chars - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+         CAST(len(list_filter(toks, x -> x IN ({_in_list(LANG_STOPWORDS['en'])}))) AS BIGINT) AS n_stop,
+         n_chars
+  FROM base
+),
+per_doc AS (
+  SELECT lang, source, n_tokens,
+         CAST(floor(n_alpha * 1000 / greatest(n_chars, 1)) AS BIGINT) AS alpha_x1000,
+         CAST(floor(n_stop * 1000 / greatest(n_tokens, 1)) AS BIGINT) AS stop_x1000
+  FROM m
+)
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(CAST(SUM(alpha_x1000) AS BIGINT) // COUNT(*) AS BIGINT) AS mean_alpha_x1000,
+       CAST(CAST(SUM(stop_x1000) AS BIGINT) // COUNT(*) AS BIGINT) AS mean_stop_x1000
+FROM per_doc GROUP BY lang, source ORDER BY lang, source"""
+
+
 def langid_sql() -> str:
     hits = ",\n         ".join(
         f"CAST(len(list_filter(toks, x -> x IN ({_in_list(ws)}))) AS BIGINT) AS hits_{lang}"

@@ -712,6 +712,16 @@ def _doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_corpus_report",
+    tw.corpus_report_sql(),
+    "dataset-card rollup: per (lang, source) doc counts, token mass, "
+    "integer-permille mean quality",
+)
+def _doc_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.corpus_report(cat.load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "doc_top_ngrams",
     tw.top_ngrams_sql(n=2, k=20),
     "corpus-wide 2-gram document frequency, global top-20 "
