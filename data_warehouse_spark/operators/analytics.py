@@ -433,3 +433,24 @@ def retention_cohorts(events: DataFrame, max_weeks: int = 8) -> DataFrame:
         .agg(F.count_distinct("user_id").alias("n_active_users"))
         .orderBy("cohort_day", "week_offset")
     )
+
+
+# --- events: semi-structured props --------------------------------------------
+def props_rollup(events: DataFrame) -> DataFrame:
+    """Semi-structured column handling: extract a JSON field with the
+    JVM-codegen'd ``get_json_object`` (no Python, no schema inference) and
+    roll it up per event type. The pattern for property bags at 100 TB:
+    extract-then-aggregate, never materialize a parsed struct column wider
+    than the fields used."""
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.sum(F.when(F.col("k") > 50, 1).otherwise(0)).cast("bigint").alias("n_k_over_50"),
+        )
+        .orderBy("event_type")
+    )

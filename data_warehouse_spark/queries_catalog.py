@@ -495,6 +495,22 @@ def _events_salted_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_props_rollup",
+    """SELECT event_type,
+              CAST(COUNT(*) AS BIGINT) AS n_events,
+              CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+              CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+              CAST(SUM(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) > 50
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_k_over_50
+       FROM events GROUP BY event_type ORDER BY event_type""",
+    "semi-structured property-bag extraction (JVM get_json_object, no "
+    "schema inference) rolled up per event type",
+)
+def _events_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.props_rollup(cat.load_table(spark, sf_dir, "events"))
+
+
+@register(
     "events_funnel",
     """WITH s1 AS (
          SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
