@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import decimal
 import json
+import re
+import secrets
 
 from flask import Flask, Response, request
 
@@ -25,19 +27,21 @@ from .graphql_schema import execute
 
 # the embedded GraphiQL IDE (reference serves the same single-page asset on
 # GET /graphql — GraphQLRouter.scala:66-73); assets ride the public CDN so
-# the engine ships no JS bundle
+# the engine ships no JS bundle. Versions are PINNED (an unversioned URL
+# executes whatever the CDN serves next major). Air-gapped deployments
+# still have the full API via POST /graphql; only the IDE needs the CDN.
 GRAPHIQL_PAGE = """<!DOCTYPE html>
 <html>
 <head>
   <title>GraphiQL</title>
   <style>body { margin: 0; } #graphiql { height: 100vh; }</style>
-  <link rel="stylesheet" href="https://unpkg.com/graphiql/graphiql.min.css" />
+  <link rel="stylesheet" href="https://unpkg.com/graphiql@3.7.1/graphiql.min.css" />
 </head>
 <body>
   <div id="graphiql">Loading GraphiQL…</div>
-  <script crossorigin src="https://unpkg.com/react@18/umd/react.production.min.js"></script>
-  <script crossorigin src="https://unpkg.com/react-dom@18/umd/react-dom.production.min.js"></script>
-  <script crossorigin src="https://unpkg.com/graphiql/graphiql.min.js"></script>
+  <script crossorigin src="https://unpkg.com/react@18.3.1/umd/react.production.min.js"></script>
+  <script crossorigin src="https://unpkg.com/react-dom@18.3.1/umd/react-dom.production.min.js"></script>
+  <script crossorigin src="https://unpkg.com/graphiql@3.7.1/graphiql.min.js"></script>
   <script>
     const fetcher = GraphiQL.createFetcher({ url: '/graphql' });
     ReactDOM.createRoot(document.getElementById('graphiql')).render(
@@ -114,21 +118,24 @@ def _dumps_exact(obj) -> str:
     """JSON text with ``decimal.Decimal`` emitted as an EXACT numeric token
     (the reference serializes money as a BigDecimal JSON number; float64
     would corrupt balances above 2^53 cents). Standard ``json`` cannot emit
-    raw tokens from ``default``, so decimals detour through unique string
-    placeholders that are substituted back."""
+    raw tokens from ``default``, so decimals detour through placeholder
+    strings carrying a per-call random nonce (a user-supplied string can
+    never collide with it), substituted back in ONE regex pass."""
+    nonce = secrets.token_hex(12)
     placeholders: dict[str, str] = {}
 
     def default(o):
         if isinstance(o, decimal.Decimal):
-            key = f"\u0000dec:{len(placeholders)}\u0000"
+            key = f"\u0000dec:{nonce}:{len(placeholders)}\u0000"
             placeholders[key] = _num_token(o)
             return key
         raise TypeError(f"not JSON serializable: {type(o)}")
 
     s = json.dumps(obj, default=default)
-    for key, num in placeholders.items():
-        s = s.replace(json.dumps(key), num)
-    return s
+    if not placeholders:
+        return s
+    pattern = re.compile("|".join(re.escape(json.dumps(k)) for k in placeholders))
+    return pattern.sub(lambda m: placeholders[json.loads(m.group(0))], s)
 
 
 def _num_token(d: decimal.Decimal) -> str:

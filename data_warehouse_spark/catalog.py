@@ -195,11 +195,12 @@ class LazyViews(dict):
 
     def __init__(self, spark: SparkSession, sf_dir: str):
         super().__init__()
+        self._spark = spark
         self._sf_dir = sf_dir
         self._tables = load_all(spark, sf_dir)
 
     def __getitem__(self, name: str) -> DataFrame:
-        mat = _MATERIALIZED.get(self._sf_dir)
+        mat = _MATERIALIZED.get(_mat_key(self._spark, self._sf_dir))
         if mat is not None and name in mat:
             return mat[name]
         if name not in self:
@@ -207,9 +208,14 @@ class LazyViews(dict):
         return super().__getitem__(name)
 
 
-# sf_dir → {table: parquet-backed DataFrame}; populated by
-# materialize_warehouse (bench fixture setup — see below)
-_MATERIALIZED: dict[str, dict[str, DataFrame]] = {}
+# (applicationId, sf_dir) → {table: parquet-backed DataFrame}; populated by
+# materialize_warehouse (bench fixture setup — see below). Keyed by Spark
+# app so DataFrames from a stopped session are never served to a new one.
+_MATERIALIZED: dict[tuple[str, str], dict[str, DataFrame]] = {}
+
+
+def _mat_key(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    return (spark.sparkContext.applicationId, sf_dir)
 
 
 def materialize_warehouse(spark: SparkSession, sf_dir: str) -> None:
@@ -220,18 +226,21 @@ def materialize_warehouse(spark: SparkSession, sf_dir: str) -> None:
     writes them); deriving them per-query is a bench-fixture artifact that
     charges a five-way join to whatever operator runs first. Benchmarks call
     this in setup so ``wh_*`` timings measure the operator."""
+    import atexit
+    import shutil
     import tempfile
 
-    if sf_dir in _MATERIALIZED:
+    if _mat_key(spark, sf_dir) in _MATERIALIZED:
         return
     root = tempfile.mkdtemp(prefix="dwh-bench-wh-")
+    atexit.register(shutil.rmtree, root, True)
     views = LazyViews(spark, sf_dir)
     out: dict[str, DataFrame] = {}
     for name in ("tenant", "account", "transfer", "account_balance_change"):
         path = os.path.join(root, name)
         views[name].write.parquet(path)
         out[name] = spark.read.parquet(path)
-    _MATERIALIZED[sf_dir] = out
+    _MATERIALIZED[_mat_key(spark, sf_dir)] = out
 
 
 def warehouse_views(spark: SparkSession, sf_dir: str) -> LazyViews:

@@ -208,7 +208,16 @@ def ivf_index(
     ``ORDER BY cos DESC, cell_id DESC``)."""
     key = None
     if cache_key is not None:
-        key = (embeddings.sparkSession.sparkContext.applicationId, cache_key, n_cells)
+        # the full geometry + column identity is part of the key — two
+        # callers sharing a cache_key but reading different columns must
+        # never see each other's index
+        key = (
+            embeddings.sparkSession.sparkContext.applicationId,
+            cache_key,
+            n_cells,
+            id_col,
+            vec_col,
+        )
         hit = _IVF_INDEX_CACHE.get(key)
         if hit is not None:
             return hit

@@ -40,7 +40,17 @@ def salted_join(
     The salt is a deterministic hash of the full stream row (NOT of the join
     key — a hot key's rows must spread across salts), so recomputation under
     task retry reproduces the same assignment.
+
+    Only stream-sided join types are supported: the build side is
+    REPLICATED, so right/full joins would emit unmatched build rows once
+    per salt (and null-padded rows for salts with no stream partner) —
+    swap the arguments instead of asking for a right join.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join supports stream-sided joins only, not {how!r}: "
+            "the replicated build side breaks right/full semantics"
+        )
     if _SALT in stream.columns or _SALT in build.columns:
         raise ValueError(f"{_SALT} column collides")
     salted_stream = stream.withColumn(

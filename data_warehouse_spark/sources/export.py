@@ -45,7 +45,10 @@ def export_jsonl(
     if compression:
         writer = writer.option("compression", compression)
     writer.json(path)
-    n = df.count()
+    # count what was WRITTEN, not a re-execution of the input plan — a
+    # nondeterministic upstream (sample, unordered limit) would make
+    # df.count() disagree with the shards the consumer actually reads
+    n = df.sparkSession.read.schema(df.schema).json(path).count()
     with open(os.path.join(path, MANIFEST), "w") as f:
         json.dump({"rows": n, "schema": df.schema.jsonValue()}, f)
     return n

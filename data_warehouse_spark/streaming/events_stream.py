@@ -128,8 +128,16 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         for pdf in pdf_iter:
             n += len(pdf)
             # per-row fixed-point BEFORE summing — the cents() convention used
-            # engine-wide; rounding a float group-sum drifts by a cent at scale
-            cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+            # engine-wide. Spark's F.round is HALF_UP (away from zero) while
+            # pandas .round() is banker's half-even, so half-cents must be
+            # rounded explicitly or the stream drifts from every batch twin.
+            import numpy as np
+
+            scaled = pdf["value"].to_numpy(dtype="float64") * 100.0
+            half_up = np.where(
+                scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5)
+            )
+            cents += int(half_up.astype("int64").sum())
         state.update((n, cents))
         yield pd.DataFrame(
             {"user_id": [user_id], "n_events": [n], "value_cents": [cents]}

@@ -188,3 +188,18 @@ def test_graphiql_ide_served(client):
     page = rv.data.decode()
     assert "graphiql.min.js" in page and 'id="graphiql"' in page
     assert "createFetcher" in page  # wired to POST /graphql
+
+
+def test_dumps_exact_survives_placeholder_shaped_strings():
+    """A string VALUE shaped like a decimal placeholder must come back
+    verbatim - never be rewritten into a raw numeric token."""
+    import decimal
+    import json as _json
+
+    from data_warehouse_spark.api.http import _dumps_exact
+
+    evil = "\u0000dec:0\u0000"  # the pre-nonce placeholder shape
+    out = _dumps_exact({"s": evil, "d": decimal.Decimal("12345678901234567.89")})
+    body = _json.loads(out.replace("12345678901234567.89", '"X"'))
+    assert body["s"] == evil
+    assert "12345678901234567.89" in out

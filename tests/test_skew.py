@@ -53,3 +53,13 @@ def test_salt_column_collision_rejected(spark):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_salted_join_rejects_build_sided_how(spark):
+    df = spark.createDataFrame([("a", 1)], ["k", "v"])
+    for how in ("right", "full", "right_outer", "full_outer"):
+        try:
+            salted_join(df, df, on=["k"], how=how)
+            raise AssertionError(f"{how} must be rejected")
+        except ValueError:
+            pass
