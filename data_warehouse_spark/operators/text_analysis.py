@@ -267,3 +267,25 @@ def corpus_report(documents: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+def clean_corpus(
+    documents: DataFrame,
+    rates: dict[str, int] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The full corpus-cleaning pipeline as ONE declarative plan:
+    quality gate → exact-dedup (keep the min-id canonical per normalized
+    content) → deterministic stratified sample.
+
+    Composition is the point: three operators fuse into gate-filter →
+    hash → one agg shuffle → semi-join → map-side sample filter, with
+    Catalyst free to push the gate into the scan — a user never pays a
+    materialization boundary between pipeline stages.
+    """
+    gated = quality_filter(documents, text_col=text_col)
+    keyed = gated.withColumn("__ck", X.h60(X.normalize(text_col)))
+    canon = keyed.groupBy("__ck").agg(F.min(id_col).alias(id_col))
+    kept = keyed.join(canon, ["__ck", id_col], "left_semi").drop("__ck")
+    return stratified_hash_sample(kept, rates=rates, id_col=id_col)

@@ -193,6 +193,44 @@ def _in_list(words: list[str]) -> str:
     return ", ".join(f"'{w}'" for w in words)
 
 
+def clean_corpus_sql(rates: dict[str, int], default_pct: int, salt: str) -> str:
+    """gate → canonical exact-dedup → stratified sample, composed from the
+    same expression templates as doc_quality_gate / exact_dedup /
+    doc_hash_sample."""
+    norm = _norm()
+    ck = H60.format(s="norm")
+    bucket = H60.format(s=f"concat(CAST(doc_id AS VARCHAR), '{salt}')")
+    whens = " ".join(f"WHEN '{lang}' THEN {pct}" for lang, pct in sorted(rates.items()))
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, lang, {norm} AS norm FROM documents
+),
+m AS (
+  SELECT *, CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(CASE WHEN length(norm) = 0 THEN 0
+              ELSE len(string_split(norm, ' ')) END AS BIGINT) AS n_tokens,
+         CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+         CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit
+  FROM base
+),
+gated AS (
+  SELECT doc_id, lang, norm FROM m
+  WHERE n_tokens >= 20 AND n_tokens <= 100000
+    AND floor(n_alpha * 1000 / greatest(n_chars, 1)) >= 500
+    AND floor(n_digit * 1000 / greatest(n_chars, 1)) <= 300
+),
+keyed AS (SELECT doc_id, lang, {ck} AS ck FROM gated),
+canon AS (SELECT ck, MIN(doc_id) AS doc_id FROM keyed GROUP BY ck),
+kept AS (
+  SELECT k.doc_id, k.lang FROM keyed k
+  JOIN canon c ON k.ck = c.ck AND k.doc_id = c.doc_id
+)
+SELECT doc_id, lang, ({bucket}) % 100 AS sample_bucket
+FROM kept
+WHERE ({bucket}) % 100 < (CASE lang {whens} ELSE {default_pct} END)
+ORDER BY doc_id"""
+
+
 def corpus_report_sql() -> str:
     """Rollup over the SAME per-doc quality expressions as profile_sql —
     any edit there must be mirrored here (both derive from

@@ -738,6 +738,20 @@ def _doc_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_clean_corpus",
+    tw.clean_corpus_sql(
+        text_analysis.SAMPLE_RATES, text_analysis.SAMPLE_DEFAULT_PCT, ":sample"
+    ),
+    "the full cleaning pipeline fused into one plan: quality gate → "
+    "canonical exact-dedup → deterministic stratified sample",
+)
+def _doc_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.clean_corpus(
+        cat.load_table(spark, sf_dir, "documents")
+    ).orderBy("doc_id")
+
+
+@register(
     "doc_top_ngrams",
     tw.top_ngrams_sql(n=2, k=20),
     "corpus-wide 2-gram document frequency, global top-20 "
