@@ -134,27 +134,48 @@ def minhash_signature(hashed: Column, params=None) -> list[Column]:
     ]
 
 
-def simhash32(col: Column | str) -> Column:
-    """32-bit SimHash over token hashes (bit b set iff Σ_tokens ±1 > 0).
+SIMHASH_BITS = 60
 
-    32 per-row aggregates over the token array — heavier than MinHash but
-    still shuffle-free; Hamming distance on the result is the near-dup
-    metric.
+
+def simhash60(col: Column | str) -> Column:
+    """60-bit SimHash over full h60 token hashes (bit b set iff Σ_tokens ±1 > 0).
+
+    Width matters at scale: near-dup banding splits the signature into
+    ``max_hamming + 1`` bands, and band-bucket size is ~N/2^width. 60 bits
+    with 4×15-bit bands gives buckets of ~N/32768 (candidate volume stays
+    near-linear at 10⁸⁺ docs), where a 32-bit/8-bit-band signature's ~N/256
+    buckets grow quadratically in candidates.
+
+    One fold over the token array: the per-token h60 (the expensive md5) is
+    computed exactly once, and a 60-wide ±1 vector is added into a counter
+    array (`zip_with`). Pure per-row expression — shuffle-free.
     """
     t = tokens(col)
-    hashed = F.transform(t, lambda s: h60(s) % MERSENNE31)
-    sig = F.lit(0).cast("bigint")
-    for b in range(32):
-        bit_sum = F.aggregate(
-            hashed,
-            F.lit(0).cast("bigint"),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
-                F.lit(-1)
+    hashed = F.transform(t, lambda s: h60(s))
+    counts = F.aggregate(
+        hashed,
+        F.array_repeat(F.lit(0).cast("bigint"), SIMHASH_BITS),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                    ).otherwise(F.lit(-1))
+                    for b in range(SIMHASH_BITS)
+                ]
             ),
-        )
-        sig = sig + F.when(bit_sum > 0, F.lit(2**b).cast("bigint")).otherwise(F.lit(0))
-    return sig
+            lambda a, x: a + x.cast("bigint"),
+        ),
+    )
+    powers = F.array(*[F.lit(2**b).cast("bigint") for b in range(SIMHASH_BITS)])
+    return F.aggregate(
+        F.zip_with(
+            counts, powers, lambda c, p: F.when(c > 0, p).otherwise(F.lit(0).cast("bigint"))
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
 
 
 def content_fingerprint(col: Column | str) -> Column:

@@ -118,28 +118,38 @@ WHERE floor(len(list_intersect(sa.shingles, sb.shingles)) * 1000
 ORDER BY doc_a, doc_b"""
 
 
-def simhash_sql() -> str:
-    bit_terms = " + ".join(
-        f"CASE WHEN list_sum(list_transform(toks, s -> CASE WHEN ({_h31('s')} >> {b}) & 1 = 1"
+SIMHASH_BITS = 60  # keep in lockstep with functions.text.SIMHASH_BITS
+
+
+def _simhash_bit_terms() -> str:
+    """60-bit SimHash from the FULL h60 token hash (not the %P reduction) —
+    matches functions.text.simhash60. ``hs`` is a named list column, so the
+    expensive md5 runs once per token even though each bit re-walks the list."""
+    return " + ".join(
+        f"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {b}) & 1 = 1"
         f" THEN 1 ELSE -1 END)) > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END"
-        for b in range(32)
+        for b in range(SIMHASH_BITS)
     )
+
+
+def _simhash_cte() -> str:
+    h = H60.format(s="s")
+    return f"""tok AS (SELECT doc_id, list_transform({_toks()}, s -> {h}) AS hs
+       FROM documents),
+sig AS (SELECT doc_id, CAST({_simhash_bit_terms()} AS BIGINT) AS simhash FROM tok)"""
+
+
+def simhash_sql() -> str:
     return f"""
-WITH tok AS (SELECT doc_id, {_toks()} AS toks FROM documents)
-SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM tok"""
+WITH {_simhash_cte()}
+SELECT doc_id, simhash FROM sig"""
 
 
 def simhash_neardup_sql(max_hamming: int = 3) -> str:
     """Brute-force all-pairs Hamming twin of the banded Spark pipeline —
     banding is exact by pigeonhole, so the result sets must be identical."""
-    bit_terms = " + ".join(
-        f"CASE WHEN list_sum(list_transform(toks, s -> CASE WHEN ({_h31('s')} >> {b}) & 1 = 1"
-        f" THEN 1 ELSE -1 END)) > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END"
-        for b in range(32)
-    )
     return f"""
-WITH tok AS (SELECT doc_id, {_toks()} AS toks FROM documents),
-sig AS (SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM tok)
+WITH {_simhash_cte()}
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
