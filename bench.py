@@ -30,17 +30,17 @@ BENCH_QUERIES = [
     "events_hourly",
     "sessionize",
     "top_users_per_event_type",
-    "wh_transfers_filtered",
-    "wh_account_balances_grouped",
+    "wh_transfers_suite",
+    "wh_balances_suite",
     "doc_exact_dedup",
     "doc_minhash_lsh_dedup",
     "doc_profile",
     "ann_bruteforce_topk",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
+    "ann_topk_methods",
+    "ann_recall",
     "promo_revenue_by_month",
     "customer_order_histogram",
-    "events_salted_join_rollup",
+    "events_type_rollups",
 ]
 
 

@@ -104,16 +104,31 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     planes: list[list[float]] | None = None,
+    multiprobe: bool = False,
 ) -> DataFrame:
-    """Approximate cosine top-k: only candidates in the query's LSH bucket
-    are scored. Single-probe (same-bucket) — recall/latency knob is the
-    plane count; multi-probe would flip bucket bits for higher recall."""
+    """Approximate cosine top-k: only candidates in the query's LSH bucket(s)
+    are scored. Single-probe (same bucket) by default; ``multiprobe=True``
+    additionally probes every bucket at Hamming distance 1 (one hyperplane
+    sign flipped) — the classic multi-probe LSH recall lift at a fixed plane
+    count. Implemented by EXPLODING the tiny query side into its probe
+    buckets so the candidate join stays a broadcast equi-join on ``bucket``
+    (each corpus vector has exactly one bucket, so probes never duplicate a
+    candidate pair); the corpus side is untouched — at 100 TB the cost is
+    (1 + n_planes)× more broadcast rows, not a corpus re-shuffle."""
     planes = planes or hyperplanes()
     bucketed = bucketize(embeddings, id_col, vec_col, planes)
+    probe_buckets = F.array(
+        F.col("bucket"),
+        *(
+            [F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(len(planes))]
+            if multiprobe
+            else []
+        ),
+    )
     queries = bucketed.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("vec").alias("q_vec"),
-        F.col("bucket").alias("q_bucket"),
+        F.explode(probe_buckets).alias("q_bucket"),
     )
     cands = bucketed.join(
         F.broadcast(queries),
@@ -192,7 +207,29 @@ def _centroid_scores(vec_col, centroids, v_norm=None) -> F.Column:
 # corpus). An IVF index is a STORED artifact in production (built once,
 # probed many times); this cache is the local stand-in, keyed by Spark app
 # so a fresh driver session never sees another session's persisted plans.
+# CONTRACT: cache_key must uniquely identify the corpus DATA, not just its
+# column names — two different DataFrames sharing a cache_key would serve
+# the first caller's index. Call clear_ivf_cache() to release the persisted
+# corpus partitions (long-lived sessions building many indexes).
 _IVF_INDEX_CACHE: dict[tuple, tuple] = {}
+
+
+def clear_ivf_cache(cache_key: str | None = None) -> int:
+    """Evict IVF index entries, unpersisting their cached corpus DataFrames.
+    ``cache_key=None`` clears everything; otherwise only entries built under
+    that key (any geometry). Returns the number of entries evicted."""
+    doomed = [
+        k
+        for k in _IVF_INDEX_CACHE
+        if cache_key is None or k[1] == cache_key
+    ]
+    for k in doomed:
+        _centroids, _cdf, corpus = _IVF_INDEX_CACHE.pop(k)
+        try:
+            corpus.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
+    return len(doomed)
 
 
 def ivf_index(
@@ -306,6 +343,28 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
         .orderBy("query_id", "rank")
+    )
+
+
+def recall_vs_exact(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
+    """Per-query recall@k of an approximate top-k result against the exact
+    one, as an exact integer permille (hits × 1000 div k — cross-engine
+    hashable, no floats). Built FROM the exact side (always k rows per
+    query), so a query the approximate method missed entirely still yields
+    a 0‰ row instead of vanishing. Both inputs are tiny top-k outputs —
+    the join is a broadcast on (query_id, neighbor_id)."""
+    hits = approx.select("query_id", "neighbor_id").withColumn("__hit", F.lit(1))
+    j = exact.select("query_id", "neighbor_id").join(
+        F.broadcast(hits), ["query_id", "neighbor_id"], "left"
+    )
+    return (
+        j.groupBy("query_id")
+        .agg(
+            F.expr(f"CAST((coalesce(sum(__hit), 0) * 1000) DIV {int(k)} AS BIGINT)").alias(
+                "recall_x1000"
+            )
+        )
+        .orderBy("query_id")
     )
 
 

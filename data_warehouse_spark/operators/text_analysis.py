@@ -103,6 +103,7 @@ def stratified_hash_sample(
     rates: dict[str, int] | None = None,
     default_pct: int = SAMPLE_DEFAULT_PCT,
     id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Deterministic stratified sampling: keep a per-language percentage of
     documents, decided by a salted content-free hash of the id — no RNG, so
@@ -110,6 +111,11 @@ def stratified_hash_sample(
     reproducible pipeline slices; ``sampleBy`` is seed+partition dependent).
 
     Map-only: the keep-decision is a pushed-down filter, zero shuffle.
+
+    Default output is the slim (doc_id, lang, sample_bucket) slice — at
+    100 TB the decision column set should stay narrow so the scan prunes
+    the text/blob columns; pass ``keep_cols`` (e.g. ``("text",)``) to carry
+    payload columns through when the sample IS the deliverable.
     """
     rates = SAMPLE_RATES if rates is None else rates
     bucket = X.h60(F.concat(F.col(id_col).cast("string"), F.lit(_SAMPLE_SALT))) % 100
@@ -117,7 +123,7 @@ def stratified_hash_sample(
     for lang, pct in sorted(rates.items()):
         keep = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(keep)
     return documents.select(
-        F.col(id_col).alias("doc_id"), "lang", bucket.alias("sample_bucket")
+        F.col(id_col).alias("doc_id"), "lang", *keep_cols, bucket.alias("sample_bucket")
     ).filter(F.col("sample_bucket") < keep)
 
 
@@ -288,4 +294,6 @@ def clean_corpus(
     keyed = gated.withColumn("__ck", X.h60(X.normalize(text_col)))
     canon = keyed.groupBy("__ck").agg(F.min(id_col).alias(id_col))
     kept = keyed.join(canon, ["__ck", id_col], "left_semi").drop("__ck")
-    return stratified_hash_sample(kept, rates=rates, id_col=id_col)
+    # the cleaned corpus IS the deliverable here — carry the text through so
+    # consumers don't re-join against documents to recover it
+    return stratified_hash_sample(kept, rates=rates, id_col=id_col, keep_cols=(text_col,))

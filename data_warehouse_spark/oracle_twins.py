@@ -224,18 +224,18 @@ m AS (
   FROM base
 ),
 gated AS (
-  SELECT doc_id, lang, norm FROM m
+  SELECT doc_id, lang, text, norm FROM m
   WHERE n_tokens >= 20 AND n_tokens <= 100000
     AND floor(n_alpha * 1000 / greatest(n_chars, 1)) >= 500
     AND floor(n_digit * 1000 / greatest(n_chars, 1)) <= 300
 ),
-keyed AS (SELECT doc_id, lang, {ck} AS ck FROM gated),
+keyed AS (SELECT doc_id, lang, text, {ck} AS ck FROM gated),
 canon AS (SELECT ck, MIN(doc_id) AS doc_id FROM keyed GROUP BY ck),
 kept AS (
-  SELECT k.doc_id, k.lang FROM keyed k
+  SELECT k.doc_id, k.lang, k.text FROM keyed k
   JOIN canon c ON k.ck = c.ck AND k.doc_id = c.doc_id
 )
-SELECT doc_id, lang, ({bucket}) % 100 AS sample_bucket
+SELECT doc_id, lang, text, ({bucket}) % 100 AS sample_bucket
 FROM kept
 WHERE ({bucket}) % 100 < (CASE lang {whens} ELSE {default_pct} END)
 ORDER BY doc_id"""
@@ -394,9 +394,23 @@ def _bucket_expr(vec: str, planes: list[list[float]], dim: int = 64) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def ann_lsh_sql(planes: list[list[float]], query_ids: list[int], k: int = 5, dim: int = 64) -> str:
+def ann_lsh_sql(
+    planes: list[list[float]],
+    query_ids: list[int],
+    k: int = 5,
+    dim: int = 64,
+    multiprobe: bool = False,
+) -> str:
+    """Twin of similarity.lsh_topk. ``multiprobe`` widens the bucket match
+    to Hamming distance ≤ 1 on the sign bits (xor is 0 or a power of two),
+    mirroring the Spark side's exploded probe list."""
     bucket = _bucket_expr("v", planes, dim)
     ids = ", ".join(str(i) for i in query_ids)
+    if multiprobe:
+        flips = ", ".join(str(1 << i) for i in range(len(planes)))
+        match = f"(b.bucket = q.q_bucket OR xor(b.bucket, q.q_bucket) IN ({flips}))"
+    else:
+        match = "b.bucket = q.q_bucket"
     return f"""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -407,7 +421,7 @@ q AS (SELECT vec_id AS query_id, v AS qv, bucket AS q_bucket FROM b
       WHERE vec_id IN ({ids})),
 scored AS (
   SELECT q.query_id, b.vec_id AS neighbor_id, {_cos('q.qv', 'b.v', dim)} AS cos
-  FROM b JOIN q ON b.bucket = q.q_bucket AND b.vec_id <> q.query_id
+  FROM b JOIN q ON {match} AND b.vec_id <> q.query_id
 ),
 ranked AS (
   SELECT query_id, neighbor_id,

@@ -16,6 +16,14 @@ Column-name and value discipline (cross-engine hash equality):
     through every pandas/Arrow conversion (decimal→float64 is not);
   * DuckDB ``SUM`` returns HUGEINT/DECIMAL → every oracle SUM is wrapped in
     ``CAST(... AS BIGINT)`` where the Spark side is LongType.
+
+REGISTRATION ORDER IS A CONTRACT: the driver's correctness harness checks
+the first 50 registered entries, so the catalog keeps itself ≤ 50 and
+registers the newest / least-historically-checked entries FIRST. Where two
+operators share a natural output grain they are checked through ONE entry
+(tagged union or key join) — each such entry still runs BOTH operator code
+paths and value-checks both outputs; the per-operator functions remain the
+public API.
 """
 
 from __future__ import annotations
@@ -24,11 +32,23 @@ from collections.abc import Callable
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from . import catalog as cat
 from . import oracle_twins as tw
 from .catalog import WAREHOUSE_CTE_SQL
-from .operators import analytics, dedup, multimodal, queries as wh, similarity, skew, text_analysis
+from .operators import (
+    analytics,
+    dedup,
+    multimodal,
+    queries as wh,
+    similarity,
+    skew,
+    text_analysis,
+    windows,
+)
+
+MAX_REGISTERED = 50  # the driver's correctness-check window
 
 
 @dataclass(frozen=True)
@@ -44,6 +64,10 @@ QUERIES: dict[str, QueryDef] = {}
 def register(name: str, oracle: str | None, description: str = ""):
     def deco(fn):
         QUERIES[name] = QueryDef(fn=fn, oracle=oracle, description=description)
+        assert len(QUERIES) <= MAX_REGISTERED, (
+            f"catalog would register {len(QUERIES)} entries; the driver only "
+            f"checks the first {MAX_REGISTERED} — consolidate before adding"
+        )
         return fn
 
     return deco
@@ -57,182 +81,449 @@ def oracle_queries() -> dict[str, str]:
     return {name: qd.oracle for name, qd in QUERIES.items() if qd.oracle is not None}
 
 
+_ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+_ANN_K = 5
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.media_from_documents(cat.load_table(spark, sf_dir, "documents"))
+
+
+# ===========================================================================
+# Newest / least-checked first (see module docstring).
+# ===========================================================================
+
+
+@register(
+    "media_frame_counts",
+    tw.media_frame_counts_sql(),
+    "video frame sampling (1→N mapInPandas) rolled up to frames per video",
+)
+def _media_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frames = multimodal.sample_frames(_media(spark, sf_dir))
+    return (
+        frames.groupBy("media_id")
+        .agg(F.count(F.lit(1)).alias("n_frames"))
+        .orderBy("media_id")
+    )
+
+
+def _ann_recall_oracle() -> str:
+    k = _ANN_K
+    planes = similarity.hyperplanes()
+    methods = {
+        "ivf": tw.ann_ivf_sql(
+            _ANN_QUERY_IDS, k=k, n_cells=similarity.N_CELLS, nprobe=similarity.N_PROBE
+        ),
+        "lsh": tw.ann_lsh_sql(planes, _ANN_QUERY_IDS, k=k),
+        "lsh_mp": tw.ann_lsh_sql(planes, _ANN_QUERY_IDS, k=k, multiprobe=True),
+    }
+    ctes = ",\n".join(
+        f"m_{name} AS (SELECT query_id, neighbor_id FROM ({sql}) t)"
+        for name, sql in methods.items()
+    )
+    arms = "\nUNION ALL\n".join(
+        f"""SELECT '{name}' AS method, bf.query_id,
+       CAST((count(mm.neighbor_id) * 1000) // {k} AS BIGINT) AS recall_x1000
+FROM bf LEFT JOIN m_{name} mm
+  ON bf.query_id = mm.query_id AND bf.neighbor_id = mm.neighbor_id
+GROUP BY bf.query_id"""
+        for name in methods
+    )
+    return f"""
+WITH bf AS (SELECT query_id, neighbor_id
+            FROM ({tw.ann_bruteforce_sql(_ANN_QUERY_IDS, k=k)}) t),
+{ctes}
+SELECT * FROM (
+{arms}
+) ORDER BY method, query_id"""
+
+
+@register(
+    "ann_recall",
+    _ann_recall_oracle(),
+    "recall@k of every approximate ANN path (IVF, single-probe LSH, "
+    "multi-probe LSH) against exact brute force — integer permille, so the "
+    "quality/cost tradeoff is itself regression-pinned",
+)
+def _ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = cat.load_table(spark, sf_dir, "embeddings")
+    bf = similarity.brute_force_topk(emb, _ANN_QUERY_IDS, k=_ANN_K)
+    out = None
+    for method, df in (
+        ("ivf", similarity.ivf_topk(emb, _ANN_QUERY_IDS, k=_ANN_K, index_cache_key=sf_dir)),
+        ("lsh", similarity.lsh_topk(emb, _ANN_QUERY_IDS, k=_ANN_K)),
+        ("lsh_mp", similarity.lsh_topk(emb, _ANN_QUERY_IDS, k=_ANN_K, multiprobe=True)),
+    ):
+        r = similarity.recall_vs_exact(df, bf, k=_ANN_K).select(
+            F.lit(method).alias("method"), "query_id", "recall_x1000"
+        )
+        out = r if out is None else out.unionByName(r)
+    return out.orderBy("method", "query_id")
+
+
+@register(
+    "ann_topk_methods",
+    f"""
+SELECT * FROM (
+  SELECT 'ivf' AS method, t.* FROM ({tw.ann_ivf_sql(_ANN_QUERY_IDS, k=_ANN_K,
+      n_cells=similarity.N_CELLS, nprobe=similarity.N_PROBE)}) t
+  UNION ALL
+  SELECT 'lsh' AS method, t.* FROM ({tw.ann_lsh_sql(similarity.hyperplanes(),
+      _ANN_QUERY_IDS, k=_ANN_K)}) t
+) ORDER BY method, query_id, rank""",
+    "both approximate ANN scale paths, value-checked neighbor-by-neighbor: "
+    "IVF-flat (hash-selected centroids, map-only cell assignment, "
+    "nprobe-cell probe, cached index) and hyperplane-LSH (bucketed probe)",
+)
+def _ann_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = cat.load_table(spark, sf_dir, "embeddings")
+    ivf = similarity.ivf_topk(
+        emb, _ANN_QUERY_IDS, k=_ANN_K, index_cache_key=sf_dir
+    ).select(F.lit("ivf").alias("method"), "query_id", "neighbor_id", "rank")
+    lsh = similarity.lsh_topk(emb, _ANN_QUERY_IDS, k=_ANN_K).select(
+        F.lit("lsh").alias("method"), "query_id", "neighbor_id", "rank"
+    )
+    return ivf.unionByName(lsh).orderBy("method", "query_id", "rank")
+
+
+@register(
+    "doc_quality_gate",
+    """WITH base AS (
+         SELECT *, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+         FROM documents
+       ),
+       m AS (
+         SELECT *, CAST(length(text) AS BIGINT) AS n_chars,
+                CAST(CASE WHEN length(norm) = 0 THEN 0
+                     ELSE len(string_split(norm, ' ')) END AS BIGINT) AS n_tokens,
+                CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+                CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit
+         FROM base
+       )
+       SELECT doc_id, text, lang, source, n_chars
+       FROM m
+       WHERE n_tokens >= 20 AND n_tokens <= 100000
+         AND floor(n_alpha * 1000 / greatest(n_chars, 1)) >= 500
+         AND floor(n_digit * 1000 / greatest(n_chars, 1)) <= 300""",
+    "pretraining quality gate: token/alpha/digit thresholds as one filter",
+)
+def _doc_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.quality_filter(cat.load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "wh_running_balance",
+    WAREHOUSE_CTE_SQL
+    + """SELECT tenant, name, value_date,
+                CAST(amount * 100 AS BIGINT) AS amount_cents,
+                CAST(SUM(CAST(amount * 100 AS BIGINT)) OVER (
+                     PARTITION BY tenant, name
+                     ORDER BY value_date, amount
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
+         FROM account_balance_change_v""",
+    "running signed balance per account (windowed generalization of Q6)",
+)
+def _wh_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = cat.warehouse_views(spark, sf_dir)
+    return windows.running_balance(v["account_balance_change"])
+
+
+@register(
+    "asof_purchase_click",
+    """WITH tagged AS (
+         SELECT user_id, ts AS t, event_id AS click_id, 0 AS side,
+                CAST(NULL AS BIGINT) AS purchase_id
+         FROM events WHERE event_type = 'click'
+         UNION ALL
+         SELECT user_id, ts AS t, CAST(NULL AS BIGINT) AS click_id, 1 AS side,
+                event_id AS purchase_id
+         FROM events WHERE event_type = 'purchase'
+       ),
+       carried AS (
+         SELECT *, last_value(click_id IGNORE NULLS) OVER (
+                  PARTITION BY user_id ORDER BY t, side, click_id
+                  ROWS UNBOUNDED PRECEDING) AS last_click
+         FROM tagged
+       )
+       SELECT purchase_id, user_id, t AS purchase_ts, last_click AS asof_click_id
+       FROM carried WHERE side = 1 ORDER BY purchase_id""",
+    "as-of join via tagged-union + one window pass (no native op in Spark)",
+)
+def _asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.asof_join_purchase_to_click(cat.load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "orders_rollup",
+    """SELECT o_orderstatus, o_orderpriority,
+              CAST(count(*) AS BIGINT) AS n_orders,
+              CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                  AS total_cents
+       FROM orders
+       GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+       ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "hierarchical ROLLUP with subtotals + grand total",
+)
+def _orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.status_priority_rollup(cat.load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "events_pivot",
+    """SELECT user_id,
+              CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+              CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+              CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+              CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+              CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+       FROM events GROUP BY user_id ORDER BY user_id""",
+    "pivot with explicit values (static schema — no discovery scan)",
+)
+def _events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.event_type_pivot(cat.load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "order_value_percentiles",
+    """SELECT o_orderstatus,
+              quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5) AS p50_cents,
+              quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.9) AS p90_cents,
+              CAST(count(*) AS BIGINT) AS n_orders
+       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "exact type-7 percentiles of order value per status",
+)
+def _order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.order_value_percentiles(cat.load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "events_distinct_users",
+    """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+              CAST(CASE WHEN abs(approx_count_distinct(user_id)
+                             - count(DISTINCT user_id)) * 1000
+                        <= 150 * count(DISTINCT user_id)
+                   THEN 1 ELSE 0 END AS BIGINT) AS approx_ok
+       FROM events GROUP BY event_type ORDER BY event_type""",
+    "distinct users per event type: exact count value-checked; the HLL++ "
+    "approximate count (the 100 TB default) checked as a ≤15% relative-error "
+    "PROPERTY, since sketch values differ across engines by construction",
+)
+def _events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = windows.distinct_user_counts(cat.load_table(spark, sf_dir, "events"))
+    ok = (
+        F.abs(F.col("n_users_approx") - F.col("n_users_exact")) * 1000
+        <= 150 * F.col("n_users_exact")
+    )
+    return d.select(
+        "event_type",
+        "n_users_exact",
+        F.when(ok, 1).otherwise(0).cast("bigint").alias("approx_ok"),
+    ).orderBy("event_type")
+
+
+def _neardup_clusters_oracle() -> str:
+    # transitive closure over the SAME pair set as doc_minhash_lsh_dedup,
+    # then min label over each node's reachable set. Edges are symmetric, so
+    # every node reaches its whole component; fine at oracle SF (the Spark
+    # side's iterative propagation exists precisely because closure
+    # materialization does NOT scale).
+    return f"""
+WITH RECURSIVE
+p AS (SELECT doc_a, doc_b FROM ({tw.minhash_lsh_sql()}) pairs),
+e AS (SELECT doc_a AS src, doc_b AS dst FROM p UNION SELECT doc_b, doc_a FROM p),
+reach(src, dst) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
+)
+SELECT src AS doc_id, CAST(least(src, min(dst)) AS BIGINT) AS cluster_id
+FROM reach GROUP BY src ORDER BY doc_id"""
+
+
+@register(
+    "doc_neardup_clusters",
+    _neardup_clusters_oracle(),
+    "connected components over MinHash-LSH near-dup pairs: cluster_id = "
+    "min doc id (iterative min-label propagation, lineage-checkpointed; "
+    "oracle = recursive-CTE transitive closure over the same pairs)",
+)
+def _doc_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup.minhash_lsh_duplicates(cat.load_table(spark, sf_dir, "documents"))
+    return dedup.neardup_clusters(pairs)
+
+
 # ===========================================================================
 # Reference parity — the complete read surface of the reference service
 # (tenants / accounts / transfers / balance), run on warehouse tables derived
-# from the star schema (same derivation CTE on the oracle side).
+# from the star schema (same derivation CTE on the oracle side). Each suite
+# is a tagged union of the distinct query shapes over one resource, so every
+# reference query (Q1-Q6, Q10) keeps a full value check in one entry.
 # ===========================================================================
 
 
 @register(
-    "wh_tenants_page",
+    "wh_tenants_suite",
     WAREHOUSE_CTE_SQL
-    + "SELECT name FROM tenant_v ORDER BY name LIMIT 10 OFFSET 5",
-    "Q1 tenants(limit, offset): ordered offset/limit pagination",
-)
-def _wh_tenants_page(spark: SparkSession, sf_dir: str) -> DataFrame:
-    v = cat.warehouse_views(spark, sf_dir)
-    return wh.tenants(v["tenant"], limit=10, offset=5)
-
-
-@register(
-    "wh_tenants_by_names",
-    WAREHOUSE_CTE_SQL
-    + """SELECT name FROM tenant_v
+    + """SELECT * FROM (
+         SELECT 'page' AS src, name
+         FROM (SELECT name FROM tenant_v ORDER BY name LIMIT 10 OFFSET 5)
+         UNION ALL
+         SELECT 'bynames' AS src, name FROM tenant_v
          WHERE name IN ('NATION_3','NATION_7','NATION_19','NATION_999')
-         ORDER BY name""",
-    "Q2 tenantsByNames: batched IN-list lookup (missing keys drop out)",
+         UNION ALL
+         SELECT 'point' AS src, name
+         FROM (SELECT name FROM tenant_v WHERE name = 'NATION_9' LIMIT 1)
+       ) ORDER BY src, name""",
+    "Q1 tenants(limit, offset) + Q2 tenantsByNames + Q10 point lookup, "
+    "tagged union — all three reference tenant queries in one checked entry",
 )
-def _wh_tenants_by_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _wh_tenants_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = cat.warehouse_views(spark, sf_dir)
-    return wh.tenants_by_names(
+    page = wh.tenants(v["tenant"], limit=10, offset=5).select(
+        F.lit("page").alias("src"), "name"
+    )
+    bynames = wh.tenants_by_names(
         v["tenant"], ["NATION_3", "NATION_7", "NATION_19", "NATION_999"]
+    ).select(F.lit("bynames").alias("src"), "name")
+    point = wh.tenant_by_name(v["tenant"], "NATION_9").select(
+        F.lit("point").alias("src"), "name"
     )
+    return page.unionByName(bynames).unionByName(point).orderBy("src", "name")
 
 
 @register(
-    "wh_accounts_filtered",
+    "wh_accounts_suite",
     WAREHOUSE_CTE_SQL
-    + """SELECT tenant, name, currency, format FROM account_v
-         WHERE tenant = 'NATION_1' AND currency = 'EUR' AND format = 'BUILDING'
-         ORDER BY name LIMIT 20 OFFSET 3""",
-    "Q3 accounts(tenant, currency?, format?, limit, offset)",
-)
-def _wh_accounts_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    v = cat.warehouse_views(spark, sf_dir)
-    return wh.accounts(
-        v["account"], tenant="NATION_1", currency="EUR", format="BUILDING",
-        limit=20, offset=3,
-    )
-
-
-@register(
-    "wh_accounts_by_names",
-    WAREHOUSE_CTE_SQL
-    + """SELECT tenant, name, currency, format FROM account_v
+    + """SELECT * FROM (
+         SELECT 'filtered' AS src, tenant, name, currency, format
+         FROM (SELECT * FROM account_v
+               WHERE tenant = 'NATION_1' AND currency = 'EUR' AND format = 'BUILDING'
+               ORDER BY name LIMIT 20 OFFSET 3)
+         UNION ALL
+         SELECT 'bynames' AS src, tenant, name, currency, format
+         FROM account_v
          WHERE tenant = 'NATION_1'
            AND name IN (SELECT name FROM account_v WHERE tenant = 'NATION_1'
                         ORDER BY name LIMIT 5)
-         ORDER BY name""",
-    "Q4 accountsByNames: DataLoader batch = semi-join on literal keys",
+       ) ORDER BY src, name""",
+    "Q3 accounts(tenant, currency?, format?, limit, offset) + Q4 "
+    "accountsByNames (DataLoader batch = semi-join on literal keys)",
 )
-def _wh_accounts_by_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _wh_accounts_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = cat.warehouse_views(spark, sf_dir)
+    filtered = wh.accounts(
+        v["account"], tenant="NATION_1", currency="EUR", format="BUILDING",
+        limit=20, offset=3,
+    ).select(F.lit("filtered").alias("src"), "tenant", "name", "currency", "format")
     # the GraphQL DataLoader hands the resolver a literal key batch at
     # runtime; reproduce that by collecting a small deterministic key set
     names = [
         r["name"]
         for r in wh.accounts(v["account"], tenant="NATION_1", limit=5).collect()
     ]
-    return wh.accounts_by_names(v["account"], "NATION_1", names)
+    bynames = wh.accounts_by_names(v["account"], "NATION_1", names).select(
+        F.lit("bynames").alias("src"), "tenant", "name", "currency", "format"
+    )
+    return filtered.unionByName(bynames).orderBy("src", "name")
 
 
-@register(
-    "wh_transfers_filtered",
-    WAREHOUSE_CTE_SQL
-    + """SELECT tenant, "transaction", transfer, status,
+_TRANSFER_COLS = """tenant, "transaction", transfer, status,
                 credit_tenant, credit_name, debit_tenant, debit_name,
                 CAST(amount * 100 AS BIGINT) AS amount_cents,
-                currency, value_date
-         FROM transfer_v
-         WHERE tenant = 'NATION_2' AND status = 1
-           AND amount >= 10000.00 AND amount < 90000.00
-           AND value_date >= TIMESTAMP '1996-01-01'
-           AND value_date < TIMESTAMP '2000-01-01'
-         ORDER BY "transaction", transfer LIMIT 50 OFFSET 10""",
-    "Q5 transfers: conjunctive 10-predicate matrix + PK-ordered pagination",
-)
-def _wh_transfers_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import functions as F
-
-    v = cat.warehouse_views(spark, sf_dir)
-    out = wh.transfers(
-        v["transfer"], tenant="NATION_2", status=1,
-        amount_gte=10000.00, amount_lt=90000.00,
-        value_date_gte="1996-01-01", value_date_lt="2000-01-01",
-        limit=50, offset=10,
-    )
-    return out.select(
-        "tenant", "transaction", "transfer", "status",
-        "credit_tenant", "credit_name", "debit_tenant", "debit_name",
-        (F.col("amount") * 100).cast("bigint").alias("amount_cents"),
-        "currency", "value_date",
-    )
+                currency, value_date"""
 
 
 @register(
-    "wh_transfers_by_currency",
+    "wh_transfers_suite",
     WAREHOUSE_CTE_SQL
-    + """SELECT tenant, "transaction", transfer, status,
-                CAST(amount * 100 AS BIGINT) AS amount_cents, currency
-         FROM transfer_v
-         WHERE tenant = 'NATION_4' AND currency = 'EUR'
-         ORDER BY "transaction", transfer LIMIT 100""",
-    "Q5 transfers: equality-only predicate subset",
+    + f"""SELECT * FROM (
+         SELECT 'matrix' AS src, {_TRANSFER_COLS}
+         FROM (SELECT * FROM transfer_v
+               WHERE tenant = 'NATION_2' AND status = 1
+                 AND amount >= 10000.00 AND amount < 90000.00
+                 AND value_date >= TIMESTAMP '1996-01-01'
+                 AND value_date < TIMESTAMP '2000-01-01'
+               ORDER BY "transaction", transfer LIMIT 50 OFFSET 10)
+         UNION ALL
+         SELECT 'currency' AS src, {_TRANSFER_COLS}
+         FROM (SELECT * FROM transfer_v
+               WHERE tenant = 'NATION_4' AND currency = 'EUR'
+               ORDER BY "transaction", transfer LIMIT 100)
+       ) ORDER BY src, "transaction", transfer""",
+    "Q5 transfers: the conjunctive 10-predicate matrix + the equality-only "
+    "subset, both PK-ordered paginated, full column set value-checked",
 )
-def _wh_transfers_by_currency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import functions as F
-
+def _wh_transfers_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = cat.warehouse_views(spark, sf_dir)
-    out = wh.transfers(v["transfer"], tenant="NATION_4", currency="EUR", limit=100)
-    return out.select(
-        "tenant", "transaction", "transfer", "status",
-        (F.col("amount") * 100).cast("bigint").alias("amount_cents"), "currency",
+
+    def proj(df: DataFrame, src: str) -> DataFrame:
+        return df.select(
+            F.lit(src).alias("src"),
+            "tenant", "transaction", "transfer", "status",
+            "credit_tenant", "credit_name", "debit_tenant", "debit_name",
+            (F.col("amount") * 100).cast("bigint").alias("amount_cents"),
+            "currency", "value_date",
+        )
+
+    matrix = proj(
+        wh.transfers(
+            v["transfer"], tenant="NATION_2", status=1,
+            amount_gte=10000.00, amount_lt=90000.00,
+            value_date_gte="1996-01-01", value_date_lt="2000-01-01",
+            limit=50, offset=10,
+        ),
+        "matrix",
     )
+    by_ccy = proj(
+        wh.transfers(v["transfer"], tenant="NATION_4", currency="EUR", limit=100),
+        "currency",
+    )
+    return matrix.unionByName(by_ccy).orderBy("src", "transaction", "transfer")
 
 
 @register(
-    "wh_account_balance",
+    "wh_balances_suite",
     WAREHOUSE_CTE_SQL
-    + """SELECT CAST(COALESCE(SUM(amount), 0) * 100 AS BIGINT) AS balance_cents
+    + """SELECT * FROM (
+         SELECT 'point' AS src, 'NATION_1' AS tenant,
+                (SELECT min(name) FROM account_v WHERE tenant = 'NATION_1') AS name,
+                CAST(COALESCE(SUM(amount), 0) * 100 AS BIGINT) AS balance_cents
          FROM account_balance_change_v
          WHERE tenant = 'NATION_1'
-           AND name = (SELECT min(name) FROM account_v WHERE tenant = 'NATION_1')""",
-    "Q6 accountBalance: SUM of signed changes for one account, NULL→0",
-)
-def _wh_account_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import functions as F
-
-    v = cat.warehouse_views(spark, sf_dir)
-    name = v["account"].filter(F.col("tenant") == "NATION_1").agg(
-        F.min("name")
-    ).collect()[0][0]
-    bal = wh.account_balance(v["account_balance_change"], "NATION_1", name)
-    return bal.select((F.col("balance") * 100).cast("bigint").alias("balance_cents"))
-
-
-@register(
-    "wh_account_balances_grouped",
-    WAREHOUSE_CTE_SQL
-    + """SELECT a.tenant, a.name,
+           AND name = (SELECT min(name) FROM account_v WHERE tenant = 'NATION_1')
+         UNION ALL
+         SELECT 'grouped' AS src, a.tenant, a.name,
                 CAST(COALESCE(SUM(b.amount), 0) * 100 AS BIGINT) AS balance_cents
          FROM account_v a
          LEFT JOIN account_balance_change_v b
            ON a.tenant = b.tenant AND a.name = b.name
-         GROUP BY a.tenant, a.name""",
-    "Q6 batched: one grouped aggregate for every account (kills the N+1); "
-    "zero-activity accounts surface balance 0",
+         GROUP BY a.tenant, a.name
+       ) ORDER BY src, tenant, name""",
+    "Q6 accountBalance: the single-account SUM (NULL→0) + the batched "
+    "grouped aggregate for every account (kills the N+1; zero-activity "
+    "accounts surface balance 0)",
 )
-def _wh_account_balances_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import functions as F
-
+def _wh_balances_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = cat.warehouse_views(spark, sf_dir)
-    out = wh.account_balances(
+    name = v["account"].filter(F.col("tenant") == "NATION_1").agg(
+        F.min("name")
+    ).collect()[0][0]
+    point = wh.account_balance(v["account_balance_change"], "NATION_1", name).select(
+        F.lit("point").alias("src"),
+        F.lit("NATION_1").alias("tenant"),
+        F.lit(name).alias("name"),
+        (F.col("balance") * 100).cast("bigint").alias("balance_cents"),
+    )
+    grouped = wh.account_balances(
         v["account_balance_change"], accounts_df=v["account"]
+    ).select(
+        F.lit("grouped").alias("src"),
+        "tenant",
+        "name",
+        (F.col("balance") * 100).cast("bigint").alias("balance_cents"),
     )
-    return out.select(
-        "tenant", "name", (F.col("balance") * 100).cast("bigint").alias("balance_cents")
-    )
-
-
-@register(
-    "wh_tenant_point",
-    WAREHOUSE_CTE_SQL + "SELECT name FROM tenant_v WHERE name = 'NATION_9' LIMIT 1",
-    "Q10 point lookup tenant(name)",
-)
-def _wh_tenant_point(spark: SparkSession, sf_dir: str) -> DataFrame:
-    v = cat.warehouse_views(spark, sf_dir)
-    return wh.tenant_by_name(v["tenant"], "NATION_9")
+    return point.unionByName(grouped).orderBy("src", "tenant", "name")
 
 
 # ===========================================================================
@@ -458,25 +749,38 @@ def _acctbal_extremes_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "events_salted_join_rollup",
+    "events_type_rollups",
     """WITH totals AS (
          SELECT user_id,
                 CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
                     AS user_total_cents
          FROM events GROUP BY user_id
+       ),
+       salted AS (
+         SELECT event_type,
+                CAST(COUNT(*) AS BIGINT) AS n_events,
+                CAST(SUM(user_total_cents) AS BIGINT) AS sum_user_totals_cents
+         FROM events e JOIN totals t ON e.user_id = t.user_id
+         GROUP BY event_type
+       ),
+       props AS (
+         SELECT event_type,
+                CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+                CAST(SUM(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) > 50
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_k_over_50
+         FROM events GROUP BY event_type
        )
-       SELECT event_type,
-              CAST(COUNT(*) AS BIGINT) AS n_events,
-              CAST(SUM(user_total_cents) AS BIGINT) AS sum_user_totals_cents
-       FROM events e JOIN totals t ON e.user_id = t.user_id
-       GROUP BY event_type ORDER BY event_type""",
-    "hot-key salted large-large join (events ⋈ per-user totals on the "
-    "skew-prone user_id); oracle is the PLAIN join — same rows, different "
-    "physical distribution",
+       SELECT s.event_type, s.n_events, s.sum_user_totals_cents,
+              p.sum_k, p.max_k, p.n_k_over_50
+       FROM salted s JOIN props p ON s.event_type = p.event_type
+       ORDER BY s.event_type""",
+    "two per-type rollups, one entry: the hot-key SALTED large-large join "
+    "(events ⋈ per-user totals on the skew-prone user_id; oracle is the "
+    "plain join — same rows, different physical distribution) keyed against "
+    "the semi-structured JSON property-bag extraction rollup",
 )
-def _events_salted_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import functions as F
-
+def _events_type_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = cat.load_table(spark, sf_dir, "events")
     totals = ev.groupBy("user_id").agg(
         F.sum(analytics.cents("value")).alias("user_total_cents")
@@ -484,30 +788,14 @@ def _events_salted_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = skew.salted_join(
         ev.select("event_id", "event_type", "user_id"), totals, on=["user_id"]
     )
-    return (
-        joined.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum("user_total_cents").alias("sum_user_totals_cents"),
-        )
-        .orderBy("event_type")
+    salted = joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("user_total_cents").alias("sum_user_totals_cents"),
     )
-
-
-@register(
-    "events_props_rollup",
-    """SELECT event_type,
-              CAST(COUNT(*) AS BIGINT) AS n_events,
-              CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-              CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
-              CAST(SUM(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) > 50
-                   THEN 1 ELSE 0 END) AS BIGINT) AS n_k_over_50
-       FROM events GROUP BY event_type ORDER BY event_type""",
-    "semi-structured property-bag extraction (JVM get_json_object, no "
-    "schema inference) rolled up per event type",
-)
-def _events_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return analytics.props_rollup(cat.load_table(spark, sf_dir, "events"))
+    props = analytics.props_rollup(ev).select(
+        "event_type", "sum_k", "max_k", "n_k_over_50"
+    )
+    return salted.join(props, "event_type").orderBy("event_type")
 
 
 @register(
@@ -636,8 +924,6 @@ def _top_users_per_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SQL twins built from the same constants — see oracle_twins.py)
 # ===========================================================================
 
-_ANN_QUERY_IDS = [0, 1, 2, 3, 4]
-
 
 @register(
     "doc_exact_dedup",
@@ -680,12 +966,22 @@ def _doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "doc_simhash",
-    tw.simhash_sql(),
-    "32-bit SimHash signature per document (shuffle-free map stage)",
+    "doc_signatures",
+    f"""
+SELECT a.doc_id, a.simhash, b.fingerprint, b.content_key
+FROM ({tw.simhash_sql()}) a
+JOIN ({tw.fingerprint_sql()}) b ON a.doc_id = b.doc_id
+ORDER BY a.doc_id""",
+    "per-doc signature set in one map-only pass: 60-bit SimHash + "
+    "order-sensitive rolling-hash fingerprint + normalized content key",
 )
-def _doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash_signatures(cat.load_table(spark, sf_dir, "documents"))
+def _doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = cat.load_table(spark, sf_dir, "documents")
+    return (
+        dedup.simhash_signatures(docs)
+        .join(text_analysis.fingerprints(docs), "doc_id")
+        .orderBy("doc_id")
+    )
 
 
 @register(
@@ -698,15 +994,6 @@ def _doc_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_neardup_pairs(
         cat.load_table(spark, sf_dir, "documents"), max_hamming=3
     )
-
-
-@register(
-    "doc_fingerprint",
-    tw.fingerprint_sql(),
-    "rolling-hash fingerprint (order-sensitive) + normalized content key",
-)
-def _doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text_analysis.fingerprints(cat.load_table(spark, sf_dir, "documents"))
 
 
 @register(
@@ -743,7 +1030,9 @@ def _doc_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_analysis.SAMPLE_RATES, text_analysis.SAMPLE_DEFAULT_PCT, ":sample"
     ),
     "the full cleaning pipeline fused into one plan: quality gate → "
-    "canonical exact-dedup → deterministic stratified sample",
+    "canonical exact-dedup → deterministic stratified sample (the same "
+    "salted-hash sampler as the standalone operator, shared constants); "
+    "text carried through — the output IS the cleaned corpus",
 )
 def _doc_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analysis.clean_corpus(
@@ -759,34 +1048,6 @@ def _doc_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def _doc_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analysis.top_ngrams(cat.load_table(spark, sf_dir, "documents"))
-
-
-@register(
-    "doc_hash_sample",
-    tw.stratified_sample_sql(
-        text_analysis.SAMPLE_RATES,
-        text_analysis.SAMPLE_DEFAULT_PCT,
-        ":sample",
-    ),
-    "deterministic stratified sample (per-language keep %, salted id hash "
-    "— reproducible across runs/engines/partitionings, zero shuffle)",
-)
-def _doc_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text_analysis.stratified_hash_sample(
-        cat.load_table(spark, sf_dir, "documents")
-    ).orderBy("doc_id")
-
-
-@register(
-    "doc_neardup_clusters",
-    None,  # iterative graph algorithm — recursive SQL twin intractable;
-    # rows-only here, exactness pinned by pytest vs a Python union-find
-    "connected components over MinHash-LSH near-dup pairs: cluster_id = "
-    "min doc id (iterative min-label propagation, lineage-checkpointed)",
-)
-def _doc_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = dedup.minhash_lsh_duplicates(cat.load_table(spark, sf_dir, "documents"))
-    return dedup.neardup_clusters(pairs)
 
 
 @register(
@@ -823,38 +1084,12 @@ def _doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_bruteforce_topk",
-    tw.ann_bruteforce_sql(_ANN_QUERY_IDS, k=5),
+    tw.ann_bruteforce_sql(_ANN_QUERY_IDS, k=_ANN_K),
     "exact cosine top-5 neighbors for 5 query vectors (broadcast cross-score)",
 )
 def _ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(
-        cat.load_table(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS, k=5
-    )
-
-
-@register(
-    "ann_lsh_topk",
-    tw.ann_lsh_sql(similarity.hyperplanes(), _ANN_QUERY_IDS, k=5),
-    "hyperplane-LSH bucketed approximate top-5 (the 100 TB scale path)",
-)
-def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.lsh_topk(
-        cat.load_table(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS, k=5
-    )
-
-
-@register(
-    "ann_ivf_topk",
-    tw.ann_ivf_sql(_ANN_QUERY_IDS, k=5, n_cells=similarity.N_CELLS, nprobe=similarity.N_PROBE),
-    "IVF-flat approximate top-5: hash-selected centroids, map-only cell "
-    "assignment, nprobe-cell probing (the other classic ANN scale path)",
-)
-def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.ivf_topk(
-        cat.load_table(spark, sf_dir, "embeddings"),
-        _ANN_QUERY_IDS,
-        k=5,
-        index_cache_key=sf_dir,
+        cat.load_table(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS, k=_ANN_K
     )
 
 
@@ -876,27 +1111,37 @@ def _emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # header fields from the same md5 hex string.
 
 
-def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return multimodal.media_from_documents(cat.load_table(spark, sf_dir, "documents"))
-
-
 @register(
-    "media_features",
-    tw.media_features_sql(),
-    "image header decode via Arrow-batched mapInPandas over the binary "
-    "payload column (dims/channels parsed from leading bytes)",
+    "media_image_features",
+    f"""
+SELECT a.media_id, a.width, a.height, a.channels, a.n_bytes,
+       b.width AS r_width, b.height AS r_height,
+       b.channels AS r_channels, b.n_bytes AS r_n_bytes
+FROM ({tw.media_features_sql()}) a
+JOIN ({tw.media_resize_sql(target_w=64, target_h=64)}) b ON a.media_id = b.media_id
+ORDER BY a.media_id""",
+    "the image path end-to-end in one entry: header decode (dims/channels "
+    "from leading bytes) AND 64×64 re-encode, both via Arrow-batched "
+    "mapInPandas over the binary payload column (metadata oracle-checked; "
+    "resized payload determinism pinned by pytest)",
 )
-def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import functions as F
-
-    feats = multimodal.extract_image_features(_media(spark, sf_dir))
-    return feats.select(
+def _media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = _media(spark, sf_dir)
+    feats = multimodal.extract_image_features(media).select(
         "media_id",
         F.col("width").cast("bigint").alias("width"),
         F.col("height").cast("bigint").alias("height"),
         F.col("channels").cast("bigint").alias("channels"),
         "n_bytes",
-    ).orderBy("media_id")
+    )
+    resized = multimodal.resize_images(media, 64, 64).select(
+        "media_id",
+        F.col("width").cast("bigint").alias("r_width"),
+        F.col("height").cast("bigint").alias("r_height"),
+        F.col("channels").cast("bigint").alias("r_channels"),
+        F.col("n_bytes").alias("r_n_bytes"),
+    )
+    return feats.join(resized, "media_id").orderBy("media_id")
 
 
 @register(
@@ -910,25 +1155,6 @@ def _media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "media_resize",
-    tw.media_resize_sql(target_w=64, target_h=64),
-    "image re-encode to 64×64 via mapInPandas (metadata oracle-checked; "
-    "payload determinism pinned by pytest)",
-)
-def _media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import functions as F
-
-    resized = multimodal.resize_images(_media(spark, sf_dir), 64, 64)
-    return resized.select(
-        "media_id",
-        F.col("width").cast("bigint").alias("width"),
-        F.col("height").cast("bigint").alias("height"),
-        F.col("channels").cast("bigint").alias("channels"),
-        "n_bytes",
-    ).orderBy("media_id")
-
-
-@register(
     "media_stats",
     tw.media_stats_sql(),
     "per-kind media rollup (counts are metadata-only; bytes scan the blob "
@@ -936,163 +1162,3 @@ def _media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def _media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_stats(_media(spark, sf_dir))
-
-
-@register(
-    "media_frame_counts",
-    tw.media_frame_counts_sql(),
-    "video frame sampling (1→N mapInPandas) rolled up to frames per video",
-)
-def _media_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import functions as F
-
-    frames = multimodal.sample_frames(_media(spark, sf_dir))
-    return (
-        frames.groupBy("media_id")
-        .agg(F.count(F.lit(1)).alias("n_frames"))
-        .orderBy("media_id")
-    )
-
-
-# ===========================================================================
-# Window / time-series / OLAP-extension operators (absent from the reference
-# — SURVEY §2.4 — added as the classes a warehouse migration needs next)
-# ===========================================================================
-
-from .operators import windows  # noqa: E402
-
-
-@register(
-    "wh_running_balance",
-    WAREHOUSE_CTE_SQL
-    + """SELECT tenant, name, value_date,
-                CAST(amount * 100 AS BIGINT) AS amount_cents,
-                CAST(SUM(CAST(amount * 100 AS BIGINT)) OVER (
-                     PARTITION BY tenant, name
-                     ORDER BY value_date, amount
-                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
-         FROM account_balance_change_v""",
-    "running signed balance per account (windowed generalization of Q6)",
-)
-def _wh_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    v = cat.warehouse_views(spark, sf_dir)
-    return windows.running_balance(v["account_balance_change"])
-
-
-@register(
-    "asof_purchase_click",
-    """WITH tagged AS (
-         SELECT user_id, ts AS t, event_id AS click_id, 0 AS side,
-                CAST(NULL AS BIGINT) AS purchase_id
-         FROM events WHERE event_type = 'click'
-         UNION ALL
-         SELECT user_id, ts AS t, CAST(NULL AS BIGINT) AS click_id, 1 AS side,
-                event_id AS purchase_id
-         FROM events WHERE event_type = 'purchase'
-       ),
-       carried AS (
-         SELECT *, last_value(click_id IGNORE NULLS) OVER (
-                  PARTITION BY user_id ORDER BY t, side, click_id
-                  ROWS UNBOUNDED PRECEDING) AS last_click
-         FROM tagged
-       )
-       SELECT purchase_id, user_id, t AS purchase_ts, last_click AS asof_click_id
-       FROM carried WHERE side = 1 ORDER BY purchase_id""",
-    "as-of join via tagged-union + one window pass (no native op in Spark)",
-)
-def _asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return windows.asof_join_purchase_to_click(cat.load_table(spark, sf_dir, "events"))
-
-
-@register(
-    "orders_rollup",
-    """SELECT o_orderstatus, o_orderpriority,
-              CAST(count(*) AS BIGINT) AS n_orders,
-              CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-                  AS total_cents
-       FROM orders
-       GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-       ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
-    "hierarchical ROLLUP with subtotals + grand total",
-)
-def _orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return windows.status_priority_rollup(cat.load_table(spark, sf_dir, "orders"))
-
-
-@register(
-    "events_pivot",
-    """SELECT user_id,
-              CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
-              CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
-              CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
-              CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
-              CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
-       FROM events GROUP BY user_id ORDER BY user_id""",
-    "pivot with explicit values (static schema — no discovery scan)",
-)
-def _events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return windows.event_type_pivot(cat.load_table(spark, sf_dir, "events"))
-
-
-@register(
-    "order_value_percentiles",
-    """SELECT o_orderstatus,
-              quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5) AS p50_cents,
-              quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.9) AS p90_cents,
-              CAST(count(*) AS BIGINT) AS n_orders
-       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
-    "exact type-7 percentiles of order value per status",
-)
-def _order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return windows.order_value_percentiles(cat.load_table(spark, sf_dir, "orders"))
-
-
-@register(
-    "events_distinct_users",
-    """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact
-       FROM events GROUP BY event_type ORDER BY event_type""",
-    "exact distinct users per event type",
-)
-def _events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import functions as F
-
-    return (
-        cat.load_table(spark, sf_dir, "events")
-        .groupBy("event_type")
-        .agg(F.countDistinct("user_id").alias("n_users_exact"))
-        .orderBy("event_type")
-    )
-
-
-@register(
-    "events_distinct_users_approx",
-    None,  # HLL sketches differ across engines — rows-only check by design
-    "approximate distinct (HLL++) — the 100 TB default; no cross-engine oracle",
-)
-def _events_distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return windows.distinct_user_counts(cat.load_table(spark, sf_dir, "events"))
-
-
-@register(
-    "doc_quality_gate",
-    """WITH base AS (
-         SELECT *, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
-         FROM documents
-       ),
-       m AS (
-         SELECT *, CAST(length(text) AS BIGINT) AS n_chars,
-                CAST(CASE WHEN length(norm) = 0 THEN 0
-                     ELSE len(string_split(norm, ' ')) END AS BIGINT) AS n_tokens,
-                CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
-                CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit
-         FROM base
-       )
-       SELECT doc_id, text, lang, source, n_chars
-       FROM m
-       WHERE n_tokens >= 20 AND n_tokens <= 100000
-         AND floor(n_alpha * 1000 / greatest(n_chars, 1)) >= 500
-         AND floor(n_digit * 1000 / greatest(n_chars, 1)) <= 300""",
-    "pretraining quality gate: token/alpha/digit thresholds as one filter",
-)
-def _doc_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text_analysis.quality_filter(cat.load_table(spark, sf_dir, "documents"))
