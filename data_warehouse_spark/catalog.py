@@ -115,7 +115,15 @@ def account_view(t: dict[str, DataFrame]) -> DataFrame:
 
 
 def transfer_view(t: dict[str, DataFrame]) -> DataFrame:
-    """One transfer per lineitem; fact-to-fact join on orderkey, dims broadcast."""
+    """One transfer per lineitem; fact-to-fact join on orderkey.
+
+    Broadcast hints go ONLY on the fixed-cardinality dim (nation, 25 rows
+    forever). customer and supplier GROW with scale factor — forcing them
+    into broadcasts would OOM the driver/executors at high SF — so their
+    join strategy is left to the optimizer: at bench SF AQE still picks a
+    broadcast from observed sizes; at 100 TB it degrades gracefully to a
+    shuffle join instead of falling over.
+    """
     li = t["lineitem"]
     o = t["orders"]
     c = t["customer"]
@@ -135,9 +143,9 @@ def transfer_view(t: dict[str, DataFrame]) -> DataFrame:
     )
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .select(
             F.col("cn_name").alias("tenant"),

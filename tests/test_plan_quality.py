@@ -70,6 +70,25 @@ def test_point_lookup_prunes_to_single_column(spark):
     assert rep.scans_column_count("nation") == 1, rep.text  # only n_name read
 
 
+def test_transfer_view_forces_broadcast_only_on_fixed_dims(spark):
+    """customer/supplier grow with SF — forcing them into broadcasts OOMs at
+    high scale. Only the two nation projections (25 rows forever) may carry
+    an explicit broadcast hint; with auto-broadcast disabled, hinted
+    exchanges are the only ones left, so the count pins the hint set."""
+    auto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    aqe_auto = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        df = cat.transfer_view(cat.load_all(spark, SF_DIR))
+        rep = plan_report(df)
+        assert rep.broadcast_joins == 2, rep.text  # cn + sn only
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", auto)
+        if aqe_auto is not None:
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", aqe_auto)
+
+
 def test_exact_dedup_single_exchange(spark):
     from data_warehouse_spark.operators import dedup
 
