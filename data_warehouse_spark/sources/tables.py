@@ -46,6 +46,14 @@ from pyspark.sql import types as T
 # many partition values (an IN-list any optimizer folds into pruning)
 MAX_PRUNE_PARTITIONS = 1000
 
+# compaction: a partition dir holding more than this many part files is
+# rewritten into ~TARGET_FILE_BYTES files at the next snapshot swap
+COMPACT_FILE_THRESHOLD = 16
+TARGET_FILE_BYTES = 128 * 1024 * 1024
+
+# Spark's directory name for a NULL partition value
+HIVE_NULL_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
 
 class TableStore:
     """A directory of named parquet tables with declared schemas.
@@ -64,11 +72,13 @@ class TableStore:
         root: str,
         schemas: dict[str, T.StructType],
         partitions: dict[str, list[str]] | None = None,
+        compact_threshold: int = COMPACT_FILE_THRESHOLD,
     ):
         self.spark = spark
         self.root = root
         self.schemas = schemas
         self.partitions = partitions or {}
+        self.compact_threshold = compact_threshold
         os.makedirs(root, exist_ok=True)
 
     # ---- version plumbing ---------------------------------------------
@@ -196,13 +206,15 @@ class TableStore:
                 if 0 < len(pvals) <= MAX_PRUNE_PARTITIONS:
                     for i, c in enumerate(pcols):
                         current = current.filter(
-                            F.col(c).isin([row[i] for row in pvals])
+                            self._partition_filter(c, [row[i] for row in pvals])
                         )
             # no broadcast hint on current_keys: that side is the TABLE's key
             # set (unbounded at scale — forcing it driver-side is an OOM
             # hazard); AQE picks broadcast itself iff the pruned side is small
             current_keys = current.select(*keys)
-            fresh = fresh.join(current_keys, keys, "left_anti")
+            fresh = fresh.join(
+                current_keys, self._key_cond(fresh, current_keys, keys), "left_anti"
+            )
         # plan introspection for tests: the physical plan of what gets
         # written (pins the no-forced-broadcast property in CI)
         self.last_insert_plan = fresh
@@ -234,8 +246,74 @@ class TableStore:
             n = self._adopt_files(staging, vdir)
             if n:
                 self.spark.catalog.refreshByPath(vdir)
+                # a 2 s append cadence accumulates one part-file set per
+                # tick; compact over-fragmented partitions before they
+                # become the classic small-file problem
+                self.compact(name)
         shutil.rmtree(staging, ignore_errors=True)
         return n
+
+    def compact(self, name: str, threshold: int | None = None) -> int:
+        """Compact over-fragmented partition directories into right-sized
+        files — the Delta OPTIMIZE / Iceberg rewrite_data_files story for
+        the file-level append path, at snapshot granularity.
+
+        Directories holding more than ``threshold`` parquet files are read
+        back and rewritten as ~:data:`TARGET_FILE_BYTES` files in a NEW
+        version dir; every healthy directory's files are hard-linked in
+        unchanged; the pointer swap publishes the compacted snapshot
+        atomically, so in-flight readers keep the previous version's files
+        (the same two-snapshot contract as upsert). I/O is O(fragmented
+        data) + O(#files) metadata, never O(table). The fragmentation scan
+        here walks the version dir — on a real object store this is one
+        manifest listing, not a filesystem walk. Returns #dirs compacted.
+        """
+        threshold = self.compact_threshold if threshold is None else threshold
+        vdir = self._resolve(name)
+        if vdir is None:
+            return 0
+        frag: set[str] = set()
+        for dirpath, _dn, filenames in os.walk(vdir):
+            if sum(1 for f in filenames if f.endswith(".parquet")) > threshold:
+                frag.add(dirpath)
+        if not frag:
+            return 0
+        new_vdir = self._new_version_dir(name)
+        staging = f"{self._table_dir(name)}.compact-{uuid.uuid4().hex[:8]}"
+        try:
+            for dirpath, _dn, filenames in os.walk(vdir):
+                rel = os.path.relpath(dirpath, vdir)
+                dest_dir = new_vdir if rel == "." else os.path.join(new_vdir, rel)
+                os.makedirs(dest_dir, exist_ok=True)
+                pq_files = sorted(
+                    os.path.join(dirpath, f) for f in filenames if f.endswith(".parquet")
+                )
+                if dirpath in frag:
+                    # right-size output files to the target (ceil division)
+                    total = sum(os.path.getsize(f) for f in pq_files)
+                    n_out = max(1, -(-total // TARGET_FILE_BYTES))
+                    # read the raw part files (non-partition columns only —
+                    # rewriting into the same hive dir keeps the layout)
+                    self.spark.read.parquet(*pq_files).coalesce(n_out).write.mode(
+                        "overwrite"
+                    ).parquet(staging)
+                    for f in os.listdir(staging):
+                        if f.endswith(".parquet"):
+                            os.rename(
+                                os.path.join(staging, f),
+                                os.path.join(dest_dir, f"compact-{uuid.uuid4().hex[:8]}-{f}"),
+                            )
+                else:
+                    for fname in pq_files:
+                        d = os.path.join(dest_dir, os.path.basename(fname))
+                        try:
+                            os.link(fname, d)
+                        except OSError:
+                            shutil.copy2(fname, d)
+            self._swap(name, new_vdir)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        return len(frag)
 
     def _adopt_files(self, staging: str, target: str) -> int:
         """Move parquet part files from staging into the version dir
@@ -292,7 +370,11 @@ class TableStore:
         current = self.read(name).cache()
         try:
             batch_keys = fresh.select(*keys)
-            kept = current.join(F.broadcast(batch_keys), keys, "left_anti")
+            kept = current.join(
+                F.broadcast(batch_keys),
+                self._key_cond(current, batch_keys, keys),
+                "left_anti",
+            )
             n_total = current.count()
             n_kept = kept.count()
             self.overwrite(name, kept.unionByName(fresh))
@@ -310,21 +392,24 @@ class TableStore:
         old_vdir = self._resolve(name)
         touched = self.read(name)
         for i, c in enumerate(pcols):
-            touched = touched.filter(F.col(c).isin([row[i] for row in pvals]))
+            touched = touched.filter(
+                self._partition_filter(c, [row[i] for row in pvals])
+            )
         touched = touched.cache()
         try:
             batch_keys = fresh.select(*keys)
-            kept = touched.join(F.broadcast(batch_keys), keys, "left_anti")
+            kept = touched.join(
+                F.broadcast(batch_keys),
+                self._key_cond(touched, batch_keys, keys),
+                "left_anti",
+            )
             n_touched = touched.count()
             n_kept = kept.count()
             merged_touched = kept.unionByName(fresh)
             new_vdir = self._write_version(name, merged_touched)
             # link untouched partitions' files into the new snapshot
             touched_dirs = {
-                "=".join(
-                    (pcols[0], urllib.parse.quote(str(row[0]), safe=""))
-                )
-                for row in pvals
+                "=".join((pcols[0], self._part_dir_value(row[0]))) for row in pvals
             }
             for entry in os.listdir(old_vdir):
                 src = os.path.join(old_vdir, entry)
@@ -341,12 +426,49 @@ class TableStore:
         return n_new - n_updated, n_updated
 
     @staticmethod
+    def _key_cond(left: DataFrame, right: DataFrame, keys: list[str]) -> F.Column:
+        """NULL-safe PK equality for the MERGE anti-joins: plain ``join(keys)``
+        uses SQL equality, under which a NULL key never equals itself — a
+        NULL-keyed row would survive every conflict check (duplicates on
+        replay, phantom keeps on upsert). ``eqNullSafe`` (<=>) matches
+        Postgres PK semantics where NULLs in the merge key are compared
+        IS NOT DISTINCT FROM."""
+        cond = None
+        for k in keys:
+            c = left[k].eqNullSafe(right[k])
+            cond = c if cond is None else cond & c
+        return cond
+
+    @staticmethod
+    def _partition_filter(col: str, vals) -> F.Column:
+        """IN-list partition-pruning predicate that is NULL-safe: SQL
+        ``isin`` never matches NULL, so a batch touching the
+        __HIVE_DEFAULT_PARTITION__ dir needs an explicit isNull arm —
+        without it the pruned read misses existing NULL-partition rows
+        (phantom inserts, and rows dropped at the copy-on-write rewrite)."""
+        non_null = [v for v in vals if v is not None]
+        cond = F.col(col).isin(non_null) if non_null else F.lit(False)
+        if any(v is None for v in vals):
+            cond = cond | F.col(col).isNull()
+        return cond
+
+    @staticmethod
+    def _part_dir_value(value) -> str:
+        """Spark's hive-dir encoding of one partition value: NULL becomes
+        __HIVE_DEFAULT_PARTITION__, everything else is URL-quoted."""
+        if value is None:
+            return HIVE_NULL_PARTITION
+        return urllib.parse.quote(str(value), safe="")
+
+    @staticmethod
     def _unquoted_match(entry: str, pcol: str, pvals) -> bool:
         col, _, raw = entry.partition("=")
         if col != pcol:
             return False
+        if raw == HIVE_NULL_PARTITION:
+            return any(row[0] is None for row in pvals)
         val = urllib.parse.unquote(raw)
-        return any(str(row[0]) == val for row in pvals)
+        return any(row[0] is not None and str(row[0]) == val for row in pvals)
 
     @staticmethod
     def _link_tree(src: str, dst: str) -> None:

@@ -132,3 +132,63 @@ def test_time_travel_after_merge_shows_pre_merge_state(spark, tmp_path):
     before = {(r["name"], r["v"]) for r in store.read_previous("t").collect()}
     assert now == {("x", 9), ("y", 1)}
     assert before == {("x", 1)}
+
+
+def test_append_path_compacts_small_files(spark, tmp_path):
+    """Many consecutive tiny appends must leave O(1) files per touched
+    partition (auto-compaction at threshold), with contents intact and
+    untouched partitions hard-linked, not rewritten."""
+    store = TableStore(
+        spark,
+        str(tmp_path / "wh"),
+        {"t": SCHEMA},
+        partitions={"t": ["tenant"]},
+        compact_threshold=8,
+    )
+    store.merge_insert_missing("t", _rows(spark, [("B", "base", 0)]), ["tenant", "name"])
+    b_before = _part_files(store, "t", "tenant=B")
+    for i in range(50):
+        store.merge_insert_missing(
+            "t", _rows(spark, [("A", f"n{i}", i)]), ["tenant", "name"]
+        )
+    a_files = _part_files(store, "t", "tenant=A")
+    assert len(a_files) <= 8 + 1, f"{len(a_files)} files — compaction not engaging"
+    rows = {(r["tenant"], r["name"]): r["v"] for r in store.read("t").collect()}
+    assert len(rows) == 51 and rows[("A", "n49")] == 49 and rows[("B", "base")] == 0
+    # B was never fragmented: every surviving compaction hard-linked its
+    # files (same inodes), never rewrote them
+    b_after = _part_files(store, "t", "tenant=B")
+    assert set(b_after.values()) <= set(b_before.values())
+
+
+def test_manual_compact_noop_below_threshold(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    store.merge_insert_missing("t", _rows(spark, [("A", "x", 1)]), ["tenant", "name"])
+    v1 = store._resolve("t")
+    assert store.compact("t") == 0  # healthy table: no new version, no churn
+    assert store._resolve("t") == v1
+
+
+def test_upsert_null_partition_value_not_duplicated(spark, tmp_path):
+    """A NULL partition value lands in __HIVE_DEFAULT_PARTITION__; the
+    copy-on-write upsert must treat that dir as TOUCHED (rewritten), not
+    hard-link the old files alongside the new ones (row duplication)."""
+    nullable = T.StructType(
+        [
+            T.StructField("tenant", T.StringType(), True),
+            T.StructField("name", T.StringType(), False),
+            T.StructField("v", T.IntegerType(), False),
+        ]
+    )
+    store = TableStore(
+        spark, str(tmp_path / "wh"), {"t": nullable}, partitions={"t": ["tenant"]}
+    )
+    store.overwrite(
+        "t", spark.createDataFrame([(None, "x", 1), ("B", "y", 1)], nullable)
+    )
+    ins, upd = store.merge_upsert(
+        "t", spark.createDataFrame([(None, "x", 2)], nullable), ["tenant", "name"]
+    )
+    assert (ins, upd) == (0, 1)
+    rows = [(r["tenant"], r["name"], r["v"]) for r in store.read("t").collect()]
+    assert sorted(rows, key=str) == [("B", "y", 1), (None, "x", 2)]
