@@ -1,11 +1,13 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing is real and tested — schemas, Arrow batch transfer,
-``mapInPandas`` signatures, partition sizing. The codec layer is stubbed
-(this image has no image/audio libraries): ``decode=\"fake\"`` derives
-deterministic pseudo-features from the payload bytes so pipelines are fully
-exercisable; ``decode=\"real\"`` raises ``NotImplementedError`` at the point
-where PIL/ffmpeg would be called.
+``mapInPandas`` signatures, partition sizing. The codec layer is pluggable:
+``decode=\"fake\"`` (default) parses deterministic pseudo-headers from the
+payload bytes so pipelines are fully exercisable and oracle-checkable in
+any environment; ``decode=\"real\"`` try-imports the actual codec library
+on the executor (Pillow for images, soundfile for audio, PyAV for video)
+and raises a clear ImportError naming the missing dependency when it is
+not installed — both paths share the identical Arrow/mapInPandas plumbing.
 
 Scale notes: binary payloads ride in their own column so column pruning
 keeps metadata-only queries payload-free (parquet never reads the blob
@@ -18,6 +20,7 @@ memory, and let Arrow chunk the pandas batches
 from __future__ import annotations
 
 import hashlib
+import importlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -25,6 +28,27 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+def _optional(module: str):
+    """Guarded import of an optional codec library (resolved on the
+    EXECUTOR, where the Pandas-UDF batches run). Returns None when absent."""
+    try:
+        return importlib.import_module(module)
+    except ImportError:
+        return None
+
+
+def _require(module: str, purpose: str):
+    mod = _optional(module)
+    if mod is None:
+        raise ImportError(
+            f"decode='real' {purpose} requires `{module}`, which is not "
+            "installed in this environment; decode='fake' runs the "
+            "deterministic header codec through the identical Spark/Arrow "
+            "plumbing"
+        )
+    return mod
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -111,13 +135,21 @@ def extract_image_features(media: DataFrame, decode: str = "fake") -> DataFrame:
         raise ValueError("decode must be 'fake' or 'real'")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode_one = _fake_decode
+        if decode == "real":
+            pil_image = _require("PIL.Image", "image decode")
+            import io
+
+            def decode_one(payload: bytes):
+                img = pil_image.open(io.BytesIO(payload))
+                w, h = img.size
+                channels = len(img.getbands())
+                arr = np.asarray(img, dtype=np.float32).ravel()
+                emb = np.resize(arr, _EMBED_DIM) / 255.0
+                return w, h, channels, emb
+
         for pdf in it:
-            if decode == "real":
-                raise NotImplementedError(
-                    "real image decode requires PIL/libvips — not in this "
-                    "image; plumbing is exercised via decode='fake'"
-                )
-            rows = [_fake_decode(bytes(p)) for p in pdf["payload"]]
+            rows = [decode_one(bytes(p)) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].values,
@@ -133,23 +165,49 @@ def extract_image_features(media: DataFrame, decode: str = "fake") -> DataFrame:
     return pruned.mapInPandas(batches, IMAGE_FEATURES_SCHEMA)
 
 
-def sample_frames(media: DataFrame, every_ms: int = 1000, max_frames: int = 8) -> DataFrame:
+def sample_frames(
+    media: DataFrame, every_ms: int = 1000, max_frames: int = 8, decode: str = "fake"
+) -> DataFrame:
     """Video → frame rows (1→N via mapInPandas). Fake codec: frame payload =
-    digest-sliced bytes; real codec would be ffmpeg seek+decode."""
+    digest-sliced bytes; ``decode="real"`` decodes with PyAV (ffmpeg
+    bindings) when installed."""
+    if decode not in ("fake", "real"):
+        raise ValueError("decode must be 'fake' or 'real'")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def frames_of(raw: bytes) -> list[bytes]:
+            n = min(max_frames, max(1, len(raw) // 32))
+            return [
+                hashlib.sha256(raw + f_no.to_bytes(4, "big")).digest()
+                for f_no in range(n)
+            ]
+
+        if decode == "real":
+            av = _require("av", "video frame sampling")
+            import io
+
+            def frames_of(raw: bytes) -> list[bytes]:
+                out: list[bytes] = []
+                with av.open(io.BytesIO(raw)) as container:
+                    stream = container.streams.video[0]
+                    next_ts = 0.0
+                    for frame in container.decode(stream):
+                        if frame.time is not None and frame.time * 1000 < next_ts:
+                            continue
+                        out.append(frame.to_image().tobytes())
+                        next_ts += every_ms
+                        if len(out) >= max_frames:
+                            break
+                return out
+
         for pdf in it:
             out = {"media_id": [], "frame_no": [], "ts_ms": [], "frame_payload": []}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                raw = bytes(payload)
-                n = min(max_frames, max(1, len(raw) // 32))
-                for f_no in range(n):
+                for f_no, fp in enumerate(frames_of(bytes(payload))):
                     out["media_id"].append(mid)
                     out["frame_no"].append(f_no)
                     out["ts_ms"].append(f_no * every_ms)
-                    out["frame_payload"].append(
-                        hashlib.sha256(raw + f_no.to_bytes(4, "big")).digest()
-                    )
+                    out["frame_payload"].append(fp)
             yield pd.DataFrame(out)
 
     pruned = media.filter(F.col("kind") == "video").select("media_id", "payload")
@@ -190,18 +248,25 @@ def extract_audio_features(media: DataFrame, decode: str = "fake") -> DataFrame:
         raise ValueError("decode must be 'fake' or 'real'")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def decode_one(raw: bytes) -> tuple[int, int]:
+            p = raw + bytes(8)
+            rate = 8000 * (1 + p[4] % 6)
+            n_samples = max(len(raw) - 4, 0) * 4
+            return rate, n_samples
+
+        if decode == "real":
+            sf = _require("soundfile", "audio decode")
+            import io
+
+            def decode_one(raw: bytes) -> tuple[int, int]:
+                data, rate = sf.read(io.BytesIO(raw))
+                return int(rate), int(data.shape[0])
+
         for pdf in it:
-            if decode == "real":
-                raise NotImplementedError(
-                    "real audio decode requires soundfile/ffmpeg — not in "
-                    "this image; plumbing is exercised via decode='fake'"
-                )
             out = {k.name: [] for k in AUDIO_FEATURES_SCHEMA.fields}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 raw = bytes(payload)
-                p = raw + bytes(8)
-                rate = 8000 * (1 + p[4] % 6)
-                n_samples = max(len(raw) - 4, 0) * 4
+                rate, n_samples = decode_one(raw)
                 out["media_id"].append(mid)
                 out["sample_rate"].append(rate)
                 out["n_samples"].append(n_samples)
@@ -240,29 +305,37 @@ def resize_images(
         raise ValueError("decode must be 'fake' or 'real'")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def resize_one(raw: bytes) -> tuple[int, bytes]:
+            p = raw + bytes(8)
+            channels = 1 + p[4] % 4
+            n_pix = min(target_w * target_h * channels, _RESIZE_PIXEL_CAP)
+            pixels = bytearray()
+            seed = raw + target_w.to_bytes(2, "big") + target_h.to_bytes(2, "big")
+            while len(pixels) < n_pix:
+                seed = hashlib.sha256(seed).digest()
+                pixels.extend(seed)
+            body = (
+                target_w.to_bytes(2, "big")
+                + target_h.to_bytes(2, "big")
+                + bytes([channels])
+                + bytes(pixels[:n_pix])
+            )
+            return channels, body
+
+        if decode == "real":
+            pil_image = _require("PIL.Image", "image resize")
+            import io
+
+            def resize_one(raw: bytes) -> tuple[int, bytes]:
+                img = pil_image.open(io.BytesIO(raw)).resize((target_w, target_h))
+                buf = io.BytesIO()
+                img.save(buf, format="PNG")
+                return len(img.getbands()), buf.getvalue()
+
         for pdf in it:
-            if decode == "real":
-                raise NotImplementedError(
-                    "real resize requires PIL/libvips — not in this image; "
-                    "plumbing is exercised via decode='fake'"
-                )
             out = {k.name: [] for k in RESIZED_IMAGE_SCHEMA.fields}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                raw = bytes(payload)
-                p = raw + bytes(8)
-                channels = 1 + p[4] % 4
-                n_pix = min(target_w * target_h * channels, _RESIZE_PIXEL_CAP)
-                pixels = bytearray()
-                seed = raw + target_w.to_bytes(2, "big") + target_h.to_bytes(2, "big")
-                while len(pixels) < n_pix:
-                    seed = hashlib.sha256(seed).digest()
-                    pixels.extend(seed)
-                body = (
-                    target_w.to_bytes(2, "big")
-                    + target_h.to_bytes(2, "big")
-                    + bytes([channels])
-                    + bytes(pixels[:n_pix])
-                )
+                channels, body = resize_one(bytes(payload))
                 out["media_id"].append(mid)
                 out["width"].append(target_w)
                 out["height"].append(target_h)

@@ -5,6 +5,7 @@ multimodal plumbing determinism.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from data_warehouse_spark.operators import dedup, multimodal, similarity
@@ -191,10 +192,7 @@ def test_multimodal_plumbing(spark):
     assert stats["image"]["n_items"] == 2
     assert stats["audio"]["total_bytes"] == 15
 
-    import pytest
-
-    with pytest.raises(Exception, match="NotImplementedError|real image decode"):
-        multimodal.extract_image_features(media, decode="real").collect()
+    # decode="real" behavior is covered by the guarded-import tests below
 
 
 def test_ann_ivf_structure_and_recall(spark):
@@ -315,3 +313,63 @@ def test_resize_payload_deterministic_and_shaped(spark):
         assert len(bytes(r["payload"])) == 5 + min(8 * 8 * r["channels"], 256)
         w = int.from_bytes(bytes(r["payload"])[0:2], "big")
         assert w == 8 == r["width"]
+
+
+# --- guarded real-codec path ------------------------------------------------
+
+import importlib.util as _ilu
+
+_HAS_PIL = _ilu.find_spec("PIL") is not None
+_HAS_SOUNDFILE = _ilu.find_spec("soundfile") is not None
+
+
+def _tiny_media(spark, kind, payload):
+    return spark.createDataFrame(
+        [(1, kind, bytearray(payload), None, None)], multimodal.MEDIA_SCHEMA
+    )
+
+
+@pytest.mark.skipif(_HAS_PIL, reason="Pillow installed — real path is active")
+def test_real_image_decode_raises_clear_import_error(spark):
+    """Without Pillow, decode='real' must fail with an error NAMING the
+    missing dependency (not a bare NotImplementedError)."""
+    with pytest.raises(Exception, match="PIL.Image"):
+        multimodal.extract_image_features(
+            _tiny_media(spark, "image", b"x" * 64), decode="real"
+        ).collect()
+    with pytest.raises(Exception, match="PIL.Image"):
+        multimodal.resize_images(
+            _tiny_media(spark, "image", b"x" * 64), 8, 8, decode="real"
+        ).collect()
+
+
+@pytest.mark.skipif(_HAS_SOUNDFILE, reason="soundfile installed")
+def test_real_audio_decode_raises_clear_import_error(spark):
+    with pytest.raises(Exception, match="soundfile"):
+        multimodal.extract_audio_features(
+            _tiny_media(spark, "audio", b"x" * 64), decode="real"
+        ).collect()
+
+
+@pytest.mark.skipif(not _HAS_PIL, reason="Pillow not installed in this image")
+def test_real_image_decode_with_pillow(spark):
+    """With Pillow present, decode='real' parses an actual PNG through the
+    same mapInPandas plumbing as the fake codec."""
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (7, 5)).save(buf, format="PNG")
+    feats = multimodal.extract_image_features(
+        _tiny_media(spark, "image", buf.getvalue()), decode="real"
+    ).collect()
+    assert len(feats) == 1
+    r = feats[0]
+    assert (r["width"], r["height"], r["channels"]) == (7, 5, 3)
+    resized = multimodal.resize_images(
+        _tiny_media(spark, "image", buf.getvalue()), 8, 8, decode="real"
+    ).collect()
+    assert (resized[0]["width"], resized[0]["height"]) == (8, 8)
+    out = Image.open(io.BytesIO(bytes(resized[0]["payload"])))
+    assert out.size == (8, 8)
