@@ -366,45 +366,69 @@ def funnel(
     """Ordered conversion funnel: users whose step-k event follows their
     step-(k-1) event, all within ``within_days`` of step 1.
 
-    Progressive agg-then-join: each stage aggregates to ≤ |users| rows
-    (min event time per user) BEFORE joining the next step's filtered
-    scan — never an events×events self-join. Time math in integer µs
-    (``unix_micros`` ≡ DuckDB ``epoch_us``), the engine's timestamp
-    convention. Output: one row per step with the surviving user count.
+    SINGLE-PASS: one scan of events (filtered to the k step types — an
+    IN-filter pushed to the scan), one shuffle grouping each user's
+    relevant events into a time-sorted array, then a per-user JVM
+    ``aggregate`` fold walks the array once carrying the (t1..tk) chain
+    state — first step-1 time, then the first step-2 time inside
+    (t1, t1+window], and so on. Equivalent to the progressive
+    agg-then-join formulation (the sorted walk picks exactly the MIN
+    qualifying time per stage, which is what each join's re-aggregation
+    computed) but costs ONE events scan and one exchange instead of k
+    scans and k-1 join shuffles. Per-user state is k timestamps; the
+    array is only that user's funnel-step events. Time math in integer µs
+    (``unix_micros`` ≡ DuckDB ``epoch_us``). Output: one row per step
+    with the surviving user count.
     """
+    k = len(steps)
     us = F.unix_micros(F.col("ts"))
     window_us = within_days * 86_400_000_000
-    reached = (
-        events.filter(F.col("event_type") == steps[0])
+    step_idx = F.when(F.col("event_type") == steps[0], 0)
+    for i, s in enumerate(steps[1:], start=1):
+        step_idx = step_idx.when(F.col("event_type") == s, i)
+    per_user = (
+        events.filter(F.col("event_type").isin(list(steps)))
+        .select("user_id", us.alias("t"), step_idx.cast("int").alias("s"))
         .groupBy("user_id")
-        .agg(F.min(us).alias("t_prev"))
-        .withColumn("t_first", F.col("t_prev"))
+        .agg(F.sort_array(F.collect_list(F.struct("t", "s"))).alias("evs"))
     )
 
-    def stage_count(df, i, step):
-        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
-            F.lit(i + 1).cast("bigint").alias("step"),
-            F.lit(step).alias("event_type"),
-            "n_users",
-        )
+    def advance(acc, ev):
+        fields = []
+        for i in range(k):
+            cur = acc[f"t{i}"]
+            if i == 0:
+                take = cur.isNull() & (ev["s"] == 0)
+            else:
+                take = (
+                    cur.isNull()
+                    & acc[f"t{i - 1}"].isNotNull()
+                    & (ev["s"] == i)
+                    & (ev["t"] > acc[f"t{i - 1}"])
+                    & (ev["t"] <= acc["t0"] + window_us)
+                )
+            fields.append(F.when(take, ev["t"]).otherwise(cur).alias(f"t{i}"))
+        return F.struct(*fields)
 
-    out = stage_count(reached, 0, steps[0])
-    for i, step in enumerate(steps[1:], start=1):
-        nxt = events.filter(F.col("event_type") == step).select(
-            "user_id", us.alias("t_step")
-        )
-        reached = (
-            nxt.join(reached, "user_id")
-            .filter(
-                (F.col("t_step") > F.col("t_prev"))
-                & (F.col("t_step") <= F.col("t_first") + window_us)
-            )
-            .groupBy("user_id", "t_first")
-            .agg(F.min("t_step").alias("t_prev"))
-            .select("user_id", "t_prev", "t_first")
-        )
-        out = out.unionByName(stage_count(reached, i, step))
-    return out.orderBy("step")
+    chain = F.aggregate(
+        "evs",
+        F.struct(*[F.lit(None).cast("bigint").alias(f"t{i}") for i in range(k)]),
+        advance,
+    )
+    counts = per_user.select(chain.alias("c")).agg(
+        *[
+            F.sum(F.when(F.col("c").getField(f"t{i}").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"n{i}")
+            for i in range(k)
+        ]
+    )
+    stack_args = ", ".join(
+        f"CAST({i + 1} AS BIGINT), '{s}', n{i}" for i, s in enumerate(steps)
+    )
+    return counts.select(
+        F.expr(f"stack({k}, {stack_args}) AS (step, event_type, n_users)")
+    ).orderBy("step")
 
 
 # --- events: retention cohorts ------------------------------------------------

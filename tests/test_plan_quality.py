@@ -70,6 +70,23 @@ def test_point_lookup_prunes_to_single_column(spark):
     assert rep.scans_column_count("nation") == 1, rep.text  # only n_name read
 
 
+def test_funnel_is_single_pass(spark):
+    """The funnel must scan events ONCE (IN-filter on step types pushed)
+    and fold per-user state — no per-step rescans or join shuffles."""
+    import re
+
+    df = analytics.funnel(cat.load_table(spark, SF_DIR, "events"))
+    rep = plan_report(df)
+    # count scan DETAIL headers — the tree section names each node twice
+    assert len(re.findall(r"\(\d+\) Scan parquet", rep.text)) == 1, rep.text
+    assert (
+        rep.broadcast_joins + rep.sortmerge_joins + rep.shuffle_hash_joins == 0
+    ), rep.text
+    # one user-grouping exchange + the tiny single-row final agg exchange
+    assert rep.exchanges <= 2, rep.text
+    assert any("event_type" in f for f in rep.pushed_filters), rep.text
+
+
 def test_transfer_view_forces_broadcast_only_on_fixed_dims(spark):
     """customer/supplier grow with SF — forcing them into broadcasts OOMs at
     high scale. Only the two nation projections (25 rows forever) may carry
