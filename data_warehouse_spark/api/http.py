@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import decimal
 import json
+import os
 import re
 import secrets
 
@@ -28,31 +29,65 @@ from .graphql_schema import execute
 # the embedded GraphiQL IDE (reference serves the same single-page asset on
 # GET /graphql — GraphQLRouter.scala:66-73); assets ride the public CDN so
 # the engine ships no JS bundle. Versions are PINNED (an unversioned URL
-# executes whatever the CDN serves next major). Air-gapped deployments
-# still have the full API via POST /graphql; only the IDE needs the CDN.
-GRAPHIQL_PAGE = """<!DOCTYPE html>
+# executes whatever the CDN serves next major), and the pin becomes
+# CRYPTOGRAPHIC when Subresource Integrity hashes are provided: set
+# ``DATA_WAREHOUSE_GRAPHIQL_SRI`` to a JSON object {url: "sha384-..."}
+# (openssl dgst -sha384 -binary <asset> | openssl base64 -A) and every
+# matching tag is rendered with integrity + crossorigin="anonymous", so a
+# CDN compromise yields a refused load instead of script execution. This
+# build environment has no network access to the pinned assets, so hashes
+# cannot be baked in here without guessing — deployments should set them
+# (or vendor the three assets and rewrite the URLs). Air-gapped
+# deployments still have the full API via POST /graphql; only the IDE
+# needs the CDN.
+GRAPHIQL_ASSETS = {
+    "css": "https://unpkg.com/graphiql@3.7.1/graphiql.min.css",
+    "react": "https://unpkg.com/react@18.3.1/umd/react.production.min.js",
+    "react-dom": "https://unpkg.com/react-dom@18.3.1/umd/react-dom.production.min.js",
+    "graphiql": "https://unpkg.com/graphiql@3.7.1/graphiql.min.js",
+}
+
+
+def _sri_attr(url: str, sri: dict[str, str] | None) -> str:
+    h = (sri or {}).get(url)
+    return f' integrity="{h}" crossorigin="anonymous"' if h else " crossorigin"
+
+
+def graphiql_page(sri: dict[str, str] | None = None) -> str:
+    if sri is None:
+        raw = os.environ.get("DATA_WAREHOUSE_GRAPHIQL_SRI")
+        sri = json.loads(raw) if raw else None
+    a = GRAPHIQL_ASSETS
+    css_attr = (sri or {}).get(a["css"])
+    css_sri = (
+        f' integrity="{css_attr}" crossorigin="anonymous"' if css_attr else ""
+    )
+    return f"""<!DOCTYPE html>
 <html>
 <head>
   <title>GraphiQL</title>
-  <style>body { margin: 0; } #graphiql { height: 100vh; }</style>
-  <link rel="stylesheet" href="https://unpkg.com/graphiql@3.7.1/graphiql.min.css" />
+  <style>body {{ margin: 0; }} #graphiql {{ height: 100vh; }}</style>
+  <link rel="stylesheet" href="{a['css']}"{css_sri} />
 </head>
 <body>
   <div id="graphiql">Loading GraphiQL…</div>
-  <script crossorigin src="https://unpkg.com/react@18.3.1/umd/react.production.min.js"></script>
-  <script crossorigin src="https://unpkg.com/react-dom@18.3.1/umd/react-dom.production.min.js"></script>
-  <script crossorigin src="https://unpkg.com/graphiql@3.7.1/graphiql.min.js"></script>
+  <script{_sri_attr(a['react'], sri)} src="{a['react']}"></script>
+  <script{_sri_attr(a['react-dom'], sri)} src="{a['react-dom']}"></script>
+  <script{_sri_attr(a['graphiql'], sri)} src="{a['graphiql']}"></script>
   <script>
-    const fetcher = GraphiQL.createFetcher({ url: '/graphql' });
+    const fetcher = GraphiQL.createFetcher({{ url: '/graphql' }});
     ReactDOM.createRoot(document.getElementById('graphiql')).render(
-      React.createElement(GraphiQL, {
+      React.createElement(GraphiQL, {{
         fetcher,
-        defaultQuery: '{ tenants(limit: 10, offset: 0) { name } }',
-      })
+        defaultQuery: '{{ tenants(limit: 10, offset: 0) {{ name }} }}',
+      }})
     );
   </script>
 </body>
 </html>"""
+
+
+GRAPHIQL_PAGE = graphiql_page()
 
 
 def build_app(store) -> Flask:

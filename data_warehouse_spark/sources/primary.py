@@ -50,20 +50,29 @@ AMOUNT = T.DecimalType(28, 10)
 MAX_LINE_BYTES = 256
 
 
-def _framed(line, what: str):
-    """Pass ``line`` through, failing the job when it exceeds the frame
-    bound — byte length (octet_length), as Akka frames bytes not chars."""
-    return (
+def _framed_file(raw: DataFrame, what: str) -> DataFrame:
+    """Apply the frame bound to EVERY line of each file, parsed or not —
+    Akka's Framing.delimiter fails the stream on any oversized line, so an
+    oversized line the parser never looks at (e.g. meta line 2) must still
+    fail the read. One array_max over the split lines per file; the
+    downstream parse then re-splits the already-validated value."""
+    lines = F.split(F.col("value"), "\n")
+    max_len = F.array_max(F.transform(lines, F.octet_length))
+    return raw.select(
+        "path",
         F.when(
-            F.octet_length(line) > MAX_LINE_BYTES,
+            max_len > MAX_LINE_BYTES,
             F.raise_error(
                 F.concat(
-                    F.lit(f"FramingException: {what} line exceeds {MAX_LINE_BYTES} bytes in "),
+                    F.lit(
+                        f"FramingException: {what} line exceeds {MAX_LINE_BYTES} bytes in "
+                    ),
                     F.col("path"),
                 )
             ).cast("string"),
         )
-        .otherwise(line)
+        .otherwise(F.col("value"))
+        .alias("value"),
     )
 
 
@@ -140,7 +149,8 @@ def read_account_meta_paths(spark: SparkSession, paths: list[str]) -> DataFrame:
 def parse_account_meta(spark: SparkSession, raw: DataFrame | None) -> DataFrame:
     if raw is None:
         return _empty(spark, ACCOUNT_META_SCHEMA)
-    line1 = _framed(F.split(F.col("value"), "\n").getItem(0), "account meta")
+    raw = _framed_file(raw, "account meta")
+    line1 = F.split(F.col("value"), "\n").getItem(0)
     return raw.select(
         F.regexp_extract("path", r"/t_([^/]+)/account/", 1).alias("tenant"),
         F.regexp_extract("path", r"/account/([^/]+)/snapshot/", 1).alias("name"),
@@ -201,6 +211,7 @@ def read_account_event_paths(spark: SparkSession, paths: list[str]) -> DataFrame
 def parse_account_events(spark: SparkSession, raw: DataFrame | None) -> DataFrame:
     if raw is None:
         return _empty(spark, ACCOUNT_EVENT_SCHEMA)
+    raw = _framed_file(raw, "event")
     fname = F.element_at(F.split(F.col("path"), "/"), -1)
     return raw.select(
         F.regexp_extract("path", r"/t_([^/]+)/account/", 1).alias("tenant"),
@@ -211,9 +222,7 @@ def parse_account_events(spark: SparkSession, raw: DataFrame | None) -> DataFram
         F.regexp_extract("path", r"/events/(\d+)/", 1)
         .cast("int")
         .alias("snapshot_version"),
-        _framed(F.split(F.col("value"), "\n").getItem(0), "event version")
-        .cast("int")
-        .alias("version"),
+        F.split(F.col("value"), "\n").getItem(0).cast("int").alias("version"),
     )
 
 
@@ -256,8 +265,9 @@ def parse_transactions(spark: SparkSession, raw: DataFrame | None) -> DataFrame:
     if raw is None:
         return _empty(spark, TRANSFER_ROW_SCHEMA)
 
+    raw = _framed_file(raw, "transaction")
     lines = F.split(F.col("value"), "\n")
-    header = _framed(lines.getItem(0), "transaction status")
+    header = lines.getItem(0)
     status = (
         F.when(F.trim(header) == "committed", F.lit(1))
         .when(F.trim(header) == "rollbacked", F.lit(2))
@@ -272,9 +282,8 @@ def parse_transactions(spark: SparkSession, raw: DataFrame | None) -> DataFrame:
         F.posexplode(lines).alias("line_no", "line"),
     ).filter((F.col("line_no") >= 1) & (F.length(F.trim(F.col("line"))) > 0))
 
-    # every transfer line passes through the same 256-byte frame bound the
-    # reference applies to the whole file stream
-    p = F.split(F.trim(_framed(F.col("line"), "transfer")), " ")
+    # frame bound already enforced file-wide by _framed_file above
+    p = F.split(F.trim(F.col("line")), " ")
     return body.select(
         "tenant",
         "transaction",

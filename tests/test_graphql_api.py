@@ -190,6 +190,20 @@ def test_graphiql_ide_served(client):
     assert "createFetcher" in page  # wired to POST /graphql
 
 
+def test_graphiql_sri_hashes_rendered_when_provided():
+    """With SRI hashes configured, every asset tag becomes a cryptographic
+    pin (integrity + crossorigin=anonymous); without them, version pins."""
+    from data_warehouse_spark.api.http import GRAPHIQL_ASSETS, graphiql_page
+
+    sri = {url: f"sha384-FAKE{i}" for i, url in enumerate(GRAPHIQL_ASSETS.values())}
+    page = graphiql_page(sri=sri)
+    for url, h in sri.items():
+        assert f'integrity="{h}" crossorigin="anonymous"' in page
+        assert url in page
+    bare = graphiql_page(sri={})
+    assert "integrity=" not in bare
+
+
 def test_dumps_exact_survives_placeholder_shaped_strings():
     """A string VALUE shaped like a decimal placeholder must come back
     verbatim - never be rewritten into a raw numeric token."""

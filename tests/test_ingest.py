@@ -295,6 +295,22 @@ def test_framing_oversize_event_version_line_fails(pipeline):
         pipe.run_once()
 
 
+def test_framing_oversize_unparsed_line_fails(pipeline):
+    """Akka's Framing fails on ANY oversized line in the stream — including
+    lines the parser never consumes (meta line 2): the frame bound is a
+    property of the read, not of the fields extracted."""
+    pipe, root, store = pipeline
+    t = "t_TEN_FRAME3"
+    write(
+        os.path.join(root, t, "account", "H", "snapshot", "0000000000"),
+        "EUR FORMAT_X\n" + "Z" * 300 + "\n",
+    )
+    write(os.path.join(root, t, "transaction", "TH"), "committed\nT1 TEN_FRAME3 H TEN_FRAME3 H 2020-01-01T00:00:00Z 1 EUR\n")
+    write(os.path.join(root, t, "account", "H", "events", "0000000000", "1_1_TH"), "1\n")
+    with pytest.raises(Exception, match="FramingException"):
+        pipe.run_once()
+
+
 def test_missing_trailing_newline_parses(pipeline):
     """allowTruncation = true parity: a final line without a delimiter is
     still a frame."""
