@@ -44,6 +44,52 @@ def _storage_checkpoint(df: DataFrame) -> DataFrame:
     return df.sparkSession.read.parquet(d)
 
 
+# (app_id, caller key, geometry) → checkpointed-signature parquet path. A
+# signature table is a STORED artifact in a production dedup pipeline
+# (computed once over the corpus, probed by every dedup/clustering pass);
+# this cache is the local stand-in, same contract as the IVF index cache:
+# cache_key must uniquely identify the corpus DATA — two different corpora
+# sharing a key would serve the first caller's signatures. Entries are
+# parquet paths, not persisted DataFrames: reuse costs a read, never
+# accumulates executor cache.
+_SIGNATURE_CACHE: dict[tuple, str] = {}
+
+
+def clear_signature_cache(cache_key: str | None = None) -> int:
+    """Drop cached signature artifacts (all, or those built under one key).
+    Returns the number of entries evicted; files are removed eagerly."""
+    doomed = [k for k in _SIGNATURE_CACHE if cache_key is None or k[1] == cache_key]
+    for k in doomed:
+        shutil.rmtree(_SIGNATURE_CACHE.pop(k), ignore_errors=True)
+    return len(doomed)
+
+
+def _cached_signatures(
+    documents: DataFrame, id_col: str, text_col: str, shingle_n: int, cache_key: str | None
+) -> DataFrame:
+    if cache_key is None:
+        return _storage_checkpoint(
+            minhash_signatures(documents, id_col, text_col, shingle_n)
+        )
+    spark = documents.sparkSession
+    key = (
+        spark.sparkContext.applicationId,
+        cache_key,
+        id_col,
+        text_col,
+        shingle_n,
+    )
+    path = _SIGNATURE_CACHE.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="dwh-sigs-")
+        atexit.register(shutil.rmtree, path, True)
+        minhash_signatures(documents, id_col, text_col, shingle_n).write.mode(
+            "overwrite"
+        ).parquet(path)
+        _SIGNATURE_CACHE[key] = path
+    return spark.read.parquet(path)
+
+
 def exact_duplicates(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact dedup on normalized text: every doc mapped to its group's
     canonical (minimum) id + group size. ``is_duplicate`` marks rows a
@@ -155,6 +201,7 @@ def minhash_lsh_duplicates(
     bands: int = 8,
     rows_per_band: int = 2,
     threshold_x1000: int = 600,
+    signatures_cache_key: str | None = None,
 ) -> DataFrame:
     """The full fuzzy-dedup pipeline: signatures → LSH candidates → verify.
 
@@ -162,9 +209,12 @@ def minhash_lsh_duplicates(
     the verify join); checkpoint it to storage so shingling+hashing runs
     once — exactly what a cluster pipeline does before the LSH shuffle, and
     unlike ``persist()`` it leaves no cached RDDs behind across repeated
-    invocations in one session.
+    invocations in one session. Pass ``signatures_cache_key`` (contract as
+    :data:`_SIGNATURE_CACHE`) to reuse the checkpointed signature artifact
+    across invocations — the stored-signature-table pattern of a production
+    dedup pipeline; steady-state then pays a parquet read, not a rebuild.
     """
-    sigs = _storage_checkpoint(minhash_signatures(documents, id_col, text_col, shingle_n))
+    sigs = _cached_signatures(documents, id_col, text_col, shingle_n, signatures_cache_key)
     cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
     return jaccard_verify(cands, sigs, threshold_x1000).orderBy("doc_a", "doc_b")
 

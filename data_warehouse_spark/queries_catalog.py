@@ -349,7 +349,9 @@ FROM reach GROUP BY src ORDER BY doc_id"""
     "oracle = recursive-CTE transitive closure over the same pairs)",
 )
 def _doc_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = dedup.minhash_lsh_duplicates(cat.load_table(spark, sf_dir, "documents"))
+    pairs = dedup.minhash_lsh_duplicates(
+        cat.load_table(spark, sf_dir, "documents"), signatures_cache_key=sf_dir
+    )
     return dedup.neardup_clusters(pairs)
 
 
@@ -940,7 +942,9 @@ def _doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "MinHash(16) + 8×2 banded LSH candidates + exact Jaccard verify ≥ 0.6",
 )
 def _doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.minhash_lsh_duplicates(cat.load_table(spark, sf_dir, "documents"))
+    return dedup.minhash_lsh_duplicates(
+        cat.load_table(spark, sf_dir, "documents"), signatures_cache_key=sf_dir
+    )
 
 
 @register(

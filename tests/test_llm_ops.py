@@ -373,3 +373,29 @@ def test_real_image_decode_with_pillow(spark):
     assert (resized[0]["width"], resized[0]["height"]) == (8, 8)
     out = Image.open(io.BytesIO(bytes(resized[0]["payload"])))
     assert out.size == (8, 8)
+
+
+def test_minhash_signature_cache_reuse_and_eviction(spark):
+    """signatures_cache_key reuses the checkpointed artifact (no rebuild),
+    results stay identical, no cached RDDs accumulate, and eviction
+    removes the files."""
+    from data_warehouse_spark.operators.dedup import (
+        _SIGNATURE_CACHE,
+        clear_signature_cache,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    clear_signature_cache("test-sigs")
+    a = dedup.minhash_lsh_duplicates(docs, signatures_cache_key="test-sigs").collect()
+    paths = [p for k, p in _SIGNATURE_CACHE.items() if k[1] == "test-sigs"]
+    assert len(paths) == 1
+    before = len(dict(spark.sparkContext._jsc.getPersistentRDDs()))
+    b = dedup.minhash_lsh_duplicates(docs, signatures_cache_key="test-sigs").collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))
+    assert [p for k, p in _SIGNATURE_CACHE.items() if k[1] == "test-sigs"] == paths
+    after = len(dict(spark.sparkContext._jsc.getPersistentRDDs()))
+    assert after <= before, "signature cache must not persist RDDs"
+    import os
+
+    assert clear_signature_cache("test-sigs") == 1
+    assert not os.path.exists(paths[0])
