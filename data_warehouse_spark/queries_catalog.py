@@ -94,17 +94,93 @@ def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 
+# --- multimodal: binary payload columns + Pandas-UDF feature extraction ----
+# The media corpus derives deterministically from `documents` (payload =
+# repeated-md5 bytes), so the Arrow/mapInPandas decode path — which parses
+# REAL payload bytes — is verifiable against a SQL twin that recomputes the
+# header fields from the same md5 hex string. All four media pipelines
+# (image decode+resize, audio decode, video frame sampling, per-kind rollup)
+# are value-checked through ONE long-format entry: (src, mkey, metric, value).
+
+_MEDIA_IMAGE_METRICS = [
+    "width", "height", "channels", "n_bytes",
+    "r_width", "r_height", "r_channels", "r_n_bytes",
+]
+_MEDIA_AUDIO_METRICS = ["sample_rate", "n_samples", "duration_ms", "n_bytes"]
+_MEDIA_STATS_METRICS = ["n_items", "total_bytes"]
+_MEDIA_VIDEO_METRICS = ["n_frames"]
+
+
+def _media_suite_oracle() -> str:
+    image_sql = f"""
+SELECT a.media_id, a.width, a.height, a.channels, a.n_bytes,
+       b.width AS r_width, b.height AS r_height,
+       b.channels AS r_channels, b.n_bytes AS r_n_bytes
+FROM ({tw.media_features_sql()}) a
+JOIN ({tw.media_resize_sql(target_w=64, target_h=64)}) b ON a.media_id = b.media_id"""
+    sources = [
+        ("image", image_sql, "media_id", _MEDIA_IMAGE_METRICS),
+        ("audio", tw.media_audio_features_sql(), "media_id", _MEDIA_AUDIO_METRICS),
+        ("stats", tw.media_stats_sql(), "kind", _MEDIA_STATS_METRICS),
+        ("video", tw.media_frame_counts_sql(), "media_id", _MEDIA_VIDEO_METRICS),
+    ]
+    parts = [
+        f"SELECT '{src}' AS src, CAST({key} AS VARCHAR) AS mkey, "
+        f"'{m}' AS metric, CAST({m} AS BIGINT) AS value FROM ({sql})"
+        for src, sql, key, metrics in sources
+        for m in metrics
+    ]
+    return " UNION ALL ".join(parts) + " ORDER BY src, mkey, metric"
+
+
 @register(
-    "media_frame_counts",
-    tw.media_frame_counts_sql(),
-    "video frame sampling (1→N mapInPandas) rolled up to frames per video",
+    "media_suite",
+    _media_suite_oracle(),
+    "every multimodal pipeline value-checked in one long-format entry: "
+    "image header decode + 64×64 re-encode, audio header decode, video "
+    "frame sampling rollup, per-kind stats — all Arrow-batched mapInPandas "
+    "over the binary payload column (resized payload determinism pinned "
+    "by pytest)",
 )
-def _media_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    frames = multimodal.sample_frames(_media(spark, sf_dir))
+def _media_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = _media(spark, sf_dir)
+
+    feats = multimodal.extract_image_features(media).select(
+        "media_id",
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        F.col("channels").cast("bigint").alias("channels"),
+        "n_bytes",
+    )
+    resized = multimodal.resize_images(media, 64, 64).select(
+        "media_id",
+        F.col("width").cast("bigint").alias("r_width"),
+        F.col("height").cast("bigint").alias("r_height"),
+        F.col("channels").cast("bigint").alias("r_channels"),
+        F.col("n_bytes").alias("r_n_bytes"),
+    )
+    image = feats.join(resized, "media_id")
+    audio = multimodal.extract_audio_features(media)
+    stats = multimodal.media_stats(media)
+    video = multimodal.sample_frames(media).groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames")
+    )
+
+    def melt(df: DataFrame, src: str, key_col: str, metrics: list[str]) -> DataFrame:
+        cast = df.select(
+            F.col(key_col).cast("string").alias("mkey"),
+            *[F.col(m).cast("long").alias(m) for m in metrics],
+        )
+        return cast.unpivot(["mkey"], metrics, "metric", "value").select(
+            F.lit(src).alias("src"), "mkey", "metric", "value"
+        )
+
     return (
-        frames.groupBy("media_id")
-        .agg(F.count(F.lit(1)).alias("n_frames"))
-        .orderBy("media_id")
+        melt(image, "image", "media_id", _MEDIA_IMAGE_METRICS)
+        .unionByName(melt(audio, "audio", "media_id", _MEDIA_AUDIO_METRICS))
+        .unionByName(melt(stats, "stats", "kind", _MEDIA_STATS_METRICS))
+        .unionByName(melt(video, "video", "media_id", _MEDIA_VIDEO_METRICS))
+        .orderBy("src", "mkey", "metric")
     )
 
 
@@ -1108,61 +1184,5 @@ def _emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- multimodal: binary payload columns + Pandas-UDF feature extraction ----
-# The media corpus derives deterministically from `documents` (payload =
-# repeated-md5 bytes), so the Arrow/mapInPandas decode path — which parses
-# REAL payload bytes — is verifiable against a SQL twin that recomputes the
-# header fields from the same md5 hex string.
-
-
-@register(
-    "media_image_features",
-    f"""
-SELECT a.media_id, a.width, a.height, a.channels, a.n_bytes,
-       b.width AS r_width, b.height AS r_height,
-       b.channels AS r_channels, b.n_bytes AS r_n_bytes
-FROM ({tw.media_features_sql()}) a
-JOIN ({tw.media_resize_sql(target_w=64, target_h=64)}) b ON a.media_id = b.media_id
-ORDER BY a.media_id""",
-    "the image path end-to-end in one entry: header decode (dims/channels "
-    "from leading bytes) AND 64×64 re-encode, both via Arrow-batched "
-    "mapInPandas over the binary payload column (metadata oracle-checked; "
-    "resized payload determinism pinned by pytest)",
-)
-def _media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = _media(spark, sf_dir)
-    feats = multimodal.extract_image_features(media).select(
-        "media_id",
-        F.col("width").cast("bigint").alias("width"),
-        F.col("height").cast("bigint").alias("height"),
-        F.col("channels").cast("bigint").alias("channels"),
-        "n_bytes",
-    )
-    resized = multimodal.resize_images(media, 64, 64).select(
-        "media_id",
-        F.col("width").cast("bigint").alias("r_width"),
-        F.col("height").cast("bigint").alias("r_height"),
-        F.col("channels").cast("bigint").alias("r_channels"),
-        F.col("n_bytes").alias("r_n_bytes"),
-    )
-    return feats.join(resized, "media_id").orderBy("media_id")
-
-
-@register(
-    "media_audio_features",
-    tw.media_audio_features_sql(),
-    "audio header decode via mapInPandas: sample rate, sample count, "
-    "integer-exact duration",
-)
-def _media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return multimodal.extract_audio_features(_media(spark, sf_dir)).orderBy("media_id")
-
-
-@register(
-    "media_stats",
-    tw.media_stats_sql(),
-    "per-kind media rollup (counts are metadata-only; bytes scan the blob "
-    "column)",
-)
-def _media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return multimodal.media_stats(_media(spark, sf_dir))
+# Multimodal pipelines are value-checked through the consolidated
+# `media_suite` entry registered at the top of this module.
