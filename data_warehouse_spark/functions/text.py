@@ -190,6 +190,21 @@ def content_fingerprint(col: Column | str) -> Column:
     )
 
 
+# --- PII redaction rules -----------------------------------------------------
+# (name, pattern, replacement). Patterns are restricted to the syntax subset
+# where Java regex (Spark) and RE2 (DuckDB) agree — character classes,
+# bounded repetition, \b word boundaries; no lookaround, no backreferences —
+# so the SQL twin can run the IDENTICAL string. Rules are disjoint by
+# construction (emails carry '@', IPv4 is digits-with-dots, phones start
+# with '+'), so per-rule match counts on the original text are exact even
+# though replacement is applied sequentially.
+PII_RULES: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{7,15}", "<PHONE>"),
+]
+
+
 # --- language-ID heuristic ---------------------------------------------------
 # tiny per-language stopword inventories; argmax of hit counts with a
 # deterministic tie-break (alphabetical), 'und' when nothing matches.

@@ -22,7 +22,7 @@ import atexit
 import shutil
 import tempfile
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as X
@@ -377,3 +377,59 @@ def neardup_clusters(
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     ).orderBy("doc_id")
+
+
+def paragraph_dedup(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup (the boilerplate-stripping
+    pass every web-scale pipeline runs before document-level dedup: repeated
+    footers/navigation/promo blocks are removed EVERYWHERE except their
+    first occurrence, keeping each document's unique prose intact).
+
+    Semantics: split each document on ``sep``, key each paragraph by
+    h60(normalize(paragraph)); a paragraph survives iff it is the first
+    occurrence of its key in corpus order (lowest (doc_id, position)).
+    Output per document: paragraph counts plus the cross-engine h60 of the
+    surviving paragraphs re-joined in order — the oracle value-checks the
+    reconstructed cleaned text, not just the counts.
+
+    Scale shape: explode is map-side; the only shuffle carries
+    (paragraph-key → (doc_id, pos)) pairs — one window over the 60-bit key
+    (equivalently a min-agg + semi-join), then one agg back to document
+    grain. Never all-pairs, never a global sort; hot boilerplate keys skew
+    the key shuffle but each group reduces to a single min.
+    """
+    paras = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    )
+    keyed = paras.withColumn("pkey", X.h60(X.normalize("para")))
+    w = Window.partitionBy("pkey").orderBy("doc_id", "pos")
+    kept = keyed.withColumn("keep", (F.row_number().over(w) == 1).cast("int"))
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum("keep").cast("bigint").alias("n_kept"),
+            X.h60(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("keep") == 1, F.struct("pos", "para")
+                                )
+                            )
+                        ),
+                        lambda s: s.getField("para"),
+                    ),
+                    sep,
+                )
+            ).alias("clean_key"),
+        )
+        .orderBy("doc_id")
+    )

@@ -394,3 +394,54 @@ def embedding_near_duplicates(
         .distinct()
         .orderBy("id_a", "id_b")
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    n_cells: int = N_CELLS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index_cache_key: str | None = None,
+) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication (Abbas et al. 2023): cluster
+    the corpus with the coarse quantizer, then look for near-duplicate
+    pairs only WITHIN a cluster — the cells bound the quadratic pairwise
+    cost, turning all-pairs O(n²) into Σ O(|cell|²) with |cell| ≈ n/k.
+
+    Output: one row per duplicate — (dup_id, keep_id) where keep_id is the
+    smallest same-cell partner with cosine ≥ threshold (the canonical
+    survivor). A vector with no smaller-id partner above threshold is not
+    a duplicate and emits nothing.
+
+    Reuses the IVF index (hash-selected centroids, map-only assignment,
+    optionally cached via ``index_cache_key``), so at 100 TB the cluster
+    assignment is amortized across dedup + ANN: one stored artifact, two
+    consumers. The pair join shuffles on the cell id only.
+    """
+    _centroids, _cdf, corpus = ivf_index(
+        embeddings, n_cells, id_col, vec_col, cache_key=index_cache_key
+    )
+    a = corpus.select(
+        "cell",
+        F.col("neighbor_id").alias("keep_id"),
+        F.col("n_vec").alias("a_vec"),
+        F.col("_vn").alias("a_n"),
+    )
+    b = corpus.select(
+        "cell",
+        F.col("neighbor_id").alias("dup_id"),
+        F.col("n_vec").alias("b_vec"),
+        F.col("_vn").alias("b_n"),
+    )
+    pairs = a.join(b, "cell").filter(F.col("keep_id") < F.col("dup_id"))
+    # same IEEE op sequence as the twin's _cos: dot / (norm · norm), with
+    # both norms precomputed once per row by the index build
+    cos = V.dot("a_vec", "b_vec") / (F.col("a_n") * F.col("b_n"))
+    return (
+        pairs.select("dup_id", "keep_id", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .groupBy("dup_id")
+        .agg(F.min("keep_id").alias("keep_id"))
+        .orderBy("dup_id")
+    )

@@ -297,3 +297,78 @@ def clean_corpus(
     # the cleaned corpus IS the deliverable here — carry the text through so
     # consumers don't re-join against documents to recover it
     return stratified_hash_sample(kept, rates=rates, id_col=id_col, keep_cols=(text_col,))
+
+
+def pii_scrub(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII redaction: emails, IPv4 addresses, +phone numbers (rules in
+    functions.text.PII_RULES — the regex subset where Java and RE2 agree,
+    so the DuckDB twin runs the identical pattern strings).
+
+    Output is the per-document redaction report: one match count per rule
+    (counted on the original text; rules are disjoint by construction) plus
+    the cross-engine h60 of the fully scrubbed text, so the oracle
+    value-checks the replacement output itself, not just the counts.
+
+    Map-only, zero shuffle; regexes are JVM-codegen'd (no Python in the
+    path), so at 100 TB this runs at parquet scan throughput.
+    """
+    cols = [F.col(id_col).alias("doc_id")]
+    scrubbed = F.col(text_col)
+    for name, pattern, replacement in X.PII_RULES:
+        cols.append(
+            F.regexp_count(F.col(text_col), F.lit(pattern))
+            .cast("bigint")
+            .alias(f"n_{name}")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pattern, replacement)
+    cols.append(X.h60(scrubbed).alias("clean_key"))
+    return documents.select(*cols)
+
+
+# mixture / split constants — shared with the SQL twin (oracle_twins)
+MIXTURE_WEIGHTS_X1000: dict[str, int] = {f"src{i}": 1000 - 40 * i for i in range(20)}
+MIXTURE_DEFAULT_X1000 = 1000
+SPLIT_TRAIN_X1000 = 900  # [0, 900) → train
+SPLIT_VAL_X1000 = 950  # [900, 950) → val; [950, 1000) → test
+_SPLIT_SALT = ":split"
+_MIX_SALT = ":mix"
+
+
+def mixture_split(
+    documents: DataFrame,
+    weights_x1000: dict[str, int] | None = None,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Deterministic train/val/test assignment + per-source mixture
+    downsampling, both decided by salted content-free hashes of the id.
+
+    Two independent salts: the split hash and the mixture hash must be
+    uncorrelated or the mixture filter would bias the split proportions.
+    No RNG anywhere — the same document lands in the same split with the
+    same keep decision across runs, engines, partitionings, and retries
+    (``randomSplit`` is seed+partition dependent and re-deals on retry).
+
+    Map-only, zero shuffle: at 100 TB both decisions are pushed-down
+    projections over the id/source columns; the text column is never read
+    unless the caller carries it.
+    """
+    weights = MIXTURE_WEIGHTS_X1000 if weights_x1000 is None else weights_x1000
+    h_split = X.h60(F.concat(F.col(id_col).cast("string"), F.lit(_SPLIT_SALT))) % 1000
+    h_mix = X.h60(F.concat(F.col(id_col).cast("string"), F.lit(_MIX_SALT))) % 1000
+    keep = F.lit(MIXTURE_DEFAULT_X1000)
+    for src, w in sorted(weights.items()):
+        keep = F.when(F.col(source_col) == src, F.lit(w)).otherwise(keep)
+    split = (
+        F.when(h_split < SPLIT_TRAIN_X1000, F.lit("train"))
+        .when(h_split < SPLIT_VAL_X1000, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        split.alias("split"),
+        (h_mix < keep).cast("bigint").alias("mix_kept"),
+    )

@@ -536,21 +536,14 @@ SELECT doc_id, shard, n_tokens,
 FROM packed"""
 
 
-def ann_ivf_sql(
-    query_ids: list[int],
-    k: int = 5,
-    n_cells: int = 16,
-    nprobe: int = 4,
-    dim: int = 64,
-) -> str:
-    """IVF-flat twin: hash-selected centroids (h60 over the id, same
-    primitive as the Spark side), assignment = max cos with ties to the
-    larger cell id (mirrors Spark ``array_max`` over struct<cos,cell>),
-    probe the ``nprobe`` best cells, exact cosine among candidates."""
-    ids = ", ".join(str(i) for i in query_ids)
+def _ivf_assigned_cte(n_cells: int = 16, dim: int = 64) -> str:
+    """Shared IVF prefix: hash-selected centroids (h60 over the id, same
+    primitive as the Spark side) and per-vector cell assignment = max cos
+    with ties to the larger cell id (mirrors Spark ``array_max`` over
+    struct<cos,cell>). Yields CTEs ``e`` (double-cast vectors), ``c``
+    (centroids) and ``assigned`` (vec_id, v, cell_id)."""
     cell_hash = H60.format(s="CAST(vec_id AS VARCHAR)")
-    return f"""
-WITH e AS (
+    return f"""e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 ),
@@ -566,7 +559,21 @@ assigned AS (
            row_number() OVER (PARTITION BY vec_id
                 ORDER BY cos DESC, cell_id DESC) AS rn
     FROM ca) WHERE rn = 1
-),
+)"""
+
+
+def ann_ivf_sql(
+    query_ids: list[int],
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    dim: int = 64,
+) -> str:
+    """IVF-flat twin: shared assignment prefix (:func:`_ivf_assigned_cte`),
+    probe the ``nprobe`` best cells, exact cosine among candidates."""
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+WITH {_ivf_assigned_cte(n_cells, dim)},
 qc AS (
   SELECT q.vec_id AS query_id, q.v AS qv, c.cell_id,
          {_cos('q.v', 'c.cv', dim)} AS cos
@@ -609,3 +616,131 @@ pairs AS (
 SELECT DISTINCT id_a, id_b FROM pairs
 WHERE {_cos('va', 'vb', dim)} >= {threshold}
 ORDER BY id_a, id_b"""
+
+
+def semantic_dedup_sql(threshold: float = 0.4, n_cells: int = 16, dim: int = 64) -> str:
+    """SemDeDup twin: same IVF cell assignment as ann_ivf_sql, then
+    within-cell pairs with cosine ≥ threshold; dup keeps its smallest
+    same-cell partner as the canonical survivor."""
+    return f"""
+WITH {_ivf_assigned_cte(n_cells, dim)},
+pairs AS (
+  SELECT b.vec_id AS dup_id, a.vec_id AS keep_id
+  FROM assigned a JOIN assigned b
+    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+  WHERE {_cos('a.v', 'b.v', dim)} >= {threshold}
+)
+SELECT dup_id, CAST(min(keep_id) AS BIGINT) AS keep_id
+FROM pairs GROUP BY dup_id ORDER BY dup_id"""
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing / paragraph dedup — both run over corpora DERIVED
+# deterministically from `documents` (the synthetic word-salad text carries
+# no PII and no paragraph breaks, so the catalog appends id-derived tokens
+# on BOTH engines; the operator itself is generic).
+# ---------------------------------------------------------------------------
+
+PII_CORPUS_CTE = """pd AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 4 = 0
+                 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.0.' || CAST(1 + doc_id % 200 AS VARCHAR)
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' call +1415' || CAST(5550000 + doc_id % 10000 AS VARCHAR)
+                 ELSE '' END
+         AS text
+  FROM documents
+)"""
+
+
+def pii_scrub_sql(rules: list[tuple[str, str, str]]) -> str:
+    """Twin of text_analysis.pii_scrub over the derived PII corpus. The
+    pattern strings are the SAME Python literals the Spark side compiles
+    (PII_RULES) — restricted to the Java∩RE2 regex subset."""
+    counts = []
+    scrub = "text"
+    for name, pattern, replacement in rules:
+        counts.append(
+            f"CAST(len(regexp_extract_all(text, '{pattern}')) AS BIGINT) AS n_{name}"
+        )
+        scrub = f"regexp_replace({scrub}, '{pattern}', '{replacement}', 'g')"
+    key = H60.format(s=scrub)
+    return f"""
+WITH {PII_CORPUS_CTE}
+SELECT doc_id, {", ".join(counts)}, {key} AS clean_key
+FROM pd ORDER BY doc_id"""
+
+
+PARA_CORPUS_CTE = """pd AS (
+  SELECT doc_id,
+         text || chr(10) || chr(10) || 'Follow us on social media for updates'
+              || chr(10) || chr(10) || 'shared promo block '
+              || CAST(doc_id % 7 AS VARCHAR)
+         AS text
+  FROM documents
+)"""
+
+
+def paragraph_dedup_sql() -> str:
+    """Twin of dedup.paragraph_dedup over the derived paragraph corpus:
+    split on blank lines, first occurrence of each normalized-paragraph
+    h60 key (corpus order = (doc_id, position)) survives; per-doc counts +
+    h60 of the surviving paragraphs re-joined."""
+    pkey = H60.format(s=NORM.format(c="para"))
+    sep = "chr(10) || chr(10)"
+    joined = f"coalesce(string_agg(para, {sep} ORDER BY pos) FILTER (WHERE keep = 1), '')"
+    return f"""
+WITH {PARA_CORPUS_CTE},
+split AS (
+  SELECT doc_id, string_split(text, {sep}) AS ps FROM pd
+),
+paras AS (
+  SELECT doc_id,
+         unnest(range(1, len(ps) + 1)) AS pos,
+         unnest(ps) AS para
+  FROM split
+),
+flagged AS (
+  SELECT doc_id, pos, para,
+         CASE WHEN row_number() OVER (PARTITION BY {pkey}
+                   ORDER BY doc_id, pos) = 1
+              THEN 1 ELSE 0 END AS keep
+  FROM paras
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_paras,
+       CAST(sum(keep) AS BIGINT) AS n_kept,
+       {H60.format(s=joined)} AS clean_key
+FROM flagged GROUP BY doc_id ORDER BY doc_id"""
+
+
+def mixture_split_sql(
+    weights_x1000: dict[str, int],
+    default_x1000: int,
+    train_x1000: int,
+    val_x1000: int,
+    split_salt: str,
+    mix_salt: str,
+) -> str:
+    """Twin of text_analysis.mixture_split: salted h60 buckets decide the
+    train/val/test split and the per-source mixture keep flag."""
+    h_split = H60.format(s=f"concat(CAST(doc_id AS VARCHAR), '{split_salt}')")
+    h_mix = H60.format(s=f"concat(CAST(doc_id AS VARCHAR), '{mix_salt}')")
+    whens = " ".join(
+        f"WHEN '{src}' THEN {w}" for src, w in sorted(weights_x1000.items())
+    )
+    return f"""
+SELECT doc_id, source,
+       CASE WHEN ({h_split}) % 1000 < {train_x1000} THEN 'train'
+            WHEN ({h_split}) % 1000 < {val_x1000} THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(CASE WHEN ({h_mix}) % 1000 <
+                 (CASE source {whens} ELSE {default_x1000} END)
+            THEN 1 ELSE 0 END AS BIGINT) AS mix_kept
+FROM documents ORDER BY doc_id"""

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from . import catalog as cat
 from . import oracle_twins as tw
 from .catalog import WAREHOUSE_CTE_SQL
+from .functions.text import PII_RULES
 from .operators import (
     analytics,
     dedup,
@@ -92,6 +93,119 @@ def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 # Newest / least-checked first (see module docstring).
 # ===========================================================================
+
+
+# --- PII scrubbing / paragraph dedup fixture corpora -----------------------
+# The synthetic word-salad text carries no PII and no paragraph breaks, so
+# these entries run the (generic) operators over corpora derived
+# deterministically from `documents` — id-derived emails/IPs/phones and
+# appended boilerplate paragraphs — mirrored expression-for-expression by
+# PII_CORPUS_CTE / PARA_CORPUS_CTE in oracle_twins (same derivation trick
+# as the media corpus below).
+
+
+def _pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = cat.load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"), did.cast("string"), F.lit("@example.com")
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 4 == 0,
+                F.concat(
+                    F.lit(" from 10."),
+                    (did % 256).cast("string"),
+                    F.lit(".0."),
+                    (did % 200 + 1).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 5 == 0,
+                F.concat(
+                    F.lit(" call +1415"), (did % 10000 + 5550000).cast("string")
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def _para_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = cat.load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\n\nFollow us on social media for updates"),
+            F.lit("\n\nshared promo block "),
+            (F.col("doc_id") % 7).cast("string"),
+        ).alias("text"),
+    )
+
+
+@register(
+    "doc_pii_scrub",
+    tw.pii_scrub_sql(PII_RULES),
+    "PII redaction over an id-derived corpus: per-rule match counts "
+    "(emails / IPv4 / phones; Java∩RE2 pattern subset) + h60 of the fully "
+    "scrubbed text — map-only, JVM regex, zero shuffle",
+)
+def _doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.pii_scrub(_pii_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+@register(
+    "doc_paragraph_dedup",
+    tw.paragraph_dedup_sql(),
+    "corpus-wide paragraph-level dedup (boilerplate stripping): first "
+    "occurrence of each normalized-paragraph h60 survives; per-doc counts "
+    "+ h60 of the reassembled cleaned text — one shuffle on the 60-bit "
+    "paragraph key, one agg back to doc grain",
+)
+def _doc_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.paragraph_dedup(_para_docs(spark, sf_dir))
+
+
+@register(
+    "doc_mixture_split",
+    tw.mixture_split_sql(
+        text_analysis.MIXTURE_WEIGHTS_X1000,
+        text_analysis.MIXTURE_DEFAULT_X1000,
+        text_analysis.SPLIT_TRAIN_X1000,
+        text_analysis.SPLIT_VAL_X1000,
+        ":split",
+        ":mix",
+    ),
+    "deterministic train/val/test split + per-source mixture downsampling "
+    "via independent salted h60 buckets — content-free, retry/partition "
+    "stable, map-only (randomSplit/sampleBy are neither)",
+)
+def _doc_mixture_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.mixture_split(
+        cat.load_table(spark, sf_dir, "documents")
+    ).orderBy("doc_id")
+
+
+@register(
+    "emb_semantic_dedup",
+    tw.semantic_dedup_sql(threshold=0.4, n_cells=similarity.N_CELLS),
+    "SemDeDup-shaped semantic dedup: IVF-cell-scoped cosine pairs ≥ 0.4, "
+    "canonical survivor = smallest same-cell partner — reuses the cached "
+    "IVF index (one stored artifact shared by dedup + ANN), pair join "
+    "shuffles on cell id only, never all-pairs",
+)
+def _emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.semantic_dedup(
+        cat.load_table(spark, sf_dir, "embeddings"),
+        threshold=0.4,
+        index_cache_key=sf_dir,
+    )
 
 
 # --- multimodal: binary payload columns + Pandas-UDF feature extraction ----

@@ -399,3 +399,89 @@ def test_minhash_signature_cache_reuse_and_eviction(spark):
 
     assert clear_signature_cache("test-sigs") == 1
     assert not os.path.exists(paths[0])
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from data_warehouse_spark.operators import text_analysis
+
+    rows = [
+        (1, "reach me at jo.doe+x@mail.example.org or 192.168.1.20 now"),
+        (2, "call +441234567890 twice"),
+        (3, "nothing sensitive here"),
+        (4, "two mails a@b.io c@d.co one ip 8.8.8.8 one phone +12025550123"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text_analysis.pii_scrub(df).collect()}
+    assert (out[1]["n_email"], out[1]["n_ipv4"], out[1]["n_phone"]) == (1, 1, 0)
+    assert (out[2]["n_email"], out[2]["n_ipv4"], out[2]["n_phone"]) == (0, 0, 1)
+    assert (out[3]["n_email"], out[3]["n_ipv4"], out[3]["n_phone"]) == (0, 0, 0)
+    assert (out[4]["n_email"], out[4]["n_ipv4"], out[4]["n_phone"]) == (2, 1, 1)
+    # the clean_key of a clean doc equals h60 of the unchanged text
+    clean = df.filter(F.col("doc_id") == 3).select(
+        __import__(
+            "data_warehouse_spark.functions.text", fromlist=["h60"]
+        ).h60("text").alias("k")
+    ).collect()[0]["k"]
+    assert out[3]["clean_key"] == clean
+    # scrubbed docs hash differently from their originals
+    orig1 = df.filter(F.col("doc_id") == 1).select(
+        __import__(
+            "data_warehouse_spark.functions.text", fromlist=["h60"]
+        ).h60("text").alias("k")
+    ).collect()[0]["k"]
+    assert out[1]["clean_key"] != orig1
+
+
+def test_paragraph_dedup_keeps_first_occurrence(spark):
+    boiler = "subscribe to our newsletter"
+    rows = [
+        (1, "unique intro one\n\n" + boiler),
+        (2, "unique intro two\n\n" + boiler + "\n\nunique outro two"),
+        (3, boiler),  # whole doc is the boilerplate
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup.paragraph_dedup(df).collect()}
+    assert (out[1]["n_paras"], out[1]["n_kept"]) == (2, 2)  # first occurrence kept
+    assert (out[2]["n_paras"], out[2]["n_kept"]) == (3, 2)  # boilerplate dropped
+    assert (out[3]["n_paras"], out[3]["n_kept"]) == (1, 0)  # fully boilerplate
+    # doc 1's surviving text is unchanged → clean_key = h60 of original text
+    from data_warehouse_spark.functions.text import h60
+
+    k1 = df.filter(F.col("doc_id") == 1).select(h60("text").alias("k")).collect()[0]["k"]
+    assert out[1]["clean_key"] == k1
+
+
+def test_mixture_split_deterministic_and_complete(spark):
+    from data_warehouse_spark.operators import text_analysis
+
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 3}") for i in range(300)], "doc_id long, source string"
+    )
+    a = text_analysis.mixture_split(docs).collect()
+    b = text_analysis.mixture_split(docs.repartition(7)).collect()
+    # identical decisions regardless of partitioning (no RNG anywhere)
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    splits = {r["split"] for r in a}
+    assert splits == {"train", "val", "test"}
+    n_train = sum(r["split"] == "train" for r in a)
+    assert 240 <= n_train <= 300  # ~90% of 300, loose deterministic bound
+    # src0 weight 1000 → everything kept; src2 weight 920 → some dropped
+    kept_src0 = [r["mix_kept"] for r in a if r["source"] == "src0"]
+    assert all(k == 1 for k in kept_src0)
+
+
+def test_semantic_dedup_finds_planted_duplicate(spark):
+    import random
+
+    rng = random.Random(7)
+    base = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(30)]
+    rows = [(i, [float(x) for x in v], 0) for i, v in enumerate(base)]
+    # plant an exact duplicate of vec 3 as id 100 (cosine 1.0, same cell)
+    rows.append((100, [float(x) for x in base[3]], 0))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r["dup_id"]: r["keep_id"] for r in
+           similarity.semantic_dedup(emb, threshold=0.95, n_cells=4).collect()}
+    assert out.get(100) == 3  # the planted copy dedups to its original
+    assert 3 not in out  # the canonical survivor is not itself a dup

@@ -263,3 +263,21 @@ def test_contamination_no_cartesian_and_pruned(spark):
     assert rep.cartesian_products == 0, rep.text
     cols = rep.scans_column_count("documents")
     assert cols is not None and cols <= 2, rep.text  # doc_id + text
+
+
+def test_pii_scrub_is_shuffle_free(spark):
+    from data_warehouse_spark.operators import text_analysis
+
+    df = text_analysis.pii_scrub(cat.load_table(spark, SF_DIR, "documents"))
+    rep = plan_report(df)
+    assert rep.exchanges == 0, rep.text  # regex chain is pure map-side
+
+
+def test_mixture_split_is_shuffle_free_and_pruned(spark):
+    from data_warehouse_spark.operators import text_analysis
+
+    df = text_analysis.mixture_split(cat.load_table(spark, SF_DIR, "documents"))
+    rep = plan_report(df)
+    assert rep.exchanges == 0, rep.text
+    cols = rep.scans_column_count("documents")
+    assert cols is not None and cols <= 2, rep.text  # doc_id + source only
