@@ -45,12 +45,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # engine's declared timestamp semantic (the reference UTC-normalizes on
     # write — SecondaryPersistence.scala:105-108)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # plain timestamp[us] (no isAdjustedToUTC) must surface as TIMESTAMP_LTZ,
+    # not TIMESTAMP_NTZ: time arithmetic (unix_micros, windows) is typed for
+    # TIMESTAMP, and DuckDB reads the same column as naive-UTC, so LTZ in a
+    # UTC session gives bit-identical epoch math across engines.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer DIV, not `/`: ns epochs (~1.7e18) overflow double precision
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            # reached only if the session pinned NTZ inference before we got
+            # here (conf is read-once per scan in some versions) — the cast
+            # is the µs identity under the UTC session timezone
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

@@ -50,6 +50,12 @@ def get_spark(
         # as long; the catalog converts to µs timestamps (matching DuckDB's
         # ns→µs truncation)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # parquet timestamps without isAdjustedToUTC (plain timestamp[us])
+        # must read as TIMESTAMP_LTZ in the UTC session, not TIMESTAMP_NTZ:
+        # time arithmetic (unix_micros, windows) is typed for TIMESTAMP, and
+        # DuckDB reads the same column as naive-UTC, so LTZ+UTC session gives
+        # bit-identical epoch math across both engines.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # ---- python boundary ----
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
