@@ -139,14 +139,16 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
+def band_keys(
     signatures: DataFrame, bands: int = 8, rows_per_band: int = 2
 ) -> DataFrame:
-    """Banded LSH: docs agreeing on all rows of ≥1 band become a candidate
-    pair. One explode to (band, bucket) keys + a self-join per band bucket —
-    the only shuffle in the pipeline, and it carries keys, not documents."""
+    """(doc_id, band_key) rows: one key per band, each key fusing that
+    band's ``rows_per_band`` MinHash values. Map-side only (explode); this
+    IS the probe-table layout a production pipeline persists next to the
+    signature store (partitioned/bucketed by ``band_key`` so batch probes
+    prune to matching buckets instead of scanning the corpus)."""
     n_sigs = bands * rows_per_band
-    band_keys = F.array(
+    keys = F.array(
         *[
             F.concat_ws(
                 ":",
@@ -159,9 +161,18 @@ def lsh_candidate_pairs(
     assert all(f"sig_{i}" in signatures.columns for i in range(n_sigs))
     # docs with no shingles have null signatures (array_min of empty) —
     # concat_ws would silently drop the nulls and bucket them all together
-    keyed = signatures.filter(F.size("shingles") > 0).select(
-        "doc_id", F.explode(band_keys).alias("band_key")
+    return signatures.filter(F.size("shingles") > 0).select(
+        "doc_id", F.explode(keys).alias("band_key")
     )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 8, rows_per_band: int = 2
+) -> DataFrame:
+    """Banded LSH: docs agreeing on all rows of ≥1 band become a candidate
+    pair. One explode to (band, bucket) keys + a self-join per band bucket —
+    the only shuffle in the pipeline, and it carries keys, not documents."""
+    keyed = band_keys(signatures, bands, rows_per_band)
     a = keyed.alias("a")
     b = keyed.alias("b")
     return (
@@ -217,6 +228,97 @@ def minhash_lsh_duplicates(
     sigs = _cached_signatures(documents, id_col, text_col, shingle_n, signatures_cache_key)
     cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
     return jaccard_verify(cands, sigs, threshold_x1000).orderBy("doc_a", "doc_b")
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    corpus_signatures: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    bands: int = 8,
+    rows_per_band: int = 2,
+    threshold_x1000: int = 600,
+) -> DataFrame:
+    """Dedup an incoming batch against an already-signed corpus WITHOUT
+    re-signing the corpus — the daily-batch shape of a production pipeline:
+    the historical signature store (output of :func:`minhash_signatures`,
+    persisted once) is probed; only the new batch pays shingling+hashing.
+
+    Output: one row per duplicate found — ``(doc_id, dup_of,
+    jaccard_x1000, scope)`` where ``doc_id`` is the new document,
+    ``dup_of`` its surviving canonical (a corpus doc for scope='corpus',
+    the smaller-id batch partner for scope='batch'), and both scopes are
+    reported so a doc duplicating corpus AND batch content shows each
+    relationship. Replay-safe: a batch doc whose id already exists in the
+    corpus store never matches itself.
+
+    Scale shape (the reason this exists): cost is O(|batch|·shingles)
+    map-side + one pass over the corpus band-key projection. The batch's
+    band keys are explicitly broadcast, so the corpus side never shuffles —
+    with the store partitioned by ``band_key`` (see :func:`band_keys`) the
+    probe prunes to matching buckets and the scan is sub-linear. Verify
+    joins fetch corpus shingles only for candidate ids. Contrast with
+    re-running :func:`minhash_lsh_duplicates` over corpus+batch: that
+    re-signs and re-shuffles the full corpus every batch.
+    """
+    nsig = _storage_checkpoint(
+        minhash_signatures(new_docs, id_col, text_col, shingle_n)
+    )
+    nkeys = band_keys(nsig, bands, rows_per_band).withColumnRenamed("doc_id", "new_id")
+    ckeys = band_keys(corpus_signatures, bands, rows_per_band).withColumnRenamed(
+        "doc_id", "corpus_id"
+    )
+    cross = (
+        ckeys.join(F.broadcast(nkeys), "band_key")
+        .filter(F.col("new_id") != F.col("corpus_id"))
+        .select("new_id", "corpus_id")
+        .distinct()  # shuffles candidate PAIRS only, never documents
+    )
+    n_sh = nsig.select(F.col("doc_id").alias("new_id"), F.col("shingles").alias("sh_a"))
+    c_sh = corpus_signatures.select(
+        F.col("doc_id").alias("corpus_id"), F.col("shingles").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.floor(inter * 1000 / F.greatest(union, F.lit(1))).cast("bigint")
+    vs_corpus = (
+        cross.join(n_sh, "new_id")
+        .join(c_sh, "corpus_id")
+        .select(
+            F.col("new_id").alias("doc_id"),
+            F.col("corpus_id").alias("dup_of"),
+            jac.alias("jaccard_x1000"),
+            F.lit("corpus").alias("scope"),
+        )
+        .filter(F.col("jaccard_x1000") >= threshold_x1000)
+    )
+    within = jaccard_verify(
+        lsh_candidate_pairs(nsig, bands, rows_per_band), nsig, threshold_x1000
+    ).select(
+        F.col("doc_b").alias("doc_id"),  # larger id defers to the smaller
+        F.col("doc_a").alias("dup_of"),
+        "jaccard_x1000",
+        F.lit("batch").alias("scope"),
+    )
+    return vs_corpus.unionByName(within).orderBy("doc_id", "scope", "dup_of")
+
+
+def dedup_batch_against(
+    new_docs: DataFrame,
+    corpus_signatures: DataFrame,
+    id_col: str = "doc_id",
+    **kwargs,
+) -> DataFrame:
+    """The keep-side of :func:`incremental_minhash_dedup`: the batch rows
+    that survive — no corpus duplicate and no smaller-id batch duplicate —
+    with their original columns, ready to append to the corpus (and their
+    signatures to the store)."""
+    dups = incremental_minhash_dedup(new_docs, corpus_signatures, id_col=id_col, **kwargs)
+    doomed = dups.select(F.col("doc_id").alias("__doomed_id")).distinct()
+    return new_docs.join(
+        doomed, new_docs[id_col] == doomed["__doomed_id"], "left_anti"
+    )
 
 
 def simhash_signatures(

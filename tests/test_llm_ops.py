@@ -485,3 +485,89 @@ def test_semantic_dedup_finds_planted_duplicate(spark):
            similarity.semantic_dedup(emb, threshold=0.95, n_cells=4).collect()}
     assert out.get(100) == 3  # the planted copy dedups to its original
     assert 3 not in out  # the canonical survivor is not itself a dup
+
+
+def _incremental_fixture(spark):
+    """A signed corpus + a new batch with one exact copy of a corpus doc,
+    one near-dup of a corpus doc, one within-batch dup pair, one fresh doc."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (2, "completely different content about spark query engines and shuffles"),
+            (3, "partition pruning and predicate pushdown keep parquet scans minimal"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (11, "the quick brown fox jumps over the lazy dog near the river bank"),   # copy of 1
+            (12, "the quick brown fox jumps over the lazy dog near the river shore"),  # near-dup of 1
+            (13, "broadcast joins beat shuffles whenever one side fits in memory"),    # fresh
+            (14, "watermarks bound streaming state for late arriving event data"),     # batch-dup a
+            (15, "watermarks bound streaming state for late arriving event data!"),    # batch-dup b
+        ],
+        "doc_id long, text string",
+    )
+    sigs = dedup.minhash_signatures(corpus)
+    return corpus, batch, sigs
+
+
+def test_incremental_dedup_flags_corpus_and_batch_dups(spark):
+    corpus, batch, sigs = _incremental_fixture(spark)
+    rows = dedup.incremental_minhash_dedup(batch, sigs).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["scope"], r["dup_of"], r["jaccard_x1000"]))
+    # exact copy of corpus doc 1 → corpus dup at jaccard 1000
+    assert ("corpus", 1, 1000) in by_doc[11]
+    # near-dup of corpus doc 1 → corpus dup between threshold and 1000
+    assert any(s == "corpus" and d == 1 and 600 <= j < 1000 for s, d, j in by_doc[12])
+    # within-batch pair: larger id defers to smaller
+    assert ("batch", 14, 1000) in by_doc[15]
+    assert 14 not in by_doc  # the canonical batch survivor is not a dup
+    assert 13 not in by_doc  # fresh doc untouched
+    # keep-side wrapper: survivors are fresh + canonical batch doc + both
+    # non-duplicate corpus probes' complement
+    kept = {r["doc_id"] for r in dedup.dedup_batch_against(batch, sigs).collect()}
+    assert kept == {13, 14}
+
+
+def test_incremental_dedup_matches_full_recompute(spark):
+    """Incremental probe ≡ full-corpus rerun restricted to batch-touching
+    pairs — the equivalence that makes the cheap path trustworthy."""
+    corpus, batch, sigs = _incremental_fixture(spark)
+    inc = {
+        (r["doc_id"], r["dup_of"], r["jaccard_x1000"])
+        for r in dedup.incremental_minhash_dedup(batch, sigs).collect()
+    }
+    full = dedup.minhash_lsh_duplicates(corpus.unionByName(batch)).collect()
+    batch_ids = {11, 12, 13, 14, 15}
+    expected = set()
+    for r in full:
+        a, b, j = r["doc_a"], r["doc_b"], r["jaccard_x1000"]
+        if a in batch_ids and b in batch_ids:
+            expected.add((b, a, j))  # larger batch id defers to smaller
+        elif b in batch_ids:  # corpus doc a ∪ batch doc b
+            expected.add((b, a, j))
+        elif a in batch_ids:
+            expected.add((a, b, j))
+    assert inc == expected
+
+
+def test_incremental_dedup_replay_safe(spark):
+    """Re-submitting an already-ingested doc (same id in batch and corpus
+    store) must not flag it as its own duplicate."""
+    corpus, _, sigs = _incremental_fixture(spark)
+    replay = corpus.limit(1)  # doc 1 arrives again
+    rows = dedup.incremental_minhash_dedup(replay, sigs).collect()
+    assert not any(r["doc_id"] == r["dup_of"] for r in rows)
+    assert rows == []  # nothing else matches doc 1 in this corpus
+
+
+def test_incremental_dedup_broadcasts_batch_not_corpus(spark):
+    """Plan pin: the corpus band-key side must reach the probe join without
+    an Exchange (batch side broadcast) — the property that keeps the
+    incremental path sub-linear in corpus size."""
+    corpus, batch, sigs = _incremental_fixture(spark)
+    plan = dedup.incremental_minhash_dedup(batch, sigs)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
