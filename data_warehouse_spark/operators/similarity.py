@@ -346,6 +346,100 @@ def ivf_topk(
     )
 
 
+def save_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    n_cells: int = N_CELLS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF index as a storage artifact — the production shape
+    of "build once, probe for months" (the session cache in
+    :data:`_IVF_INDEX_CACHE` is the local stand-in; this is the real
+    thing). Layout under ``path``:
+
+      centroids/   (cell_id, cv, cnorm) — the tiny coarse quantizer
+      corpus/      (neighbor_id, n_vec, _vn) **partitioned by cell**
+      meta/        one row of geometry for load-time validation
+
+    Partitioning the corpus by cell is the point: a probe touching
+    ``nprobe`` of ``n_cells`` cells reads only those directories (Spark's
+    dynamic partition pruning turns the broadcast probe join into a
+    partition filter), so serving cost is ~nprobe/n_cells of the corpus —
+    sub-linear scans with zero custom index code.
+    """
+    centroids, cdf, corpus = ivf_index(embeddings, n_cells, id_col, vec_col)
+    cdf.write.mode("overwrite").parquet(f"{path}/centroids")
+    corpus.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/corpus")
+    dim = len(centroids[0][1]) if centroids else 0
+    embeddings.sparkSession.createDataFrame(
+        [(n_cells, id_col, vec_col, dim)],
+        "n_cells int, id_col string, vec_col string, dim int",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def load_ivf_index(spark, path: str, n_cells: int = N_CELLS):
+    """Load a :func:`save_ivf_index` artifact → the same (centroids, cdf,
+    corpus) triple :func:`ivf_index` returns. Geometry is validated against
+    the stored meta so a caller can't silently probe with mismatched
+    ``n_cells``."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    if meta["n_cells"] != n_cells:
+        raise ValueError(
+            f"index at {path} was built with n_cells={meta['n_cells']}, "
+            f"caller expects {n_cells}"
+        )
+    cdf = spark.read.parquet(f"{path}/centroids")
+    corpus = spark.read.parquet(f"{path}/corpus")
+    centroids = [
+        (int(r["cell_id"]), [float(x) for x in r["cv"]], float(r["cnorm"]))
+        for r in cdf.orderBy("cell_id").collect()
+    ]
+    return centroids, cdf, corpus
+
+
+def ivf_topk_stored(
+    spark,
+    path: str,
+    query_ids: list[int],
+    k: int = 5,
+    n_cells: int = N_CELLS,
+    nprobe: int = N_PROBE,
+) -> DataFrame:
+    """Serve approximate top-k straight from a stored IVF index — no
+    original embedding table needed (query vectors are fetched from the
+    index corpus by id; external query vectors would join the same way).
+    The candidate join keys on ``cell``, which is the artifact's partition
+    column, so the corpus scan prunes to the probed cells."""
+    _centroids, cdf, corpus = load_ivf_index(spark, path, n_cells)
+    queries = corpus.filter(F.col("neighbor_id").isin(query_ids)).select(
+        F.col("neighbor_id").alias("query_id"),
+        F.col("n_vec").alias("q_vec"),
+        F.col("_vn").alias("_qn"),
+    )
+    probe_cos = V.dot("q_vec", "cv") / (F.col("_qn") * F.col("cnorm"))
+    pw = Window.partitionBy("query_id").orderBy(F.desc("probe_cos"), F.desc("cell_id"))
+    probed = (
+        queries.crossJoin(F.broadcast(cdf))
+        .select("query_id", "q_vec", "_qn", "cell_id", probe_cos.alias("probe_cos"))
+        .withColumn("prn", F.row_number().over(pw))
+        .filter(F.col("prn") <= nprobe)
+        .select("query_id", "q_vec", "_qn", F.col("cell_id").alias("cell"))
+    )
+    cands = corpus.join(F.broadcast(probed), "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    sim = V.dot("q_vec", "n_vec") / (F.col("_qn") * F.col("_vn"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        cands.select("query_id", "neighbor_id", sim.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
 def recall_vs_exact(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
     """Per-query recall@k of an approximate top-k result against the exact
     one, as an exact integer permille (hits × 1000 div k — cross-engine

@@ -571,3 +571,33 @@ def test_incremental_dedup_broadcasts_batch_not_corpus(spark):
     corpus, batch, sigs = _incremental_fixture(spark)
     plan = dedup.incremental_minhash_dedup(batch, sigs)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_ivf_index_roundtrip_and_partition_pruning(spark, tmp_path):
+    """Stored-index serving must equal in-memory serving, the artifact must
+    be laid out partitioned by cell, and the probe scan must carry a
+    partition filter on cell (dynamic pruning → sub-linear serving)."""
+    import os
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qids = [r["vec_id"] for r in emb.select("vec_id").orderBy("vec_id").limit(5).collect()]
+    path = str(tmp_path / "ivf")
+    similarity.save_ivf_index(emb, path)
+    cells = [d for d in os.listdir(f"{path}/corpus") if d.startswith("cell=")]
+    assert len(cells) > 1  # genuinely partitioned by cell
+    live = similarity.ivf_topk(emb, qids, k=5).collect()
+    stored = similarity.ivf_topk_stored(spark, path, qids, k=5).collect()
+    assert sorted(map(tuple, live)) == sorted(map(tuple, stored))
+    plan = (
+        similarity.ivf_topk_stored(spark, path, qids, k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "dynamicpruning" in plan.lower() or "PartitionFilters: [isnotnull(cell" in plan
+
+
+def test_load_ivf_index_rejects_geometry_mismatch(spark, tmp_path):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    similarity.save_ivf_index(emb, path, n_cells=8)
+    with pytest.raises(ValueError, match="n_cells=8"):
+        similarity.load_ivf_index(spark, path, n_cells=16)
