@@ -41,6 +41,11 @@ BENCH_QUERIES = [
     "promo_revenue_by_month",
     "customer_order_histogram",
     "events_type_rollups",
+    "doc_pii_scrub",
+    "doc_paragraph_dedup",
+    "doc_mixture_split",
+    "emb_semantic_dedup",
+    "media_suite",
 ]
 
 
@@ -91,6 +96,11 @@ def main() -> None:
                 "sf": sf,
                 "runs_per_query": runs,
                 "timing": "best-of-n (steady-state; first run pays one-time codegen)",
+                "note": (
+                    "testdata refreshed 2026-08-13 as single-row-group parquet "
+                    "(serial scans locally; a cluster splits by row group) — "
+                    "scan-bound timings not directly comparable to earlier rounds"
+                ),
             }
         )
     )
