@@ -1,0 +1,114 @@
+"""Streaming corpus ingestion with incremental near-dup gating.
+
+The end-to-end production pipeline the batch operators compose into: a
+document stream (file source, Kafka, ...) lands in micro-batches; each
+batch is deduplicated against everything already ingested — exact ids via
+keyed MERGE, near-duplicates via the persisted MinHash signature store —
+and only the survivors (plus their signatures) are appended. The corpus
+and its signature store grow together, so batch N+1 is automatically
+gated against batch N's content.
+
+Scale shape per micro-batch (the whole point — cost is O(batch), never
+O(corpus)):
+
+  sign      only the batch pays shingling+hashing (map-side);
+  probe     batch band keys broadcast against the stored band-key
+            projection — the corpus store is scanned once, column-pruned,
+            and with the store partitioned by band_key (see
+            ``dedup.band_keys``) the probe prunes to matching buckets;
+  verify    exact Jaccard fetches corpus shingles for candidate ids only;
+  append    TableStore MERGE on doc_id — replays (at-least-once upstream,
+            foreachBatch re-delivery) insert nothing twice, and
+            ``incremental_minhash_dedup`` never matches a re-submitted id
+            against itself, so the pipeline is idempotent end-to-end
+            without a transactional log.
+
+Wire it as ``docs_stream.writeStream.foreachBatch(CorpusDedupSink(store))``
+— or call the sink directly from an incremental batch loop, exactly like
+the reference's 2 s re-crawl tick (PrimaryDataExplorerActor.scala:34,43
+drives the same once-per-tick batch shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators import dedup
+from ..sources.tables import TableStore
+
+CORPUS_TABLE = "corpus"
+SIGS_TABLE = "corpus_signatures"
+
+
+def signature_schema(docs_like: DataFrame, id_col: str = "doc_id", text_col: str = "text", shingle_n: int = 3):
+    """The signature store's schema, derived from the operator itself (one
+    source of truth — column count tracks the MinHash geometry)."""
+    return dedup.minhash_signatures(docs_like.limit(0), id_col, text_col, shingle_n).schema
+
+
+class CorpusDedupSink:
+    """``foreachBatch`` hook maintaining a deduplicated corpus + signature
+    store inside ``store`` (a :class:`TableStore`). Create the store with
+    :func:`corpus_store` or equivalent schemas."""
+
+    def __init__(
+        self,
+        store: TableStore,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        shingle_n: int = 3,
+        bands: int = 8,
+        rows_per_band: int = 2,
+        threshold_x1000: int = 600,
+    ):
+        self.store = store
+        self.id_col = id_col
+        self.text_col = text_col
+        self.shingle_n = shingle_n
+        self.bands = bands
+        self.rows_per_band = rows_per_band
+        self.threshold_x1000 = threshold_x1000
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int | None = None) -> int:
+        """Gate one micro-batch; returns the number of rows actually
+        INSERTED into the corpus (the discovery metric — a full replay
+        returns 0: replayed ids pass the near-dup gate unflagged by
+        design, and the keyed MERGE then inserts nothing)."""
+        known = self.store.read(SIGS_TABLE)
+        survivors = dedup.dedup_batch_against(
+            batch_df,
+            known,
+            id_col=self.id_col,
+            text_col=self.text_col,
+            shingle_n=self.shingle_n,
+            bands=self.bands,
+            rows_per_band=self.rows_per_band,
+            threshold_x1000=self.threshold_x1000,
+        )
+        # one deterministic materialization of the survivor set: the corpus
+        # append, the signature append, and the return count must all see
+        # the same rows (a lazy plan would re-evaluate nondeterministically
+        # against a store the first append just changed)
+        survivors = dedup._storage_checkpoint(survivors)
+        inserted = self.store.merge_insert_missing(
+            CORPUS_TABLE, survivors, [self.id_col]
+        )
+        new_sigs = dedup.minhash_signatures(
+            survivors, self.id_col, self.text_col, self.shingle_n
+        )
+        self.store.merge_insert_missing(SIGS_TABLE, new_sigs, ["doc_id"])
+        return inserted
+
+
+def corpus_store(spark, root: str, docs_like: DataFrame) -> TableStore:
+    """A TableStore wired for :class:`CorpusDedupSink`: the corpus table
+    uses the incoming document schema, the signature table the operator's."""
+    return TableStore(
+        spark,
+        root,
+        {
+            CORPUS_TABLE: docs_like.schema,
+            SIGS_TABLE: signature_schema(docs_like),
+        },
+    )

@@ -195,3 +195,61 @@ def test_enrich_stream_static_join(spark, events_batch, events_streaming):
     assert out.count() == events_batch.count()
     tagged = out.filter(F.col("segment").isNotNull())
     assert tagged.count() == events_batch.filter(F.col("user_id").isin(user_ids)).count()
+
+
+def test_corpus_stream_dedups_across_micro_batches(spark, tmp_path):
+    """The end-to-end incremental corpus pipeline: batch 2's near-dup of a
+    batch-1 document is gated out by the signature store that batch 1
+    populated, and a full replay appends nothing (idempotent end-to-end)."""
+    from data_warehouse_spark.streaming import corpus_stream
+
+    b1 = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (2, "completely different content about spark query engines and shuffles"),
+        ],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [
+            (3, "the quick brown fox jumps over the lazy dog near the river shore"),  # near-dup of 1
+            (4, "broadcast joins beat shuffles whenever one side fits in memory"),     # fresh
+        ],
+        "doc_id long, text string",
+    )
+    store = corpus_stream.corpus_store(spark, str(tmp_path / "corpus_wh"), b1)
+    sink = corpus_stream.CorpusDedupSink(store)
+
+    assert sink(b1, 0) == 2
+    assert sink(b2, 1) == 1  # near-dup of an EARLIER batch's doc is gated
+    kept = {r["doc_id"] for r in store.read(corpus_stream.CORPUS_TABLE).collect()}
+    assert kept == {1, 2, 4}
+    # signature store grew with the corpus — batch 3 is gated against batch 2
+    assert store.read(corpus_stream.SIGS_TABLE).count() == 3
+    # full replay of both batches: ids 1/2/3/4 all known or gated → no-op
+    assert sink(b1, 2) == 0
+    assert sink(b2, 3) == 0
+    assert store.read(corpus_stream.CORPUS_TABLE).count() == 3
+
+
+def test_corpus_stream_via_writestream(spark, tmp_path):
+    """Same sink wired through a real writeStream.foreachBatch run."""
+    from data_warehouse_spark.streaming import corpus_stream
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (2, "the quick brown fox jumps over the lazy dog near the river bank!"),  # near-dup of 1
+            (3, "partition pruning and predicate pushdown keep parquet scans minimal"),
+        ],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "docs_src")
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+    store = corpus_stream.corpus_store(spark, str(tmp_path / "corpus_wh"), docs)
+    sink = corpus_stream.CorpusDedupSink(store)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination(300)
+    kept = {r["doc_id"] for r in store.read(corpus_stream.CORPUS_TABLE).collect()}
+    assert kept == {1, 3}  # within-batch near-dup gated, smaller id survives
