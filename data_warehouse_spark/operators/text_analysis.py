@@ -372,3 +372,96 @@ def mixture_split(
         split.alias("split"),
         (h_mix < keep).cast("bigint").alias("mix_kept"),
     )
+
+
+# --- character-n-gram LM quality scoring -----------------------------------
+# The KenLM-style signal every pretraining pipeline runs: train a gram
+# frequency model on (a trusted slice of) the corpus, score each document
+# by its mean gram log-probability; gibberish / binary junk / repeated
+# boilerplate score far below natural prose. Integer-permille log-probs so
+# scores are exact and comparable across runs.
+
+LM_GRAM_N = 3
+LM_VOCAB_K = 4096
+LM_UNSEEN_PENALTY_X1000 = -18_000  # ~e^-18 — below any in-vocab gram
+
+
+def _char_grams(text_col, n: int = LM_GRAM_N):
+    """array<string> of character n-grams over the normalized text —
+    a pure JVM expression (sequence + transform + substring), map-side."""
+    norm = X.normalize(text_col)
+    return F.when(
+        F.length(norm) < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(norm) - (n - 1)),
+            lambda i: norm.substr(i, F.lit(n)),
+        )
+    )
+
+
+def train_char_lm(
+    corpus: DataFrame,
+    text_col: str = "text",
+    vocab_k: int = LM_VOCAB_K,
+    gram_n: int = LM_GRAM_N,
+) -> DataFrame:
+    """Gram model: the ``vocab_k`` most frequent character n-grams with
+    integer-permille log-probabilities — ``(gram, logp_x1000)``.
+
+    One explode (map-side) + one count shuffle on the gram key + a top-k;
+    the result is dimension-table sized (vocab_k rows) and is meant to be
+    broadcast by :func:`lm_quality_score` — train once on a trusted slice,
+    score everything, exactly the IVF-index / signature-store artifact
+    pattern (persist with TableStore / parquet to reuse across sessions).
+    """
+    grams = corpus.select(F.explode(_char_grams(F.col(text_col), gram_n)).alias("gram"))
+    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n")).collect()[0][0] or 1
+    return (
+        counts.orderBy(F.desc("n"), "gram")
+        .limit(vocab_k)
+        .select(
+            "gram",
+            F.floor(F.log(F.col("n") / F.lit(float(total))) * 1000)
+            .cast("bigint")
+            .alias("logp_x1000"),
+        )
+    )
+
+
+def lm_quality_score(
+    documents: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_n: int = LM_GRAM_N,
+    unseen_x1000: int = LM_UNSEEN_PENALTY_X1000,
+) -> DataFrame:
+    """Mean gram log-probability per document — ``(doc_id, n_grams,
+    lm_score_x1000)``; out-of-vocabulary grams cost ``unseen_x1000``.
+    Gram-less documents (shorter than the gram size) score the full
+    penalty rather than vanishing.
+
+    Scale shape: explode is map-side, the model join is a broadcast
+    (vocab_k rows), and the only shuffle is the re-agg on ``doc_id`` —
+    O(corpus grams) work, no corpus self-join anywhere.
+    """
+    grams = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(_char_grams(F.col(text_col), gram_n)).alias("gram"),
+    )
+    scored = grams.join(F.broadcast(model), "gram", "left")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.col("gram")).alias("n_grams"),
+            F.coalesce(
+                F.floor(F.avg(F.coalesce(F.col("logp_x1000"), F.lit(unseen_x1000)))),
+                F.lit(unseen_x1000),
+            )
+            .cast("bigint")
+            .alias("lm_score_x1000"),
+        )
+        .orderBy("doc_id")
+    )

@@ -601,3 +601,46 @@ def test_load_ivf_index_rejects_geometry_mismatch(spark, tmp_path):
     similarity.save_ivf_index(emb, path, n_cells=8)
     with pytest.raises(ValueError, match="n_cells=8"):
         similarity.load_ivf_index(spark, path, n_cells=16)
+
+
+def test_char_lm_scores_prose_above_gibberish(spark):
+    """The LM quality signal must separate natural prose from junk: docs
+    drawn from the corpus distribution score above a gibberish document
+    scored with the same model."""
+    from data_warehouse_spark.operators import text_analysis
+
+    corpus = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    model = text_analysis.train_char_lm(corpus)
+    assert model.count() <= text_analysis.LM_VOCAB_K
+    probe = spark.createDataFrame(
+        [
+            (1, "the data warehouse keeps account balances for every tenant"),
+            (2, "qzx jvq wxq zqj xqv qqz jxw vqx zzq qjx wqz xvq"),  # gibberish
+            (3, "ab"),  # shorter than a gram → full penalty, still present
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           text_analysis.lm_quality_score(probe, model).collect()}
+    assert out[1]["lm_score_x1000"] > out[2]["lm_score_x1000"]
+    assert out[3]["n_grams"] == 0
+    assert out[3]["lm_score_x1000"] == text_analysis.LM_UNSEEN_PENALTY_X1000
+    # determinism: same model + docs → identical scores on re-run
+    again = {r["doc_id"]: r["lm_score_x1000"] for r in
+             text_analysis.lm_quality_score(probe, model).collect()}
+    assert again == {d: r["lm_score_x1000"] for d, r in out.items()}
+
+
+def test_char_lm_score_is_broadcast_join(spark):
+    """Plan pin: the model side must broadcast; the only shuffle is the
+    doc_id re-agg (no sort-merge join of corpus grams vs model)."""
+    from data_warehouse_spark.operators import text_analysis
+
+    corpus = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    model = text_analysis.train_char_lm(corpus)
+    plan = (
+        text_analysis.lm_quality_score(corpus, model)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
