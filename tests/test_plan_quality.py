@@ -281,3 +281,28 @@ def test_mixture_split_is_shuffle_free_and_pruned(spark):
     assert rep.exchanges == 0, rep.text
     cols = rep.scans_column_count("documents")
     assert cols is not None and cols <= 2, rep.text  # doc_id + source only
+
+
+def test_paragraph_dedup_two_key_shuffles_no_cartesian(spark):
+    """Paragraph dedup's only shuffles are the paragraph-key window and the
+    doc-grain re-agg (plus the output sort); no join at all, so a corpus
+    never pairs with itself."""
+    from data_warehouse_spark.operators import dedup
+
+    df = dedup.paragraph_dedup(cat.load_table(spark, SF_DIR, "documents"))
+    rep = plan_report(df)
+    assert "CartesianProduct" not in rep.text
+    assert "Join" not in rep.text  # window+agg pipeline, not a self-join
+    assert rep.exchanges <= 3, rep.text
+
+
+def test_semantic_dedup_joins_on_cell_only(spark):
+    """SemDeDup must pair vectors within a cell via an equi-join on the
+    cell id — never an all-pairs cartesian over the corpus."""
+    from data_warehouse_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    df = similarity.semantic_dedup(emb, threshold=0.4, n_cells=8)
+    rep = plan_report(df)
+    assert "CartesianProduct" not in rep.text
+    assert "BroadcastNestedLoopJoin" not in rep.text
