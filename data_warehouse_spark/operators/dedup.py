@@ -239,11 +239,15 @@ def incremental_minhash_dedup(
     bands: int = 8,
     rows_per_band: int = 2,
     threshold_x1000: int = 600,
+    new_signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Dedup an incoming batch against an already-signed corpus WITHOUT
     re-signing the corpus — the daily-batch shape of a production pipeline:
     the historical signature store (output of :func:`minhash_signatures`,
-    persisted once) is probed; only the new batch pays shingling+hashing.
+    persisted once) is probed; only the new batch pays shingling+hashing
+    (and only once: pass ``new_signatures`` — a materialized
+    :func:`minhash_signatures` of the batch — when the caller also needs
+    the signatures, e.g. to append the survivors' to the store).
 
     Output: one row per duplicate found — ``(doc_id, dup_of,
     jaccard_x1000, scope)`` where ``doc_id`` is the new document,
@@ -262,8 +266,10 @@ def incremental_minhash_dedup(
     re-running :func:`minhash_lsh_duplicates` over corpus+batch: that
     re-signs and re-shuffles the full corpus every batch.
     """
-    nsig = _storage_checkpoint(
-        minhash_signatures(new_docs, id_col, text_col, shingle_n)
+    nsig = (
+        new_signatures
+        if new_signatures is not None
+        else _storage_checkpoint(minhash_signatures(new_docs, id_col, text_col, shingle_n))
     )
     nkeys = band_keys(nsig, bands, rows_per_band).withColumnRenamed("doc_id", "new_id")
     ckeys = band_keys(corpus_signatures, bands, rows_per_band).withColumnRenamed(
@@ -282,8 +288,12 @@ def incremental_minhash_dedup(
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     jac = F.floor(inter * 1000 / F.greatest(union, F.lit(1))).cast("bigint")
+    # broadcast the (candidate pairs ⋈ batch shingles) side explicitly: the
+    # corpus shingle fetch must stream past it, never sort-merge — without
+    # the hint a large batch tips Catalyst into shuffling the ENTIRE corpus
+    # signature store, breaking the O(batch) contract
     vs_corpus = (
-        cross.join(n_sh, "new_id")
+        F.broadcast(cross.join(n_sh, "new_id"))
         .join(c_sh, "corpus_id")
         .select(
             F.col("new_id").alias("doc_id"),
@@ -354,7 +364,9 @@ def simhash_neardup_pairs(
     width = X.SIMHASH_BITS // bands
     mask = (1 << width) - 1
     sigs = simhash_signatures(documents, id_col, text_col)
-    band_keys = F.array(
+    # NB: named distinctly from the module-level band_keys() (MinHash probe
+    # table) — this is the SimHash banding expression, not that function
+    simhash_band_keys = F.array(
         *[
             F.concat_ws(
                 ":",
@@ -364,7 +376,9 @@ def simhash_neardup_pairs(
             for b in range(bands)
         ]
     )
-    keyed = sigs.select("doc_id", "simhash", F.explode(band_keys).alias("band_key"))
+    keyed = sigs.select(
+        "doc_id", "simhash", F.explode(simhash_band_keys).alias("band_key")
+    )
     a = keyed.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "band_key"
     )

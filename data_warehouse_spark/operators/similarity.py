@@ -380,9 +380,10 @@ def save_ivf_index(
 
 def load_ivf_index(spark, path: str, n_cells: int = N_CELLS):
     """Load a :func:`save_ivf_index` artifact → the same (centroids, cdf,
-    corpus) triple :func:`ivf_index` returns. Geometry is validated against
-    the stored meta so a caller can't silently probe with mismatched
-    ``n_cells``."""
+    corpus) triple :func:`ivf_index` returns. The stored geometry is
+    validated: ``n_cells`` against the caller's expectation and the
+    centroid dimensionality against the meta (``id_col``/``vec_col`` in
+    meta are provenance only — the artifact's own column names are fixed)."""
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     if meta["n_cells"] != n_cells:
         raise ValueError(
@@ -395,6 +396,11 @@ def load_ivf_index(spark, path: str, n_cells: int = N_CELLS):
         (int(r["cell_id"]), [float(x) for x in r["cv"]], float(r["cnorm"]))
         for r in cdf.orderBy("cell_id").collect()
     ]
+    if centroids and len(centroids[0][1]) != meta["dim"]:
+        raise ValueError(
+            f"index at {path} stores dim={meta['dim']} but centroids have "
+            f"dim={len(centroids[0][1])} — artifact is corrupt"
+        )
     return centroids, cdf, corpus
 
 

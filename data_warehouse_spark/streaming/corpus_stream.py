@@ -76,7 +76,15 @@ class CorpusDedupSink:
         returns 0: replayed ids pass the near-dup gate unflagged by
         design, and the keyed MERGE then inserts nothing)."""
         known = self.store.read(SIGS_TABLE)
-        survivors = dedup.dedup_batch_against(
+        # sign the batch exactly once; the same materialized signatures feed
+        # the dedup probe AND the store append (signing twice would double
+        # the per-batch shingle+hash cost for nothing)
+        nsig = dedup._storage_checkpoint(
+            dedup.minhash_signatures(
+                batch_df, self.id_col, self.text_col, self.shingle_n
+            )
+        )
+        dups = dedup.incremental_minhash_dedup(
             batch_df,
             known,
             id_col=self.id_col,
@@ -85,30 +93,44 @@ class CorpusDedupSink:
             bands=self.bands,
             rows_per_band=self.rows_per_band,
             threshold_x1000=self.threshold_x1000,
+            new_signatures=nsig,
         )
+        doomed = dups.select(F.col("doc_id").alias("__doomed_id")).distinct()
         # one deterministic materialization of the survivor set: the corpus
         # append, the signature append, and the return count must all see
         # the same rows (a lazy plan would re-evaluate nondeterministically
         # against a store the first append just changed)
-        survivors = dedup._storage_checkpoint(survivors)
+        survivors = dedup._storage_checkpoint(
+            batch_df.join(
+                doomed, batch_df[self.id_col] == doomed["__doomed_id"], "left_anti"
+            )
+        )
         inserted = self.store.merge_insert_missing(
             CORPUS_TABLE, survivors, [self.id_col]
         )
-        new_sigs = dedup.minhash_signatures(
-            survivors, self.id_col, self.text_col, self.shingle_n
+        surviving_sigs = nsig.join(
+            survivors.select(F.col(self.id_col).alias("doc_id")), "doc_id", "left_semi"
         )
-        self.store.merge_insert_missing(SIGS_TABLE, new_sigs, ["doc_id"])
+        self.store.merge_insert_missing(SIGS_TABLE, surviving_sigs, ["doc_id"])
         return inserted
 
 
-def corpus_store(spark, root: str, docs_like: DataFrame) -> TableStore:
+def corpus_store(
+    spark,
+    root: str,
+    docs_like: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> TableStore:
     """A TableStore wired for :class:`CorpusDedupSink`: the corpus table
-    uses the incoming document schema, the signature table the operator's."""
+    uses the incoming document schema, the signature table the operator's.
+    Pass the same ``id_col``/``text_col``/``shingle_n`` the sink will use."""
     return TableStore(
         spark,
         root,
         {
             CORPUS_TABLE: docs_like.schema,
-            SIGS_TABLE: signature_schema(docs_like),
+            SIGS_TABLE: signature_schema(docs_like, id_col, text_col, shingle_n),
         },
     )

@@ -16,15 +16,12 @@ from __future__ import annotations
 import argparse
 import hashlib
 import json
-import sys
 import time
 
 import duckdb
 
 from data_warehouse_spark.schemas import TESTDATA_TABLES
 from data_warehouse_spark.session import get_spark
-
-sys.path.insert(0, "/root/repo")
 
 
 def canon_cell(v):
@@ -70,6 +67,11 @@ def main() -> int:
     spec.loader.exec_module(mod)
     queries, oracles = mod.queries(), mod.oracle_sql()
     only = {n for n in args.only.split(",") if n}
+    unknown = only - set(queries)
+    if unknown:
+        # a typo'd --only must fail loudly, not report a vacuous green gate
+        print(json.dumps({"error": "unknown_queries", "names": sorted(unknown)}))
+        return 1
 
     spark = get_spark(app_name="dwh-selfcheck", shuffle_partitions=32)
     con = duckdb.connect()

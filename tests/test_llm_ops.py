@@ -571,6 +571,9 @@ def test_incremental_dedup_broadcasts_batch_not_corpus(spark):
     corpus, batch, sigs = _incremental_fixture(spark)
     plan = dedup.incremental_minhash_dedup(batch, sigs)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+    # neither the band probe nor the shingle verify may sort-merge: a SMJ
+    # anywhere means a corpus-sized shuffle snuck back in
+    assert "SortMergeJoin" not in plan
 
 
 def test_ivf_index_roundtrip_and_partition_pruning(spark, tmp_path):
