@@ -13,6 +13,7 @@ import os
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from data_warehouse_spark.operators.pagination import paginate
 from data_warehouse_spark.sources import primary
@@ -120,3 +121,44 @@ def test_pagination_partition_invariants(spark, n, limit, offset):
     page = [r["name"] for r in paginate(df, ["name"], limit, offset).collect()]
     all_sorted = sorted(f"k{str(i).zfill(3)}" for i in range(n))
     assert page == all_sorted[offset : offset + limit]
+
+
+# --- incremental dedup ≡ full recompute on random corpora -------------------
+
+_WORDS = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+_doc_st = st.lists(st.sampled_from(_WORDS), min_size=3, max_size=12).map(" ".join)
+
+
+@SLOW
+@given(
+    texts=st.lists(_doc_st, min_size=2, max_size=10),
+    split_at=st.integers(min_value=1, max_value=9),
+)
+def test_incremental_dedup_equals_full_on_random_corpora(spark, texts, split_at):
+    """For ANY corpus/batch split, probing the corpus signature store must
+    find exactly the batch-touching pairs a full-corpus recompute finds —
+    same pairs, same Jaccard values."""
+    from data_warehouse_spark.operators import dedup
+
+    split_at = min(split_at, len(texts) - 1)
+    rows = [(i, t) for i, t in enumerate(texts)]
+    all_docs = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus = all_docs.filter(F.col("doc_id") < split_at)
+    batch = all_docs.filter(F.col("doc_id") >= split_at)
+    batch_ids = {i for i, _ in rows if i >= split_at}
+
+    sigs = dedup.minhash_signatures(corpus)
+    inc = {
+        (r["doc_id"], r["dup_of"], r["jaccard_x1000"])
+        for r in dedup.incremental_minhash_dedup(batch, sigs).collect()
+    }
+    expected = set()
+    for r in dedup.minhash_lsh_duplicates(all_docs).collect():
+        a, b, j = r["doc_a"], r["doc_b"], r["jaccard_x1000"]
+        if a in batch_ids and b in batch_ids:
+            expected.add((b, a, j))
+        elif b in batch_ids:
+            expected.add((b, a, j))
+        elif a in batch_ids:
+            expected.add((a, b, j))
+    assert inc == expected
