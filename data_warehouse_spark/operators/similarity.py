@@ -404,6 +404,56 @@ def load_ivf_index(spark, path: str, n_cells: int = N_CELLS):
     return centroids, cdf, corpus
 
 
+def append_to_ivf_index(
+    new_embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Index freshness without a rebuild — the IVF maintenance path every
+    serving system needs: assign the new vectors to the STORED centroids
+    (map-side, literals riding the plan) and append them to the
+    cell-partitioned corpus. Centroids stay fixed, so existing cell
+    assignments, stored files, and in-flight probes are untouched; the
+    classic operational rule applies — rebuild (re-quantize) only when
+    drift makes cell sizes skew enough to hurt recall.
+
+    Returns the number of vectors appended. Id uniqueness is the caller's
+    contract (pair with the dedup gate / MERGE upstream — e.g. gate the
+    embedding stream exactly like ``streaming.corpus_stream`` gates text).
+    """
+    meta = (
+        new_embeddings.sparkSession.read.parquet(f"{path}/meta").collect()[0]
+    )
+    centroids, _cdf, _corpus = load_ivf_index(
+        new_embeddings.sparkSession, path, int(meta["n_cells"])
+    )
+    dim = len(centroids[0][1]) if centroids else 0
+    assigned = new_embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("n_vec"),
+        V.norm2(vec_col).alias("_vn"),
+    )
+    assigned = assigned.select(
+        "neighbor_id",
+        "n_vec",
+        "_vn",
+        F.array_max(_centroid_scores(F.col("n_vec"), centroids, F.col("_vn")))
+        .getField("cell")
+        .alias("cell"),
+    )
+    if dim:
+        # reject wrong-dimensionality vectors before they poison the store
+        bad = assigned.filter(F.size("n_vec") != dim).count()
+        if bad:
+            raise ValueError(
+                f"{bad} vector(s) have dim != {dim}; refusing to append"
+            )
+    n = assigned.count()
+    assigned.write.mode("append").partitionBy("cell").parquet(f"{path}/corpus")
+    return n
+
+
 def ivf_topk_stored(
     spark,
     path: str,

@@ -647,3 +647,32 @@ def test_char_lm_score_is_broadcast_join(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ivf_index_append_serves_fresh_vectors(spark, tmp_path):
+    """Appending to the stored index (fixed centroids, map-side assignment)
+    makes new vectors immediately servable: a planted twin of a query
+    vector lands in the same cell and surfaces at rank 1 — no rebuild."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    similarity.save_ivf_index(emb, path)
+    base = emb.count()
+    q = emb.orderBy("vec_id").limit(1).collect()[0]
+    twin = spark.createDataFrame(
+        [(999_999, [float(x) for x in q["embedding"]], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    assert similarity.append_to_ivf_index(twin, path) == 1
+    _c, _cdf, corpus = similarity.load_ivf_index(spark, path)
+    assert corpus.count() == base + 1
+    top = similarity.ivf_topk_stored(spark, path, [q["vec_id"]], k=3).collect()
+    assert top[0]["neighbor_id"] == 999_999 and top[0]["rank"] == 1
+    # wrong-dimensionality vectors are refused, store untouched
+    import pytest as _pytest
+
+    bad = spark.createDataFrame(
+        [(7, [1.0, 2.0], 0)], "vec_id long, embedding array<float>, label int"
+    )
+    with _pytest.raises(ValueError, match="refusing to append"):
+        similarity.append_to_ivf_index(bad, path)
+    assert similarity.load_ivf_index(spark, path)[2].count() == base + 1
