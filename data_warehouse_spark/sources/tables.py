@@ -64,6 +64,14 @@ class TableStore:
     rewrites the partitions its keys touch — O(affected partitions), not
     O(table): the property that matters when ``transfer`` is 100 TB
     partitioned by tenant.
+
+    ``cluster_by`` maps table name → sort columns applied when compaction
+    rewrites fragmented files (the Delta OPTIMIZE ZORDER analogue, linear
+    order): each compacted file comes out sorted by those columns, so its
+    parquet row-group min/max stats become tight disjoint ranges and
+    point/range scans skip whole row groups. Append order is whatever the
+    stream delivered; clustering restores locality at rewrite time for
+    free (the data is being rewritten anyway).
     """
 
     def __init__(
@@ -73,12 +81,14 @@ class TableStore:
         schemas: dict[str, T.StructType],
         partitions: dict[str, list[str]] | None = None,
         compact_threshold: int = COMPACT_FILE_THRESHOLD,
+        cluster_by: dict[str, list[str]] | None = None,
     ):
         self.spark = spark
         self.root = root
         self.schemas = schemas
         self.partitions = partitions or {}
         self.compact_threshold = compact_threshold
+        self.cluster_by = cluster_by or {}
         os.makedirs(root, exist_ok=True)
 
     # ---- version plumbing ---------------------------------------------
@@ -294,9 +304,17 @@ class TableStore:
                     n_out = max(1, -(-total // TARGET_FILE_BYTES))
                     # read the raw part files (non-partition columns only —
                     # rewriting into the same hive dir keeps the layout)
-                    self.spark.read.parquet(*pq_files).coalesce(n_out).write.mode(
-                        "overwrite"
-                    ).parquet(staging)
+                    merged = self.spark.read.parquet(*pq_files).coalesce(n_out)
+                    sort_cols = [
+                        c
+                        for c in self.cluster_by.get(name, [])
+                        if c in merged.columns
+                    ]
+                    if sort_cols:
+                        # sort WITHIN each output file: tight disjoint
+                        # row-group min/max stats without a global shuffle
+                        merged = merged.sortWithinPartitions(*sort_cols)
+                    merged.write.mode("overwrite").parquet(staging)
                     for f in os.listdir(staging):
                         if f.endswith(".parquet"):
                             os.rename(

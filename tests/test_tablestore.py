@@ -192,3 +192,41 @@ def test_upsert_null_partition_value_not_duplicated(spark, tmp_path):
     assert (ins, upd) == (0, 1)
     rows = [(r["tenant"], r["name"], r["v"]) for r in store.read("t").collect()]
     assert sorted(rows, key=str) == [("B", "y", 1), (None, "x", 2)]
+
+
+def test_compact_clusters_files_by_sort_key(spark, tmp_path):
+    """With cluster_by, compaction rewrites fragmented files SORTED by the
+    key, so each file's parquet row groups carry tight disjoint min/max
+    stats (row-group skipping for point/range reads) — append order is
+    arbitrary, the rewrite restores locality."""
+    import pyarrow.parquet as pq
+
+    store = TableStore(
+        spark,
+        str(tmp_path / "wh"),
+        {"t": SCHEMA},
+        compact_threshold=4,
+        cluster_by={"t": ["name"]},
+    )
+    # interleaved appends: keys arrive in adversarial (descending) order
+    for i in range(12):
+        store.merge_insert_missing(
+            "t", _rows(spark, [("A", f"n{99 - i:02d}", i)]), ["tenant", "name"]
+        )
+    store.compact("t", threshold=1)
+    vdir = store._resolve("t")
+    import os
+
+    pq_files = [
+        os.path.join(dp, f)
+        for dp, _dn, fns in os.walk(vdir)
+        for f in fns
+        if f.endswith(".parquet")
+    ]
+    assert pq_files
+    for f in pq_files:
+        vals = pq.read_table(f, columns=["name"])["name"].to_pylist()
+        assert vals == sorted(vals), f"{f} not clustered by name"
+    # contents intact after the clustered rewrite
+    rows = {r["name"]: r["v"] for r in store.read("t").collect()}
+    assert len(rows) == 12 and rows["n99"] == 0 and rows["n88"] == 11
