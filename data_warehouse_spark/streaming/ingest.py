@@ -125,6 +125,14 @@ def warehouse_store(spark: SparkSession, root: str) -> TableStore:
             "account_balance_change": ["tenant"],
             "account": ["tenant"],
         },
+        # when compaction rewrites a fragmented tenant partition, cluster
+        # the files on the read-path keys: transfers page by
+        # (transaction, transfer) — Q5's ORDER BY — and balance reads
+        # filter by account name; tight row-group stats skip the rest
+        cluster_by={
+            "transfer": ["transaction", "transfer"],
+            "account_balance_change": ["name", "value_date"],
+        },
     )
 
 
