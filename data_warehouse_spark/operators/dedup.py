@@ -26,22 +26,12 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as X
+from ..materialize import storage_checkpoint as _storage_checkpoint
 
-
-def _storage_checkpoint(df: DataFrame) -> DataFrame:
-    """Materialize ``df`` to temp parquet and read it back.
-
-    The multi-branch pipelines below reuse an expensive intermediate (MinHash
-    signatures feed the band join AND both sides of the verify join); at
-    cluster scale that intermediate is checkpointed to storage, not held in
-    executor cache. Writing instead of ``persist()`` also means repeated
-    invocations in one long-lived session leave ZERO cached RDDs behind —
-    no accumulation across bench best-of-N runs or server queries (the
-    temp dirs are deleted at interpreter exit)."""
-    d = tempfile.mkdtemp(prefix="dwh-ckpt-")
-    atexit.register(shutil.rmtree, d, True)
-    df.write.mode("overwrite").parquet(d)
-    return df.sparkSession.read.parquet(d)
+# (the multi-branch pipelines below reuse expensive intermediates — MinHash
+# signatures feed the band join AND both sides of the verify join — so they
+# are checkpointed to storage via materialize.storage_checkpoint, never
+# persist()ed: zero cached RDDs left behind across repeated invocations)
 
 
 # (app_id, caller key, geometry) → checkpointed-signature parquet path. A
@@ -288,13 +278,15 @@ def incremental_minhash_dedup(
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     jac = F.floor(inter * 1000 / F.greatest(union, F.lit(1))).cast("bigint")
-    # broadcast the (candidate pairs ⋈ batch shingles) side explicitly: the
-    # corpus shingle fetch must stream past it, never sort-merge — without
-    # the hint a large batch tips Catalyst into shuffling the ENTIRE corpus
-    # signature store, breaking the O(batch) contract
+    # the corpus shingle fetch must STREAM past broadcast builds, never
+    # sort-merge (a corpus-wide shuffle would break the O(batch) contract).
+    # Broadcast bounds: `cross` is bare id pairs (bytes per candidate, no
+    # shingle arrays — safe even when a hot band key explodes the candidate
+    # count) and `n_sh` is batch-sized by contract; the candidate×shingle
+    # blowup rows only ever stream
     vs_corpus = (
-        F.broadcast(cross.join(n_sh, "new_id"))
-        .join(c_sh, "corpus_id")
+        c_sh.join(F.broadcast(cross), "corpus_id")
+        .join(F.broadcast(n_sh), "new_id")
         .select(
             F.col("new_id").alias("doc_id"),
             F.col("corpus_id").alias("dup_of"),

@@ -232,6 +232,31 @@ def clear_ivf_cache(cache_key: str | None = None) -> int:
     return len(doomed)
 
 
+def _assign_cells(
+    embeddings: DataFrame, centroids, id_col: str, vec_col: str
+) -> DataFrame:
+    """(neighbor_id, n_vec, _vn, cell) — map-only assignment of every
+    vector to its nearest centroid (max cos, ties → max cell, mirroring
+    the twin's ``ORDER BY cos DESC, cell_id DESC``). THE shared contract
+    between index build and append: both paths assign through this one
+    expression, so stored and appended vectors can never diverge. The
+    norm is kept so the probe's exact cosine later pays ONE fold (the
+    dot) per candidate instead of three (dot + two norms)."""
+    base = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("n_vec"),
+        V.norm2(vec_col).alias("_vn"),
+    )
+    return base.select(
+        "neighbor_id",
+        "n_vec",
+        "_vn",
+        F.array_max(_centroid_scores(F.col("n_vec"), centroids, F.col("_vn")))
+        .getField("cell")
+        .alias("cell"),
+    )
+
+
 def ivf_index(
     embeddings: DataFrame,
     n_cells: int = N_CELLS,
@@ -259,21 +284,7 @@ def ivf_index(
         if hit is not None:
             return hit
     centroids = ivf_centroids(embeddings, n_cells, id_col, vec_col)
-    corpus = embeddings.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("n_vec"),
-        V.norm2(vec_col).alias("_vn"),
-    )
-    # keep the norm: the probe's exact cosine then pays ONE fold (the dot)
-    # per candidate instead of three (dot + two norms)
-    corpus = corpus.select(
-        "neighbor_id",
-        "n_vec",
-        "_vn",
-        F.array_max(_centroid_scores(F.col("n_vec"), centroids, F.col("_vn")))
-        .getField("cell")
-        .alias("cell"),
-    )
+    corpus = _assign_cells(embeddings, centroids, id_col, vec_col)
     # centroid table for the probe side: ranking 16 rows via a broadcast
     # join keeps the probe PLAN small — embedding the centroids as literal
     # arrays instead costs ~1.5 s of Catalyst compile per query (the giant
@@ -392,16 +403,20 @@ def load_ivf_index(spark, path: str, n_cells: int = N_CELLS):
         )
     cdf = spark.read.parquet(f"{path}/centroids")
     corpus = spark.read.parquet(f"{path}/corpus")
-    centroids = [
-        (int(r["cell_id"]), [float(x) for x in r["cv"]], float(r["cnorm"]))
-        for r in cdf.orderBy("cell_id").collect()
-    ]
+    centroids = _centroids_from_cdf(cdf)
     if centroids and len(centroids[0][1]) != meta["dim"]:
         raise ValueError(
             f"index at {path} stores dim={meta['dim']} but centroids have "
             f"dim={len(centroids[0][1])} — artifact is corrupt"
         )
     return centroids, cdf, corpus
+
+
+def _centroids_from_cdf(cdf: DataFrame):
+    return [
+        (int(r["cell_id"]), [float(x) for x in r["cv"]], float(r["cnorm"]))
+        for r in cdf.orderBy("cell_id").collect()
+    ]
 
 
 def append_to_ivf_index(
@@ -412,38 +427,30 @@ def append_to_ivf_index(
 ) -> int:
     """Index freshness without a rebuild — the IVF maintenance path every
     serving system needs: assign the new vectors to the STORED centroids
-    (map-side, literals riding the plan) and append them to the
-    cell-partitioned corpus. Centroids stay fixed, so existing cell
-    assignments, stored files, and in-flight probes are untouched; the
-    classic operational rule applies — rebuild (re-quantize) only when
+    (map-side, via the same :func:`_assign_cells` expression as the index
+    build — stored and appended assignments cannot diverge) and append
+    them to the cell-partitioned corpus. Centroids stay fixed, so existing
+    cell assignments, stored files, and in-flight probes are untouched;
+    the classic operational rule applies — rebuild (re-quantize) only when
     drift makes cell sizes skew enough to hurt recall.
 
     Returns the number of vectors appended. Id uniqueness is the caller's
     contract (pair with the dedup gate / MERGE upstream — e.g. gate the
     embedding stream exactly like ``streaming.corpus_stream`` gates text).
     """
-    meta = (
-        new_embeddings.sparkSession.read.parquet(f"{path}/meta").collect()[0]
-    )
-    centroids, _cdf, _corpus = load_ivf_index(
-        new_embeddings.sparkSession, path, int(meta["n_cells"])
-    )
-    dim = len(centroids[0][1]) if centroids else 0
-    assigned = new_embeddings.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("n_vec"),
-        V.norm2(vec_col).alias("_vn"),
-    )
-    assigned = assigned.select(
-        "neighbor_id",
-        "n_vec",
-        "_vn",
-        F.array_max(_centroid_scores(F.col("n_vec"), centroids, F.col("_vn")))
-        .getField("cell")
-        .alias("cell"),
+    from ..materialize import storage_checkpoint
+
+    spark = new_embeddings.sparkSession
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    centroids = _centroids_from_cdf(spark.read.parquet(f"{path}/centroids"))
+    dim = int(meta["dim"])
+    # materialize ONCE: the dim guard, the returned count, and the write
+    # must all see the same rows (a live/nondeterministic source could
+    # otherwise slip a bad row in between guard and write)
+    assigned = storage_checkpoint(
+        _assign_cells(new_embeddings, centroids, id_col, vec_col)
     )
     if dim:
-        # reject wrong-dimensionality vectors before they poison the store
         bad = assigned.filter(F.size("n_vec") != dim).count()
         if bad:
             raise ValueError(

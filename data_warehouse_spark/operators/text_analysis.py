@@ -415,13 +415,13 @@ def train_char_lm(
     score everything, exactly the IVF-index / signature-store artifact
     pattern (persist with TableStore / parquet to reuse across sessions).
     """
-    from .dedup import _storage_checkpoint
+    from ..materialize import storage_checkpoint
 
     grams = corpus.select(F.explode(_char_grams(F.col(text_col), gram_n)).alias("gram"))
     # materialize the gram counts once: both the total (collected here) and
     # the returned model plan read the checkpoint — without it the full
     # corpus explode+shuffle would run twice
-    counts = _storage_checkpoint(grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n")))
+    counts = storage_checkpoint(grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n")))
     total = counts.agg(F.sum("n")).collect()[0][0] or 1
     return (
         counts.orderBy(F.desc("n"), "gram")

@@ -89,6 +89,18 @@ class TableStore:
         self.partitions = partitions or {}
         self.compact_threshold = compact_threshold
         self.cluster_by = cluster_by or {}
+        # a typo'd or partition-column cluster key would silently disable
+        # clustering forever (part files don't carry partition columns) —
+        # fail construction instead
+        for tname, cols in self.cluster_by.items():
+            declared = {f.name for f in schemas[tname].fields}
+            parts = set(self.partitions.get(tname, []))
+            bad = [c for c in cols if c not in declared or c in parts]
+            if bad:
+                raise ValueError(
+                    f"cluster_by[{tname!r}] columns {bad} must be declared "
+                    f"non-partition columns of the table"
+                )
         os.makedirs(root, exist_ok=True)
 
     # ---- version plumbing ---------------------------------------------

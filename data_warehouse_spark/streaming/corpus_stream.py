@@ -84,25 +84,21 @@ class CorpusDedupSink:
                 batch_df, self.id_col, self.text_col, self.shingle_n
             )
         )
-        dups = dedup.incremental_minhash_dedup(
-            batch_df,
-            known,
-            id_col=self.id_col,
-            text_col=self.text_col,
-            shingle_n=self.shingle_n,
-            bands=self.bands,
-            rows_per_band=self.rows_per_band,
-            threshold_x1000=self.threshold_x1000,
-            new_signatures=nsig,
-        )
-        doomed = dups.select(F.col("doc_id").alias("__doomed_id")).distinct()
         # one deterministic materialization of the survivor set: the corpus
         # append, the signature append, and the return count must all see
         # the same rows (a lazy plan would re-evaluate nondeterministically
         # against a store the first append just changed)
         survivors = dedup._storage_checkpoint(
-            batch_df.join(
-                doomed, batch_df[self.id_col] == doomed["__doomed_id"], "left_anti"
+            dedup.dedup_batch_against(
+                batch_df,
+                known,
+                id_col=self.id_col,
+                text_col=self.text_col,
+                shingle_n=self.shingle_n,
+                bands=self.bands,
+                rows_per_band=self.rows_per_band,
+                threshold_x1000=self.threshold_x1000,
+                new_signatures=nsig,
             )
         )
         inserted = self.store.merge_insert_missing(
