@@ -470,3 +470,48 @@ def lm_quality_score(
         )
         .orderBy("doc_id")
     )
+
+
+def chunk_documents(
+    documents: DataFrame,
+    chunk_chars: int = 512,
+    overlap: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into fixed-size overlapping character chunks — the
+    retrieval/embedding primitive (RAG indexing, context-window prep):
+    ``(doc_id, chunk_id, pos, chunk, n_chars)`` with ``pos`` the 1-based
+    start offset and ``chunk_id`` dense from 0 per document. Consecutive
+    chunks share ``overlap`` characters so no boundary-straddling span is
+    lost. Empty documents produce no chunks.
+
+    Map-side only (sequence + posexplode + substr — JVM expressions, zero
+    shuffle): at 100 TB this is parquet-scan-bound like the other
+    per-document operators, and the output feeds the embedding / packing
+    stages without any repartitioning.
+    """
+    if not 0 <= overlap < chunk_chars:
+        raise ValueError("need 0 <= overlap < chunk_chars")
+    stride = chunk_chars - overlap
+    starts = F.sequence(F.lit(1), F.greatest(F.length(F.col(text_col)), F.lit(1)), F.lit(stride))
+    return (
+        documents.filter(F.length(F.col(text_col)) > 0)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(starts).alias("chunk_id", "pos"),
+            F.col(text_col).alias("__t"),
+        )
+        # drop a trailing start that only covers already-emitted overlap
+        .filter(
+            (F.col("chunk_id") == 0)
+            | (F.col("pos") + F.lit(overlap) <= F.length("__t") + 1)
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.col("pos").cast("bigint").alias("pos"),
+            F.expr(f"substring(__t, pos, {chunk_chars})").alias("chunk"),
+        )
+        .withColumn("n_chars", F.length("chunk").cast("bigint"))
+    )

@@ -676,3 +676,53 @@ def test_ivf_index_append_serves_fresh_vectors(spark, tmp_path):
     with _pytest.raises(ValueError, match="refusing to append"):
         similarity.append_to_ivf_index(bad, path)
     assert similarity.load_ivf_index(spark, path)[2].count() == base + 1
+
+
+def test_chunk_documents_reconstruction_and_overlap(spark):
+    """Chunks must tile the document exactly: stride-prefixes reassemble
+    the original text, consecutive chunks share exactly `overlap` chars,
+    and offsets/ids are dense and 1-based."""
+    from data_warehouse_spark.operators import text_analysis
+
+    docs = spark.createDataFrame(
+        [
+            (1, "abcdefghijklmnopqrstuvwxyz0123456789" * 3),  # 108 chars
+            (2, "short"),
+            (3, ""),  # empty → no chunks
+        ],
+        "doc_id long, text string",
+    )
+    out = text_analysis.chunk_documents(docs, chunk_chars=40, overlap=10)
+    rows = sorted(out.collect(), key=lambda r: (r["doc_id"], r["chunk_id"]))
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 3 not in by_doc
+    assert [r["chunk"] for r in by_doc[2]] == ["short"]
+    chunks = by_doc[1]
+    stride = 40 - 10
+    assert [r["chunk_id"] for r in chunks] == list(range(len(chunks)))
+    assert [r["pos"] for r in chunks] == [1 + i * stride for i in range(len(chunks))]
+    original = docs.filter("doc_id = 1").collect()[0]["text"]
+    # non-overlapping prefixes reassemble the document exactly
+    assert "".join(r["chunk"][:stride] for r in chunks)[: len(original)] == original
+    # every boundary-straddling span of ≤ overlap chars lives in one chunk
+    for a, b in zip(chunks, chunks[1:]):
+        assert a["chunk"][-10:] == b["chunk"][:10]
+    # full coverage: last chunk reaches the end of the document
+    last = chunks[-1]
+    assert last["pos"] + last["n_chars"] - 1 == len(original)
+
+
+def test_chunk_documents_is_map_side(spark):
+    from data_warehouse_spark.operators import text_analysis
+    from data_warehouse_spark.plans.explain import plan_report
+
+    from data_warehouse_spark import catalog as cat
+
+    df = text_analysis.chunk_documents(cat.load_table(spark, SF_DIR, "documents"))
+    rep = plan_report(df)
+    assert rep.exchanges == 0, rep.text
+
+    with pytest.raises(ValueError, match="overlap"):
+        text_analysis.chunk_documents(_docs(spark), chunk_chars=10, overlap=10)
