@@ -130,3 +130,45 @@ def corpus_store(
             SIGS_TABLE: signature_schema(docs_like, id_col, text_col, shingle_n),
         },
     )
+
+
+class EmbeddingIndexSink:
+    """``foreachBatch`` hook keeping a stored IVF index fresh from an
+    embedding stream — the vector sibling of :class:`CorpusDedupSink`:
+    each micro-batch is gated to genuinely-new ids (replays and
+    re-deliveries append nothing twice) and the survivors are assigned to
+    the STORED centroids and appended to the cell-partitioned corpus
+    (``similarity.append_to_ivf_index``) — index freshness with no
+    rebuild, serving continues against the same artifact.
+
+    Per-batch cost is O(batch): the id gate is an anti-join against the
+    index's id column only (column-pruned corpus scan; AQE broadcasts the
+    batch side), assignment is map-side against centroid literals, and the
+    write touches only the cells the batch lands in. The index must exist
+    (``similarity.save_ivf_index``) before the stream starts.
+    """
+
+    def __init__(self, index_path: str, id_col: str = "vec_id", vec_col: str = "embedding"):
+        self.index_path = index_path
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int | None = None) -> int:
+        """Gate + append one micro-batch; returns #vectors appended."""
+        from ..materialize import storage_checkpoint
+        from ..operators import similarity
+
+        spark = batch_df.sparkSession
+        known = spark.read.parquet(f"{self.index_path}/corpus").select(
+            F.col("neighbor_id").alias("__known_id")
+        )
+        fresh = storage_checkpoint(
+            batch_df.dropDuplicates([self.id_col]).join(
+                known, batch_df[self.id_col] == known["__known_id"], "left_anti"
+            )
+        )
+        if fresh.isEmpty():
+            return 0
+        return similarity.append_to_ivf_index(
+            fresh, self.index_path, id_col=self.id_col, vec_col=self.vec_col
+        )

@@ -253,3 +253,29 @@ def test_corpus_stream_via_writestream(spark, tmp_path):
     q.awaitTermination(300)
     kept = {r["doc_id"] for r in store.read(corpus_stream.CORPUS_TABLE).collect()}
     assert kept == {1, 3}  # within-batch near-dup gated, smaller id survives
+
+
+def test_embedding_index_sink_appends_and_dedups(spark, tmp_path):
+    """The vector sibling of the corpus sink: new vectors become servable
+    per micro-batch, replayed ids append nothing, and the index keeps its
+    cell-partitioned layout."""
+    from data_warehouse_spark.operators import similarity
+    from data_warehouse_spark.streaming.corpus_stream import EmbeddingIndexSink
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    similarity.save_ivf_index(emb, path)
+    base = emb.count()
+    q = emb.orderBy("vec_id").limit(1).collect()[0]
+    twin_rows = [(777_777, [float(x) for x in q["embedding"]], 0)]
+    batch = spark.createDataFrame(
+        twin_rows + twin_rows,  # duplicate within the batch too
+        "vec_id long, embedding array<float>, label int",
+    )
+    sink = EmbeddingIndexSink(path)
+    assert sink(batch, 0) == 1  # in-batch duplicate collapsed
+    assert sink(batch, 1) == 0  # full replay appends nothing
+    _c, _cdf, corpus = similarity.load_ivf_index(spark, path)
+    assert corpus.count() == base + 1
+    top = similarity.ivf_topk_stored(spark, path, [q["vec_id"]], k=2).collect()
+    assert top[0]["neighbor_id"] == 777_777  # fresh vector serves at rank 1
