@@ -162,3 +162,45 @@ def test_incremental_dedup_equals_full_on_random_corpora(spark, texts, split_at)
         elif a in batch_ids:
             expected.add((a, b, j))
     assert inc == expected
+
+
+@SLOW
+@given(
+    texts=st.lists(
+        st.text(alphabet=st.sampled_from("abcxyz "), min_size=0, max_size=200),
+        min_size=1,
+        max_size=8,
+    ),
+    chunk_chars=st.integers(min_value=2, max_value=64),
+    overlap_frac=st.integers(min_value=0, max_value=99),
+)
+def test_chunking_tiles_every_document(spark, texts, chunk_chars, overlap_frac):
+    """For ANY text and geometry: stride-prefixes reconstruct the document,
+    the last chunk reaches the end, every chunk is within size, and empty
+    docs emit nothing."""
+    from data_warehouse_spark.operators import text_analysis
+
+    overlap = min(chunk_chars - 1, (chunk_chars * overlap_frac) // 100)
+    stride = chunk_chars - overlap
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = text_analysis.chunk_documents(
+        docs, chunk_chars=chunk_chars, overlap=overlap
+    ).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, t in enumerate(texts):
+        chunks = sorted(by_doc.get(i, []), key=lambda r: r["chunk_id"])
+        if not t:
+            assert chunks == []
+            continue
+        assert chunks, f"doc {i} ({len(t)} chars) produced no chunks"
+        # exact tiling: stride-prefix of every chunk but the last, then the
+        # last chunk whole (it alone may be shorter than a full stride span)
+        rebuilt = "".join(c["chunk"][:stride] for c in chunks[:-1]) + chunks[-1]["chunk"]
+        assert rebuilt == t
+        last = chunks[-1]
+        assert last["pos"] + last["n_chars"] - 1 == len(t)
+        assert all(1 <= c["n_chars"] <= chunk_chars for c in chunks)
