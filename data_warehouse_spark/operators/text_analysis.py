@@ -515,3 +515,65 @@ def chunk_documents(
         )
         .withColumn("n_chars", F.length("chunk").cast("bigint"))
     )
+
+
+# --- URL / domain analysis --------------------------------------------------
+# Web-corpus curation staple: extract URLs, roll up by registrable domain,
+# gate documents by a domain blocklist. Pattern kept in the Java∩RE2 regex
+# subset (same discipline as PII_RULES) so a SQL twin can run it verbatim.
+
+URL_PATTERN = r"https?://[A-Za-z0-9.-]+(?::[0-9]+)?(?:/[^\s]*)?"
+_DOMAIN_FROM_URL = r"https?://([A-Za-z0-9.-]+)"
+
+
+def extract_urls(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One row per URL occurrence: ``(doc_id, url, domain)`` — map-side
+    (regexp_extract_all + explode), lowercased domain, port stripped."""
+    # Column API with a lit pattern — embedding the regex in an F.expr SQL
+    # string would re-interpret backslashes ('\s' → 's') and corrupt it
+    urls = F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), F.lit(0))
+    return (
+        documents.select(F.col(id_col).alias("doc_id"), F.explode(urls).alias("url"))
+        .withColumn(
+            "domain",
+            F.lower(F.regexp_extract(F.col("url"), _DOMAIN_FROM_URL, 1)),
+        )
+    )
+
+
+def domain_rollup(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Corpus URL statistics by domain: total occurrences and distinct
+    documents — the table a curation pass ranks to build block/allow
+    lists. One shuffle on the domain key (map-side extraction before it).
+    """
+    return (
+        extract_urls(documents, id_col, text_col)
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.count_distinct(F.col("doc_id")).alias("n_docs"),
+        )
+        .orderBy(F.desc("n_urls"), "domain")
+    )
+
+
+def domain_blocklist_filter(
+    documents: DataFrame,
+    blocked_domains: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop documents containing a URL on a blocked domain. The blocklist
+    is a dimension table (``domain`` column) — broadcast anti-join against
+    the doc→domain projection, so the corpus never shuffles."""
+    doomed = (
+        extract_urls(documents, id_col, text_col)
+        .join(F.broadcast(blocked_domains.select("domain")), "domain", "left_semi")
+        .select(F.col("doc_id").alias("__blocked_id"))
+        .distinct()
+    )
+    return documents.join(
+        F.broadcast(doomed), documents[id_col] == doomed["__blocked_id"], "left_anti"
+    )

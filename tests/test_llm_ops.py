@@ -726,3 +726,31 @@ def test_chunk_documents_is_map_side(spark):
 
     with pytest.raises(ValueError, match="overlap"):
         text_analysis.chunk_documents(_docs(spark), chunk_chars=10, overlap=10)
+
+
+def test_url_domain_rollup_and_blocklist(spark):
+    from data_warehouse_spark.operators import text_analysis
+
+    docs = spark.createDataFrame(
+        [
+            (1, "see https://Spam.Example.com/offer and http://ok.org/a for info"),
+            (2, "plain text, no links at all"),
+            (3, "dup domain http://ok.org/b http://ok.org:8080/c"),
+            (4, "https://spam.example.com again"),
+        ],
+        "doc_id long, text string",
+    )
+    roll = {r["domain"]: (r["n_urls"], r["n_docs"]) for r in
+            text_analysis.domain_rollup(docs).collect()}
+    assert roll["ok.org"] == (3, 2)
+    assert roll["spam.example.com"] == (2, 2)  # case-folded
+    blocked = spark.createDataFrame([("spam.example.com",)], "domain string")
+    kept = {r["doc_id"] for r in
+            text_analysis.domain_blocklist_filter(docs, blocked).collect()}
+    assert kept == {2, 3}
+    # plan: blocklist gating must not shuffle the corpus (broadcast joins)
+    plan = (
+        text_analysis.domain_blocklist_filter(docs, blocked)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" not in plan
