@@ -18,8 +18,14 @@ import tempfile
 from pyspark.sql import DataFrame
 
 
-def storage_checkpoint(df: DataFrame) -> DataFrame:
-    d = tempfile.mkdtemp(prefix="dwh-ckpt-")
-    atexit.register(shutil.rmtree, d, True)
-    df.write.mode("overwrite").parquet(d)
-    return df.sparkSession.read.parquet(d)
+def storage_checkpoint(df: DataFrame, path: str | None = None) -> DataFrame:
+    """Pass ``path`` for a REUSED scratch location (overwritten per call):
+    repeated callers — a foreachBatch sink checkpointing every micro-batch
+    — must not accumulate one temp dir per invocation for the process
+    lifetime. Only safe when the previous checkpoint at that path is no
+    longer referenced (true for sequential micro-batches)."""
+    if path is None:
+        path = tempfile.mkdtemp(prefix="dwh-ckpt-")
+        atexit.register(shutil.rmtree, path, True)
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)

@@ -357,6 +357,18 @@ def ivf_topk(
     )
 
 
+# single source of truth for the stored-index layout — consumers (the
+# streaming sink's id gate, external tooling) must not re-hardcode it
+IVF_CORPUS_SUBDIR = "corpus"
+IVF_ID_COLUMN = "neighbor_id"
+
+
+def stored_index_ids(spark, path: str) -> DataFrame:
+    """The id column of a stored IVF index's corpus — a column-pruned scan
+    (parquet reads just the id pages), for gating appends."""
+    return spark.read.parquet(f"{path}/{IVF_CORPUS_SUBDIR}").select(IVF_ID_COLUMN)
+
+
 def save_ivf_index(
     embeddings: DataFrame,
     path: str,
@@ -381,7 +393,7 @@ def save_ivf_index(
     """
     centroids, cdf, corpus = ivf_index(embeddings, n_cells, id_col, vec_col)
     cdf.write.mode("overwrite").parquet(f"{path}/centroids")
-    corpus.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/corpus")
+    corpus.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/{IVF_CORPUS_SUBDIR}")
     dim = len(centroids[0][1]) if centroids else 0
     embeddings.sparkSession.createDataFrame(
         [(n_cells, id_col, vec_col, dim)],
@@ -402,7 +414,7 @@ def load_ivf_index(spark, path: str, n_cells: int = N_CELLS):
             f"caller expects {n_cells}"
         )
     cdf = spark.read.parquet(f"{path}/centroids")
-    corpus = spark.read.parquet(f"{path}/corpus")
+    corpus = spark.read.parquet(f"{path}/{IVF_CORPUS_SUBDIR}")
     centroids = _centroids_from_cdf(cdf)
     if centroids and len(centroids[0][1]) != meta["dim"]:
         raise ValueError(
@@ -457,7 +469,7 @@ def append_to_ivf_index(
                 f"{bad} vector(s) have dim != {dim}; refusing to append"
             )
     n = assigned.count()
-    assigned.write.mode("append").partitionBy("cell").parquet(f"{path}/corpus")
+    assigned.write.mode("append").partitionBy("cell").parquet(f"{path}/{IVF_CORPUS_SUBDIR}")
     return n
 
 

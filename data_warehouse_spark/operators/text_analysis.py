@@ -502,10 +502,12 @@ def chunk_documents(
             F.posexplode(starts).alias("chunk_id", "pos"),
             F.col(text_col).alias("__t"),
         )
-        # drop a trailing start that only covers already-emitted overlap
+        # drop a trailing start that only covers already-emitted overlap:
+        # the previous chunk ends at min(pos+overlap-1, len), so this start
+        # adds new content iff pos+overlap <= len
         .filter(
             (F.col("chunk_id") == 0)
-            | (F.col("pos") + F.lit(overlap) <= F.length("__t") + 1)
+            | (F.col("pos") + F.lit(overlap) <= F.length("__t"))
         )
         .select(
             "doc_id",
@@ -522,15 +524,16 @@ def chunk_documents(
 # gate documents by a domain blocklist. Pattern kept in the Java∩RE2 regex
 # subset (same discipline as PII_RULES) so a SQL twin can run it verbatim.
 
-URL_PATTERN = r"https?://[A-Za-z0-9.-]+(?::[0-9]+)?(?:/[^\s]*)?"
-_DOMAIN_FROM_URL = r"https?://([A-Za-z0-9.-]+)"
+URL_PATTERN = r"(?i:https?)://(?:[A-Za-z0-9._%+-]+@)?[A-Za-z0-9.-]+(?::[0-9]+)?(?:/[^\s]*)?"
+_DOMAIN_FROM_URL = r"(?i:https?)://(?:[A-Za-z0-9._%+-]+@)?([A-Za-z0-9.-]+)"
 
 
 def extract_urls(
     documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """One row per URL occurrence: ``(doc_id, url, domain)`` — map-side
-    (regexp_extract_all + explode), lowercased domain, port stripped."""
+    (regexp_extract_all + explode), lowercased domain, port stripped,
+    userinfo (``user@host``) skipped, scheme matched case-insensitively."""
     # Column API with a lit pattern — embedding the regex in an F.expr SQL
     # string would re-interpret backslashes ('\s' → 's') and corrupt it
     urls = F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), F.lit(0))
@@ -544,9 +547,10 @@ def extract_urls(
 
 
 def domain_rollup(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Corpus URL statistics by domain: total occurrences and distinct
+    """Corpus URL statistics by hostname: total occurrences and distinct
     documents — the table a curation pass ranks to build block/allow
-    lists. One shuffle on the domain key (map-side extraction before it).
+    lists. One shuffle on the domain key for the agg (map-side extraction
+    before it), plus the output ranking sort.
     """
     return (
         extract_urls(documents, id_col, text_col)
@@ -565,15 +569,34 @@ def domain_blocklist_filter(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Drop documents containing a URL on a blocked domain. The blocklist
-    is a dimension table (``domain`` column) — broadcast anti-join against
-    the doc→domain projection, so the corpus never shuffles."""
+    """Drop documents containing a URL on (or under) a blocked domain —
+    blocklists name registrable domains, so ``spam.example.com`` must hit
+    an ``example.com`` entry. Each extracted hostname explodes into its
+    dot-suffixes (≤ label count, map-side) and equi-joins the broadcast
+    blocklist — subdomain matching without a non-equi join. The blocklist
+    side is lowercased here so verbatim-pasted entries still match. Only
+    the genuinely-small blocklist is hint-broadcast; the doomed-id set
+    scales with the corpus, so its anti-join is left to AQE."""
+    urls = extract_urls(documents, id_col, text_col)
+    # "a.b.c" → ["a.b.c", "b.c", "c"]: suffix k = substring starting after
+    # the k-th dot — computed with JVM HOFs over the split labels
+    labels = F.split(F.col("domain"), r"\.")
+    suffixes = F.transform(
+        F.sequence(F.lit(0), F.size(labels) - 1),
+        lambda i: F.array_join(F.slice(labels, i + 1, F.size(labels)), "."),
+    )
     doomed = (
-        extract_urls(documents, id_col, text_col)
-        .join(F.broadcast(blocked_domains.select("domain")), "domain", "left_semi")
+        urls.select("doc_id", F.explode(suffixes).alias("__suffix"))
+        .join(
+            F.broadcast(
+                blocked_domains.select(F.lower(F.col("domain")).alias("__suffix"))
+            ),
+            "__suffix",
+            "left_semi",
+        )
         .select(F.col("doc_id").alias("__blocked_id"))
         .distinct()
     )
     return documents.join(
-        F.broadcast(doomed), documents[id_col] == doomed["__blocked_id"], "left_anti"
+        doomed, documents[id_col] == doomed["__blocked_id"], "left_anti"
     )

@@ -69,6 +69,11 @@ class CorpusDedupSink:
         self.bands = bands
         self.rows_per_band = rows_per_band
         self.threshold_x1000 = threshold_x1000
+        # reused per-sink scratch dirs: a long-running stream must not leak
+        # one checkpoint dir per micro-batch (safe — each batch's checkpoint
+        # is fully consumed before the next batch overwrites it)
+        self._sig_scratch = f"{store.root}/.scratch-sigs"
+        self._surv_scratch = f"{store.root}/.scratch-survivors"
 
     def __call__(self, batch_df: DataFrame, epoch_id: int | None = None) -> int:
         """Gate one micro-batch; returns the number of rows actually
@@ -82,7 +87,8 @@ class CorpusDedupSink:
         nsig = dedup._storage_checkpoint(
             dedup.minhash_signatures(
                 batch_df, self.id_col, self.text_col, self.shingle_n
-            )
+            ),
+            path=self._sig_scratch,
         )
         # one deterministic materialization of the survivor set: the corpus
         # append, the signature append, and the return count must all see
@@ -99,7 +105,8 @@ class CorpusDedupSink:
                 rows_per_band=self.rows_per_band,
                 threshold_x1000=self.threshold_x1000,
                 new_signatures=nsig,
-            )
+            ),
+            path=self._surv_scratch,
         )
         inserted = self.store.merge_insert_missing(
             CORPUS_TABLE, survivors, [self.id_col]
@@ -141,17 +148,22 @@ class EmbeddingIndexSink:
     (``similarity.append_to_ivf_index``) — index freshness with no
     rebuild, serving continues against the same artifact.
 
-    Per-batch cost is O(batch): the id gate is an anti-join against the
-    index's id column only (column-pruned corpus scan; AQE broadcasts the
-    batch side), assignment is map-side against centroid literals, and the
-    write touches only the cells the batch lands in. The index must exist
-    (``similarity.save_ivf_index``) before the stream starts.
+    Per-batch cost is O(batch), with the join directions chosen for it:
+    the batch's ids are BROADCAST into a semi-join against the index's id
+    column (a column-pruned scan that streams — a direct anti-join could
+    only build on the corpus side, degrading to an O(corpus) shuffle per
+    batch), producing the ≤ batch-sized set of already-known ids; the
+    batch then anti-joins that small set. Assignment is map-side against
+    centroid literals and the write touches only the cells the batch
+    lands in. The index must exist (``similarity.save_ivf_index``) before
+    the stream starts.
     """
 
     def __init__(self, index_path: str, id_col: str = "vec_id", vec_col: str = "embedding"):
         self.index_path = index_path
         self.id_col = id_col
         self.vec_col = vec_col
+        self._scratch = f"{index_path}/.scratch-gate"
 
     def __call__(self, batch_df: DataFrame, epoch_id: int | None = None) -> int:
         """Gate + append one micro-batch; returns #vectors appended."""
@@ -159,13 +171,25 @@ class EmbeddingIndexSink:
         from ..operators import similarity
 
         spark = batch_df.sparkSession
-        known = spark.read.parquet(f"{self.index_path}/corpus").select(
-            F.col("neighbor_id").alias("__known_id")
-        )
-        fresh = storage_checkpoint(
-            batch_df.dropDuplicates([self.id_col]).join(
-                known, batch_df[self.id_col] == known["__known_id"], "left_anti"
+        batch = batch_df.dropDuplicates([self.id_col])
+        bids = batch.select(F.col(self.id_col).alias("__bid"))
+        known_hits = (
+            similarity.stored_index_ids(spark, self.index_path)
+            .join(
+                F.broadcast(bids),
+                F.col(similarity.IVF_ID_COLUMN) == F.col("__bid"),
+                "left_semi",
             )
+            .select(F.col(similarity.IVF_ID_COLUMN).alias("__known_id"))
+        )
+        # reused scratch path: one checkpoint dir per sink, not per batch
+        fresh = storage_checkpoint(
+            batch.join(
+                F.broadcast(known_hits),
+                batch[self.id_col] == F.col("__known_id"),
+                "left_anti",
+            ),
+            path=self._scratch,
         )
         if fresh.isEmpty():
             return 0

@@ -748,9 +748,23 @@ def test_url_domain_rollup_and_blocklist(spark):
     kept = {r["doc_id"] for r in
             text_analysis.domain_blocklist_filter(docs, blocked).collect()}
     assert kept == {2, 3}
-    # plan: blocklist gating must not shuffle the corpus (broadcast joins)
+    # registrable-domain blocklists must catch subdomains, and verbatim
+    # mixed-case entries must still match
+    parent = spark.createDataFrame([("Example.com",)], "domain string")
+    kept2 = {r["doc_id"] for r in
+             text_analysis.domain_blocklist_filter(docs, parent).collect()}
+    assert kept2 == {2, 3}  # spam.example.com docs blocked via example.com
+    # userinfo must not be mistaken for the host
+    tricky = spark.createDataFrame(
+        [(9, "link https://trusted@evil.com/x here")], "doc_id long, text string"
+    )
+    doms = {r["domain"] for r in text_analysis.extract_urls(tricky).collect()}
+    assert doms == {"evil.com"}
+    # plan: the blocklist dimension join itself is broadcast (the doomed-id
+    # anti-join is deliberately AQE-decided — that set scales with the
+    # corpus and must never be hint-broadcast)
     plan = (
         text_analysis.domain_blocklist_filter(docs, blocked)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
