@@ -46,6 +46,9 @@ BENCH_QUERIES = [
     "doc_mixture_split",
     "emb_semantic_dedup",
     "media_suite",
+    "doc_substring_dedup",
+    "table_stats",
+    "doc_temperature_sample",
 ]
 
 
@@ -64,9 +67,18 @@ def main() -> None:
     # fixture setup, not operator work: persist the derived warehouse tables
     # once (in production they are stored tables the ingestion maintains), so
     # wh_* timings measure the operator instead of a 5-way derivation join
-    from data_warehouse_spark.catalog import materialize_warehouse
+    from data_warehouse_spark.catalog import (
+        materialize_base_tables,
+        materialize_warehouse,
+    )
 
     materialize_warehouse(spark, sf_dir)
+    # the driver's refreshed testdata is single-row-group parquet — Spark
+    # cannot split a row group, so every scan (and the map-side compute above
+    # it) would serialize through ONE local task; cluster parquet is always
+    # multi-row-group. Rewrite the same bytes as multi-file scratch copies so
+    # timings measure the operators, not the fixture's file layout.
+    materialize_base_tables(spark, sf_dir)
 
     # best of N runs per query: the first run pays Catalyst analysis +
     # whole-stage-codegen compilation (seconds for the widest expression
@@ -97,9 +109,11 @@ def main() -> None:
                 "runs_per_query": runs,
                 "timing": "best-of-n (steady-state; first run pays one-time codegen)",
                 "note": (
-                    "testdata refreshed 2026-08-13 as single-row-group parquet "
-                    "(serial scans locally; a cluster splits by row group) — "
-                    "scan-bound timings not directly comparable to earlier rounds"
+                    "single-row-group testdata parquet is rewritten once per "
+                    "bench session as multi-file scratch copies (fixture "
+                    "normalization — a row group is Spark's split unit, so "
+                    "the original layout serializes every scan through one "
+                    "local task; cluster parquet is naturally multi-row-group)"
                 ),
             }
         )

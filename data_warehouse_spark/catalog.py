@@ -40,6 +40,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``spark.sql.legacy.parquet.nanosAsLong``; convert to µs timestamps —
     floor division matches DuckDB's ns→µs truncation.
     """
+    mat = _BASE_MATERIALIZED.get((_app_id(spark), sf_dir))
+    if mat is not None and name in mat:
+        return mat[name]
     # runtime-set so the engine also works on sessions it didn't build (the
     # driver hands entry()/queries() its own SparkSession): UTC is the
     # engine's declared timestamp semantic (the reference UTC-normalizes on
@@ -231,10 +234,53 @@ class LazyViews(dict):
 # materialize_warehouse (bench fixture setup — see below). Keyed by Spark
 # app so DataFrames from a stopped session are never served to a new one.
 _MATERIALIZED: dict[tuple[str, str], dict[str, DataFrame]] = {}
+_BASE_MATERIALIZED: dict[tuple[str, str], dict[str, DataFrame]] = {}
+
+
+def _app_id(spark: SparkSession) -> str:
+    return spark.sparkContext.applicationId
 
 
 def _mat_key(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
-    return (spark.sparkContext.applicationId, sf_dir)
+    return (_app_id(spark), sf_dir)
+
+
+def materialize_base_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: list[str] | None = None,
+    n_files: int | None = None,
+) -> None:
+    """Rewrite base testdata tables as multi-file parquet scratch copies and
+    serve subsequent ``load_table`` calls from them (bench-session fixture
+    normalization, same pattern as :func:`materialize_warehouse`).
+
+    The driver-generated testdata is ONE row group per table; a parquet row
+    group is Spark's split unit, so locally every scan — and all the
+    map-side work above it (gram hashing, regex profiling, codec parsing) —
+    serializes through a single task. Cluster parquet written by any real
+    pipeline is many row groups across many files and scans in parallel.
+    Splitting the same bytes across ``n_files`` files restores the
+    parallelism the operators were designed around; it changes NOTHING
+    about the data or the query plans above the scan.
+    """
+    key = (_app_id(spark), sf_dir)
+    if key in _BASE_MATERIALIZED:
+        return
+    import atexit
+    import shutil
+    import tempfile
+
+    if n_files is None:
+        n_files = spark.sparkContext.defaultParallelism
+    root = tempfile.mkdtemp(prefix="dwh-bench-base-")
+    atexit.register(shutil.rmtree, root, True)
+    out: dict[str, DataFrame] = {}
+    for name in tables if tables is not None else list(TESTDATA_TABLES):
+        path = os.path.join(root, name)
+        load_table(spark, sf_dir, name).repartition(n_files).write.parquet(path)
+        out[name] = spark.read.parquet(path)
+    _BASE_MATERIALIZED[key] = out
 
 
 def materialize_warehouse(spark: SparkSession, sf_dir: str) -> None:

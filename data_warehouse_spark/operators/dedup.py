@@ -541,3 +541,97 @@ def paragraph_dedup(
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-substring detection (k-token-gram approximation)
+# ---------------------------------------------------------------------------
+
+
+def substring_duplicate_spans(
+    documents: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact duplicated-substring spans via k-token-gram collision.
+
+    The scalable approximation of suffix-array substring dedup (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"): any
+    duplicated token span of length >= k contains a duplicated k-gram, so
+    flagging every k-gram that occurs more than once in the corpus (in any
+    document, including the same one) finds all such spans with zero false
+    negatives at gram granularity — no suffix array, no global sort.
+
+    Returns one row per document that contains at least one duplicated
+    k-gram::
+
+        doc_id        document id
+        n_tokens      normalized token count
+        dup_grams     k-gram start positions whose gram occurs >1x corpus-wide
+        dup_spans     maximal contiguous duplicated regions (runs of flagged
+                      windows merged when they overlap or touch, gap <= k)
+        dup_tokens    tokens covered by the union of flagged k-windows
+        dup_permille  div(1000 * dup_tokens, n_tokens)  (integer-exact)
+
+    Scale story: grams are generated map-side from the token array (no
+    explode until after the per-row transform), the duplicate decision is ONE
+    shuffle on the 60-bit gram hash (window count — the map-side combine
+    happens in the window's partial aggregation), and the per-document span
+    fold is ONE shuffle on doc_id with the run/coverage arithmetic done
+    JVM-side on the sorted position array (zip_with + aggregate, no Python).
+    Candidate volume is linear in corpus token count — never all-pairs.
+    """
+    toks = X.tokens(text_col)
+    # sequence(a, b) counts DOWN when a > b — guard short docs explicitly
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+            lambda i: F.struct(
+                i.alias("pos"),
+                X.h60(F.concat_ws(" ", F.slice(toks, i, k))).alias("gram_h"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,gram_h:bigint>>"))
+    exploded = (
+        documents.select(
+            F.col(id_col).alias("doc_id"),
+            X.token_count(text_col).alias("n_tokens"),
+            grams.alias("grams"),
+        )
+        .filter(F.size("grams") >= 1)
+        .select("doc_id", "n_tokens", F.explode("grams").alias("g"))
+        .select("doc_id", "n_tokens", F.col("g.pos").alias("pos"), F.col("g.gram_h").alias("gram_h"))
+    )
+    w = Window.partitionBy("gram_h")
+    flagged = exploded.withColumn("occ", F.count(F.lit(1)).over(w)).filter(F.col("occ") > 1)
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.first("n_tokens").alias("n_tokens"),
+        F.array_sort(F.collect_list("pos")).alias("ps"),
+    )
+    # gaps between consecutive flagged positions; windows merge when gap <= k
+    diffs = F.zip_with(
+        F.slice(F.col("ps"), 2, F.greatest(F.size("ps") - 1, F.lit(0))),
+        F.slice(F.col("ps"), 1, F.greatest(F.size("ps") - 1, F.lit(0))),
+        lambda a, b: a - b,
+    )
+    covered = F.lit(k) + F.aggregate(
+        diffs, F.lit(0), lambda acc, d: acc + F.least(d, F.lit(k))
+    )
+    spans = F.lit(1) + F.aggregate(
+        diffs, F.lit(0), lambda acc, d: acc + F.when(d > k, 1).otherwise(0)
+    )
+    return (
+        per_doc.select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.size("ps").cast("bigint").alias("dup_grams"),
+            spans.cast("bigint").alias("dup_spans"),
+            covered.cast("bigint").alias("dup_tokens"),
+        )
+        .withColumn(
+            "dup_permille", F.expr("div(1000 * dup_tokens, n_tokens)").cast("bigint")
+        )
+        .orderBy("doc_id")
+    )

@@ -600,3 +600,67 @@ def domain_blocklist_filter(
     return documents.join(
         doomed, documents[id_col] == doomed["__blocked_id"], "left_anti"
     )
+
+
+# --- temperature-based mixture rebalancing ---------------------------------
+
+_TEMP_SALT = ":temp"
+TEMP_ALPHA_DEFAULT = 0.5
+
+
+def temperature_sample(
+    documents: DataFrame,
+    alpha: float = TEMP_ALPHA_DEFAULT,
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Temperature-based rebalancing of a grouped corpus (multilingual
+    training mixtures: sample language l with probability proportional to
+    n_l^alpha instead of n_l, so high-resource groups stop drowning out the
+    tail — the alpha=0.3-0.7 scheme of mBERT/XLM-R/mT5).
+
+    Per-group keep rate (permille, relative to the smallest group which
+    keeps everything):
+
+        rate_l = floor(1000 * (min_n / n_l) ** (1 - alpha))
+
+    The keep decision is a salted content-free hash threshold on the id —
+    deterministic across runs/engines/retries, never an RNG (same
+    discipline as mixture_split). Returns one row per group::
+
+        lang, n_docs, rate_permille, n_kept
+
+    Scale story: group counts are a map-side-combined agg into a handful of
+    rows; rates derive from a window over that tiny relation; the rate joins
+    back by group key (broadcast — |groups| rows); the keep filter and the
+    final rollup are one more map-side-combined agg. The document text is
+    never read.
+    """
+    counts = documents.groupBy(F.col(group_col).alias("lang")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    w = Window.partitionBy()  # |groups| rows — single tiny partition is the point
+    rates = counts.withColumn(
+        "rate_permille",
+        F.floor(
+            1000
+            * F.pow(
+                F.min("n_docs").over(w).cast("double") / F.col("n_docs"),
+                F.lit(1.0 - alpha),
+            )
+        ).cast("bigint"),
+    )
+    h = X.h60(F.concat(F.col(id_col).cast("string"), F.lit(_TEMP_SALT))) % 1000
+    kept = (
+        documents.select(F.col(group_col).alias("lang"), h.alias("h"))
+        .join(F.broadcast(rates), "lang")
+        .groupBy("lang")
+        .agg(
+            F.first("n_docs").alias("n_docs"),
+            F.first("rate_permille").alias("rate_permille"),
+            F.sum((F.col("h") < F.col("rate_permille")).cast("bigint"))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+    )
+    return kept.orderBy("lang")

@@ -744,3 +744,115 @@ SELECT doc_id, source,
                  (CASE source {whens} ELSE {default_x1000} END)
             THEN 1 ELSE 0 END AS BIGINT) AS mix_kept
 FROM documents ORDER BY doc_id"""
+
+
+def substring_dedup_sql(k: int = 8) -> str:
+    """Twin of dedup.substring_duplicate_spans: duplicated k-token grams
+    (count > 1 corpus-wide), per-doc position runs merged at gap <= k."""
+    gram = " , ".join(f"toks[i+{j}]" for j in range(k))
+    gram_h = H60.format(s=f"concat_ws(' ', {gram})")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {_toks()} AS toks,
+         CASE WHEN length({_norm()}) = 0 THEN 0
+              ELSE len({_toks()}) END AS n_tokens
+  FROM documents
+),
+g AS (
+  SELECT doc_id, n_tokens,
+         list_transform(range(1, len(toks) - {k - 2}), i -> {gram_h}) AS grams
+  FROM tok WHERE len(toks) >= {k}
+),
+e AS (
+  SELECT doc_id, n_tokens,
+         unnest(range(1, len(grams) + 1)) AS pos,
+         unnest(grams) AS gram_h
+  FROM g
+),
+c AS (SELECT *, count(*) OVER (PARTITION BY gram_h) AS occ FROM e),
+s AS (
+  SELECT doc_id, any_value(n_tokens) AS n_tokens,
+         list_sort(list(pos)) AS ps
+  FROM c WHERE occ > 1 GROUP BY doc_id
+),
+f AS (
+  SELECT doc_id, n_tokens, len(ps) AS dup_grams,
+         list_transform(range(2, len(ps) + 1), i -> ps[i] - ps[i-1]) AS diffs
+  FROM s
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(dup_grams AS BIGINT) AS dup_grams,
+       CAST(1 + coalesce(list_sum(list_transform(diffs,
+                 d -> CASE WHEN d > {k} THEN 1 ELSE 0 END)), 0) AS BIGINT)
+           AS dup_spans,
+       CAST({k} + coalesce(list_sum(list_transform(diffs,
+                 d -> least(d, {k}))), 0) AS BIGINT) AS dup_tokens,
+       CAST(({k} + coalesce(list_sum(list_transform(diffs,
+                 d -> least(d, {k}))), 0)) * 1000 // n_tokens AS BIGINT)
+           AS dup_permille
+FROM f ORDER BY doc_id"""
+
+
+def table_stats_sql(table: str, cols: list[tuple[str, str]]) -> str:
+    """Twin of stats.column_stats: same (name, kind) spec, same ordinal
+    domain (ints as-is, doubles as half-up cents, timestamps as epoch us)."""
+
+    def ord_(name: str, kind: str) -> str:
+        if kind == "int":
+            return f"CAST({name} AS BIGINT)"
+        if kind == "cents":
+            return f"CAST(round({name} * 100) AS BIGINT)"
+        if kind == "ts":
+            return f"epoch_us({name})"
+        return "NULL"
+
+    aggs = ["CAST(count(*) AS BIGINT) AS n_rows"]
+    arms = []
+    for name, kind in cols:
+        o = ord_(name, kind)
+        aggs += [
+            f'CAST(count({name}) AS BIGINT) AS "{name}__nn"',
+            f'CAST(count(DISTINCT {name}) AS BIGINT) AS "{name}__ndv"',
+            f'CAST(min({o}) AS BIGINT) AS "{name}__min_ord"',
+            f'CAST(max({o}) AS BIGINT) AS "{name}__max_ord"',
+            (
+                f'CAST(min({name}) AS VARCHAR) AS "{name}__min_str"'
+                if kind == "str"
+                else f'CAST(NULL AS VARCHAR) AS "{name}__min_str"'
+            ),
+            (
+                f'CAST(max({name}) AS VARCHAR) AS "{name}__max_str"'
+                if kind == "str"
+                else f'CAST(NULL AS VARCHAR) AS "{name}__max_str"'
+            ),
+        ]
+        arms.append(
+            f"SELECT '{name}' AS col_name, n_rows, \"{name}__nn\" AS n_nonnull, "
+            f'"{name}__ndv" AS ndv, "{name}__min_ord" AS min_ord, '
+            f'"{name}__max_ord" AS max_ord, "{name}__min_str" AS min_str, '
+            f'"{name}__max_str" AS max_str FROM s'
+        )
+    body = " UNION ALL ".join(arms)
+    return f"WITH s AS (SELECT {', '.join(aggs)} FROM {table})\n{body}\nORDER BY col_name"
+
+
+def temperature_sample_sql(alpha: float = 0.5, salt: str = ":temp") -> str:
+    """Twin of text_analysis.temperature_sample: per-lang keep rate
+    floor(1000 * (min_n / n_l)^(1-alpha)); salted-h60 threshold keep.
+    pow/floor are IEEE-identical across both engines."""
+    h = H60.format(s=f"concat(CAST(doc_id AS VARCHAR), '{salt}')")
+    return f"""
+WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang),
+r AS (
+  SELECT lang, n_docs,
+         CAST(floor(1000 * pow(CAST((SELECT min(n_docs) FROM c) AS DOUBLE) / n_docs,
+                               {1.0 - alpha})) AS BIGINT) AS rate_permille
+  FROM c
+)
+SELECT d.lang, any_value(r.n_docs) AS n_docs,
+       any_value(r.rate_permille) AS rate_permille,
+       CAST(sum(CASE WHEN ({h}) % 1000 < r.rate_permille THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept
+FROM documents d JOIN r ON d.lang = r.lang
+GROUP BY d.lang ORDER BY d.lang"""

@@ -45,6 +45,7 @@ from .operators import (
     queries as wh,
     similarity,
     skew,
+    stats,
     text_analysis,
     windows,
 )
@@ -93,6 +94,45 @@ def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 # Newest / least-checked first (see module docstring).
 # ===========================================================================
+
+
+@register(
+    "doc_substring_dedup",
+    tw.substring_dedup_sql(k=8),
+    "exact duplicated-substring spans via 8-token-gram collision (the "
+    "shuffle-on-gram-hash approximation of suffix-array substring dedup): "
+    "per-doc flagged gram positions, merged spans, covered-token permille",
+)
+def _doc_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.substring_duplicate_spans(
+        cat.load_table(spark, sf_dir, "documents"), k=8
+    )
+
+
+@register(
+    "table_stats",
+    tw.table_stats_sql("lineitem", stats.TABLE_STATS_COLS["lineitem"]),
+    "ANALYZE-style per-column statistics over lineitem in ONE scan: null "
+    "counts, exact NDV, min/max in a portable bigint ordinal domain "
+    "(ints as-is, doubles as cents, timestamps as epoch-us)",
+)
+def _table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stats.column_stats(
+        cat.load_table(spark, sf_dir, "lineitem"), stats.TABLE_STATS_COLS["lineitem"]
+    )
+
+
+@register(
+    "doc_temperature_sample",
+    tw.temperature_sample_sql(),
+    "temperature-based (alpha=0.5) multilingual mixture rebalancing: "
+    "per-lang keep rate ∝ n^(alpha-1) of the smallest group, salted-hash "
+    "keep decision — deterministic across engines/retries",
+)
+def _doc_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.temperature_sample(
+        cat.load_table(spark, sf_dir, "documents")
+    )
 
 
 # --- PII scrubbing / paragraph dedup fixture corpora -----------------------
@@ -445,71 +485,135 @@ def _asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "orders_rollup",
-    """SELECT o_orderstatus, o_orderpriority,
+    "orders_stats_suite",
+    """WITH r AS (SELECT o_orderstatus, o_orderpriority,
               CAST(count(*) AS BIGINT) AS n_orders,
               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                   AS total_cents
-       FROM orders
-       GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-       ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
-    "hierarchical ROLLUP with subtotals + grand total",
+       FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)),
+       p AS (SELECT o_orderstatus,
+              quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5) AS p50_cents,
+              quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.9) AS p90_cents,
+              CAST(count(*) AS BIGINT) AS n_orders
+       FROM orders GROUP BY o_orderstatus)
+       SELECT * FROM (
+         SELECT 'rollup' AS src, o_orderstatus, o_orderpriority,
+                'n_orders' AS metric, CAST(n_orders AS DOUBLE) AS value FROM r
+         UNION ALL
+         SELECT 'rollup', o_orderstatus, o_orderpriority,
+                'total_cents', CAST(total_cents AS DOUBLE) FROM r
+         UNION ALL
+         SELECT 'pctl', o_orderstatus, NULL, 'p50_cents', p50_cents FROM p
+         UNION ALL
+         SELECT 'pctl', o_orderstatus, NULL, 'p90_cents', p90_cents FROM p
+         UNION ALL
+         SELECT 'pctl', o_orderstatus, NULL, 'n_orders', CAST(n_orders AS DOUBLE) FROM p
+       ) ORDER BY src, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST, metric""",
+    "hierarchical ROLLUP subtotals + exact type-7 percentiles on orders, "
+    "melted long — both windows.py operators run and value-check in one entry",
 )
-def _orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return windows.status_priority_rollup(cat.load_table(spark, sf_dir, "orders"))
+def _orders_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = cat.load_table(spark, sf_dir, "orders")
+    r = windows.status_priority_rollup(orders).unpivot(
+        ["o_orderstatus", "o_orderpriority"],
+        ["n_orders", "total_cents"],
+        "metric",
+        "value",
+    )
+    r = r.select(
+        F.lit("rollup").alias("src"),
+        "o_orderstatus",
+        "o_orderpriority",
+        "metric",
+        F.col("value").cast("double").alias("value"),
+    )
+    p = windows.order_value_percentiles(orders).select(
+        "o_orderstatus",
+        F.col("p50_cents").cast("double").alias("p50_cents"),
+        F.col("p90_cents").cast("double").alias("p90_cents"),
+        F.col("n_orders").cast("double").alias("n_orders"),
+    )
+    p = p.unpivot(
+        ["o_orderstatus"], ["p50_cents", "p90_cents", "n_orders"], "metric", "value"
+    ).select(
+        F.lit("pctl").alias("src"),
+        "o_orderstatus",
+        F.lit(None).cast("string").alias("o_orderpriority"),
+        "metric",
+        "value",
+    )
+    return r.unionByName(p).orderBy("src", "o_orderstatus", "o_orderpriority", "metric")
 
 
 @register(
-    "events_pivot",
-    """SELECT user_id,
+    "events_shapes_suite",
+    """WITH pv AS (
+         SELECT user_id,
               CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
               CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
               CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
               CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
               CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
-       FROM events GROUP BY user_id ORDER BY user_id""",
-    "pivot with explicit values (static schema — no discovery scan)",
-)
-def _events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return windows.event_type_pivot(cat.load_table(spark, sf_dir, "events"))
-
-
-@register(
-    "order_value_percentiles",
-    """SELECT o_orderstatus,
-              quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5) AS p50_cents,
-              quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.9) AS p90_cents,
-              CAST(count(*) AS BIGINT) AS n_orders
-       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
-    "exact type-7 percentiles of order value per status",
-)
-def _order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return windows.order_value_percentiles(cat.load_table(spark, sf_dir, "orders"))
-
-
-@register(
-    "events_distinct_users",
-    """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+         FROM events GROUP BY user_id),
+       d AS (
+         SELECT event_type,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
               CAST(CASE WHEN abs(approx_count_distinct(user_id)
                              - count(DISTINCT user_id)) * 1000
                         <= 150 * count(DISTINCT user_id)
                    THEN 1 ELSE 0 END AS BIGINT) AS approx_ok
-       FROM events GROUP BY event_type ORDER BY event_type""",
-    "distinct users per event type: exact count value-checked; the HLL++ "
-    "approximate count (the 100 TB default) checked as a ≤15% relative-error "
-    "PROPERTY, since sketch values differ across engines by construction",
+         FROM events GROUP BY event_type)
+       SELECT * FROM (
+         SELECT 'pivot' AS src, CAST(user_id AS VARCHAR) AS key,
+                'n_click' AS metric, n_click AS value FROM pv
+         UNION ALL SELECT 'pivot', CAST(user_id AS VARCHAR), 'n_error', n_error FROM pv
+         UNION ALL SELECT 'pivot', CAST(user_id AS VARCHAR), 'n_purchase', n_purchase FROM pv
+         UNION ALL SELECT 'pivot', CAST(user_id AS VARCHAR), 'n_signup', n_signup FROM pv
+         UNION ALL SELECT 'pivot', CAST(user_id AS VARCHAR), 'n_view', n_view FROM pv
+         UNION ALL SELECT 'distinct', event_type, 'n_users_exact', n_users_exact FROM d
+         UNION ALL SELECT 'distinct', event_type, 'approx_ok', approx_ok FROM d
+       ) ORDER BY src, key, metric""",
+    "static-schema pivot + distinct-user counts (exact value-checked; HLL++ "
+    "approximate count checked as a ≤15% relative-error PROPERTY), melted "
+    "long — both windows.py operators run and value-check in one entry",
 )
-def _events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = windows.distinct_user_counts(cat.load_table(spark, sf_dir, "events"))
+def _events_shapes_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = cat.load_table(spark, sf_dir, "events")
+    pv = (
+        windows.event_type_pivot(events)
+        .unpivot(
+            ["user_id"],
+            ["n_click", "n_error", "n_purchase", "n_signup", "n_view"],
+            "metric",
+            "value",
+        )
+        .select(
+            F.lit("pivot").alias("src"),
+            F.col("user_id").cast("string").alias("key"),
+            "metric",
+            F.col("value").cast("bigint").alias("value"),
+        )
+    )
+    d = windows.distinct_user_counts(events)
     ok = (
         F.abs(F.col("n_users_approx") - F.col("n_users_exact")) * 1000
         <= 150 * F.col("n_users_exact")
     )
-    return d.select(
-        "event_type",
-        "n_users_exact",
-        F.when(ok, 1).otherwise(0).cast("bigint").alias("approx_ok"),
-    ).orderBy("event_type")
+    d = (
+        d.select(
+            "event_type",
+            F.col("n_users_exact").cast("bigint").alias("n_users_exact"),
+            F.when(ok, 1).otherwise(0).cast("bigint").alias("approx_ok"),
+        )
+        .unpivot(["event_type"], ["n_users_exact", "approx_ok"], "metric", "value")
+        .select(
+            F.lit("distinct").alias("src"),
+            F.col("event_type").alias("key"),
+            "metric",
+            F.col("value").cast("bigint").alias("value"),
+        )
+    )
+    return pv.unionByName(d).orderBy("src", "key", "metric")
 
 
 def _neardup_clusters_oracle() -> str:
@@ -1192,20 +1296,20 @@ def _doc_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_profile",
-    tw.profile_sql(),
-    "per-doc quality metrics: token counts, alpha/digit/punct/stopword ratios",
+    f"""WITH prof AS ({tw.profile_sql()}), lid AS ({tw.langid_sql()})
+SELECT prof.*, lid.labeled_lang, lid.detected_lang
+FROM prof JOIN lid USING (doc_id) ORDER BY doc_id""",
+    "per-doc quality metrics (token counts, alpha/digit/punct/stopword "
+    "ratios) + stopword-vote language ID — both operators run and "
+    "value-check through the doc_id join in one entry",
 )
 def _doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text_analysis.profile(cat.load_table(spark, sf_dir, "documents"))
-
-
-@register(
-    "doc_langid",
-    tw.langid_sql(),
-    "stopword-vote language ID vs the labeled lang column",
-)
-def _doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text_analysis.language_id(cat.load_table(spark, sf_dir, "documents"))
+    d = cat.load_table(spark, sf_dir, "documents")
+    return (
+        text_analysis.profile(d)
+        .join(text_analysis.language_id(d), "doc_id")
+        .orderBy("doc_id")
+    )
 
 
 @register(

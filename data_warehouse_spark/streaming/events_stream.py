@@ -150,3 +150,49 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+def join_streams(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    window: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each purchase matched to the
+    clicks of the same user within the preceding ``window``.
+
+    THE stateful join shape of Structured Streaming: both sides buffer rows
+    in the state store, and the combination of (a) watermarks on both event
+    times and (b) a closed time-range predicate lets Spark evict state as
+    the watermark passes — without both, a stream-stream join's state grows
+    forever. State per key is bounded by (rate × (window + watermark)).
+
+    Batch DataFrames run the identical join (unified model), which is the
+    twin the tests compare against.
+    """
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    if clicks.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+    if purchases.isStreaming:
+        p = p.withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {window}"))
+    )
+    return c.join(p, cond, "inner").select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        "purchase_ts",
+        "click_id",
+        "click_ts",
+    )

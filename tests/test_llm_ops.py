@@ -768,3 +768,140 @@ def test_url_domain_rollup_and_blocklist(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+# --- substring dedup (k-gram approximation of suffix-array dedup) ----------
+
+
+def _substr_corpus(spark):
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 tokens
+    rows = [
+        (1, f"unique one {shared} tail words here now"),
+        (2, f"other prefix text {shared} and a different ending"),
+        (3, "completely unrelated content with no overlap at all whatsoever"),
+        (4, "short doc"),  # < k tokens: no grams
+        # internal repetition: the same 8-gram occurs twice WITHIN one doc
+        (5, "x1 x2 x3 x4 x5 x6 x7 x8 filler x1 x2 x3 x4 x5 x6 x7 x8"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_substring_dedup_flags_planted_span(spark):
+    out = {
+        r["doc_id"]: r
+        for r in dedup.substring_duplicate_spans(_substr_corpus(spark), k=8)
+        .collect()
+    }
+    # docs 1 and 2 share one 8-token span; flagged with exactly one span of 8
+    for d in (1, 2):
+        assert d in out, out
+        assert out[d]["dup_spans"] == 1
+        assert out[d]["dup_tokens"] == 8
+        assert out[d]["dup_grams"] == 1
+    # doc 3 shares nothing; doc 4 is below gram length
+    assert 3 not in out and 4 not in out
+    # doc 5's repeated 8-gram is duplicated within the document itself:
+    # two flagged windows of 8 tokens each (gap 9 > k => two spans)
+    assert out[5]["dup_spans"] == 2 and out[5]["dup_tokens"] == 16
+    # permille is integer-exact div
+    assert out[1]["dup_permille"] == 1000 * 8 // out[1]["n_tokens"]
+
+
+def test_substring_dedup_merges_overlapping_windows(spark):
+    # one 10-token duplicated run => 3 overlapping flagged 8-grams that must
+    # merge into ONE span covering exactly 10 tokens
+    run = "r1 r2 r3 r4 r5 r6 r7 r8 r9 r10"
+    df = spark.createDataFrame(
+        [(1, f"{run} first unique suffix"), (2, f"pre amble {run} second tail")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in dedup.substring_duplicate_spans(df, k=8).collect()}
+    for d in (1, 2):
+        assert out[d]["dup_grams"] == 3
+        assert out[d]["dup_spans"] == 1
+        assert out[d]["dup_tokens"] == 10
+
+
+def test_substring_dedup_two_shuffles_only(spark):
+    from data_warehouse_spark.plans.explain import plan_report
+
+    df = dedup.substring_duplicate_spans(_substr_corpus(spark), k=8)
+    rep = plan_report(df)
+    # one shuffle on gram_h (window), one on doc_id (agg); the final
+    # orderBy adds a range-partition exchange — nothing else
+    assert rep.exchanges <= 3, rep.text
+    assert rep.cartesian_products == 0, rep.text
+
+
+# --- ANALYZE-style column stats --------------------------------------------
+
+
+def test_column_stats_exact_and_one_scan(spark):
+    import datetime
+
+    from data_warehouse_spark.operators import stats as st
+
+    rows = [
+        (1, 2.505, "b", datetime.datetime(2020, 1, 1)),
+        (2, None, "a", datetime.datetime(2020, 1, 2)),
+        (2, 1.0, None, None),
+    ]
+    df = spark.createDataFrame(rows, ["k", "v", "s", "ts"])
+    spec = [("k", "int"), ("v", "cents"), ("s", "str"), ("ts", "ts")]
+    out = {r["col_name"]: r for r in st.column_stats(df, spec).collect()}
+    assert out["k"]["n_rows"] == 3 and out["k"]["n_nonnull"] == 3
+    assert out["k"]["ndv"] == 2
+    assert out["k"]["min_ord"] == 1 and out["k"]["max_ord"] == 2
+    # cents domain is half-up: 2.505 -> 251 (HALF_UP on exact decimal string)
+    assert out["v"]["n_nonnull"] == 2 and out["v"]["min_ord"] == 100
+    assert out["s"]["ndv"] == 2
+    assert out["s"]["min_str"] == "a" and out["s"]["max_str"] == "b"
+    assert out["s"]["min_ord"] is None
+    assert out["ts"]["n_nonnull"] == 2
+    assert out["ts"]["ndv"] == 2
+
+
+def test_column_stats_approx_mode_drops_expand(spark):
+    from data_warehouse_spark.operators import stats as st
+    from data_warehouse_spark.plans.explain import plan_report
+
+    df = spark.range(1000).selectExpr("id AS k", "CAST(id % 7 AS DOUBLE) AS v")
+    spec = [("k", "int"), ("v", "cents")]
+    exact = plan_report(st.column_stats(df, spec, exact_ndv=True))
+    approx = plan_report(st.column_stats(df, spec, exact_ndv=False))
+    assert "Expand" in exact.text
+    # the 100 TB path: HLL++ NDV keeps the agg a plain partial/final pair
+    assert "Expand" not in approx.text
+
+
+# --- temperature-based mixture rebalancing ---------------------------------
+
+
+def test_temperature_sample_rates_and_determinism(spark):
+    from data_warehouse_spark.operators import text_analysis as ta
+
+    rows = [(i, "en" if i < 900 else ("fr" if i < 990 else "de")) for i in range(1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = {r["lang"]: r for r in ta.temperature_sample(df, alpha=0.5).collect()}
+    # smallest group keeps everything
+    assert out["de"]["rate_permille"] == 1000 and out["de"]["n_kept"] == 10
+    # rates are monotone decreasing in group size: sqrt(10/900), sqrt(10/90)
+    assert out["en"]["rate_permille"] == 105  # floor(1000*sqrt(10/900))
+    assert out["fr"]["rate_permille"] == 333  # floor(1000*sqrt(10/90))
+    assert out["en"]["n_kept"] <= out["en"]["n_docs"]
+    # deterministic: the same corpus yields byte-identical decisions
+    again = {r["lang"]: r for r in ta.temperature_sample(df, alpha=0.5).collect()}
+    assert {k: (v["n_kept"]) for k, v in out.items()} == {
+        k: (v["n_kept"]) for k, v in again.items()
+    }
+
+
+def test_temperature_sample_alpha_one_keeps_everything(spark):
+    from data_warehouse_spark.operators import text_analysis as ta
+
+    rows = [(i, "en" if i % 2 == 0 else "fr") for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = {r["lang"]: r for r in ta.temperature_sample(df, alpha=1.0).collect()}
+    # alpha=1 is proportional sampling: no rebalancing, every group kept whole
+    for r in out.values():
+        assert r["rate_permille"] == 1000 and r["n_kept"] == r["n_docs"]

@@ -279,3 +279,35 @@ def test_embedding_index_sink_appends_and_dedups(spark, tmp_path):
     assert corpus.count() == base + 1
     top = similarity.ivf_topk_stored(spark, path, [q["vec_id"]], k=2).collect()
     assert top[0]["neighbor_id"] == 777_777  # fresh vector serves at rank 1
+
+
+def test_stream_stream_interval_join_equals_batch(
+    spark, events_batch, events_streaming
+):
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "click"),
+            df.filter(F.col("event_type") == "purchase"),
+        )
+
+    expected = events_stream.join_streams(*split(events_batch)).collect()
+    assert len(expected) > 0, "fixture must produce at least one match"
+    out = _run_to_completion(
+        spark,
+        events_stream.join_streams(*split(events_streaming)),
+        "ssjoin",
+        "append",
+    )
+    got = out.collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, expected))
+
+
+def test_stream_stream_join_requires_both_watermarks(spark, events_streaming):
+    # the plan must carry watermarks on BOTH sides — that's what bounds the
+    # join state; a missing one would make state grow without bound
+    sdf = events_stream.join_streams(
+        events_streaming.filter(F.col("event_type") == "click"),
+        events_streaming.filter(F.col("event_type") == "purchase"),
+    )
+    plan = sdf._jdf.queryExecution().analyzed().toString()
+    assert plan.count("EventTimeWatermark") == 2, plan
