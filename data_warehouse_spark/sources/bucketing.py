@@ -40,3 +40,38 @@ def bucketed_join_ready(spark: SparkSession, left: str, right: str, on: str) -> 
     """Join two same-bucketed tables on their bucket key — Catalyst sees the
     compatible output partitioning and plans no Exchange."""
     return spark.table(left).join(spark.table(right), on)
+
+
+def zorder_key(*ordinals, bits: int = 21):
+    """Morton (Z-order) interleave of up to 3 bigint ordinals — the
+    multi-dimensional clustering key for ``TableStore.cluster_by``.
+
+    Single-column sort clustering gives perfect skipping on ONE predicate
+    column; interleaving the bit patterns of several ordinals keeps rows
+    close in EVERY dimension close in the sort order, so min/max row-group
+    stats prune scans filtered on any of them (the OPTIMIZE ZORDER BY
+    story). Ordinals must be non-negative and fit ``bits`` bits (caller
+    maps domains: dates → epoch days, doubles → cents, strings → h60 %
+    2^bits); values are clamped to the top of the range rather than
+    silently wrapping.
+
+    Pure JVM bit arithmetic (shift/and/or), whole-stage-codegen friendly —
+    the expression tree is bits × dims terms with zero Python.
+    """
+    from pyspark.sql import Column, functions as F
+
+    if not 1 <= len(ordinals) <= 3:
+        raise ValueError("zorder_key takes 1-3 ordinal columns")
+    dims = len(ordinals)
+    cap = (1 << bits) - 1
+    cols = [
+        F.least(F.greatest(c if isinstance(c, Column) else F.col(c), F.lit(0)), F.lit(cap))
+        for c in ordinals
+    ]
+    key = F.lit(0)
+    for i in range(bits):
+        for d, c in enumerate(cols):
+            key = key.bitwiseOR(
+                F.shiftleft(F.shiftright(c, i).bitwiseAND(F.lit(1)), i * dims + d)
+            )
+    return key.cast("bigint")

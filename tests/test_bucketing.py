@@ -60,3 +60,57 @@ def test_bucketed_join_no_shuffle(spark, bucketed):
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_zorder_key_interleaves_bits(spark):
+    from data_warehouse_spark.sources.bucketing import zorder_key
+
+    df = spark.createDataFrame([(0b101, 0b011)], ["x", "y"])
+    (got,) = df.select(zorder_key("x", "y", bits=4).alias("z")).collect()
+    # interleave LSB-first: z bit 2i = x bit i, bit 2i+1 = y bit i
+    # x=101, y=011 -> bits (y1 x1)(y0 x0)... = x0=1,y0=1,x1=0,y1=1,x2=1,y2=0
+    want = (1 << 0) | (1 << 1) | (0 << 2) | (1 << 3) | (1 << 4) | (0 << 5)
+    assert got["z"] == want
+
+
+def test_zorder_key_clamps_out_of_range(spark):
+    from data_warehouse_spark.sources.bucketing import zorder_key
+
+    df = spark.createDataFrame([(1 << 40, -5)], ["x", "y"])
+    (got,) = df.select(zorder_key("x", "y", bits=8).alias("z")).collect()
+    # x clamps to 255, y to 0 -> even bits all set, odd bits all clear
+    assert got["z"] == sum(1 << (2 * i) for i in range(8))
+
+
+def test_zorder_locality_beats_single_column_sort(spark):
+    """Rows sorted by the z-key keep BOTH dimensions clustered: for any
+    contiguous block of the z-sorted data, the per-block min/max range of
+    each dimension is much smaller than the full domain — which is exactly
+    what parquet row-group min/max skipping needs on the second column
+    (a single-column sort leaves the other dimension's range full-width)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from data_warehouse_spark.sources.bucketing import zorder_key
+
+    rng = random.Random(7)
+    rows = [(rng.randrange(1 << 10), rng.randrange(1 << 10)) for _ in range(4096)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+
+    def mean_block_span(sorted_df, col, block=256):
+        data = [r[col] for r in sorted_df.collect()]
+        spans = [
+            max(data[i : i + block]) - min(data[i : i + block])
+            for i in range(0, len(data), block)
+        ]
+        return sum(spans) / len(spans)
+
+    by_x = df.orderBy("x")
+    by_z = df.orderBy(zorder_key("x", "y", bits=10))
+    full = 1 << 10
+    # y is unclustered under the x-sort (block span ~ full domain) but
+    # clustered under the z-sort; x stays reasonably clustered under z
+    assert mean_block_span(by_x, "y") > 0.9 * full
+    assert mean_block_span(by_z, "y") < 0.5 * full
+    assert mean_block_span(by_z, "x") < 0.5 * full
