@@ -170,6 +170,7 @@ def benchmark_contamination(
     k: int = 50,
     id_col: str = "doc_id",
     text_col: str = "text",
+    bloom_prefilter: bool = False,
 ) -> DataFrame:
     """Train/benchmark contamination scan: corpus docs sharing ≥1 distinct
     n-gram with the held-out set (docs whose id ≡ 0 mod ``bench_mod`` —
@@ -179,7 +180,14 @@ def benchmark_contamination(
     (doc, gram-HASH) — the 60-bit key shrinks the shuffle payload vs
     shipping gram strings — the benchmark side dedups to a gram set
     (small: |bench| ≪ |corpus|), and the join shuffles on the gram key
-    where skew is bounded because benchmark grams are distinct."""
+    where skew is bounded because benchmark grams are distinct.
+
+    ``bloom_prefilter=True`` additionally probes a broadcast Bloom bitmap
+    of the benchmark grams BEFORE the join (functions/bloom.py), so the
+    corpus-side shuffle carries only probable hits instead of every gram —
+    the runtime-filter trade: at 100 TB almost all corpus grams miss, and a
+    miss now costs a map-side bit test instead of shuffle bytes. Output is
+    bit-identical either way (the exact join still decides membership)."""
     grams = (
         X.add_shingles(
             documents.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t")),
@@ -191,6 +199,10 @@ def benchmark_contamination(
     )
     bench = grams.filter(F.col("doc_id") % bench_mod == 0).select("gk").distinct()
     corpus = grams.filter(F.col("doc_id") % bench_mod != 0)
+    if bloom_prefilter:
+        from ..functions import bloom as B
+
+        corpus = B.bloom_gate(corpus, bench, "gk", "gk")
     return (
         corpus.join(bench, "gk")
         .groupBy("doc_id")

@@ -905,3 +905,46 @@ def test_temperature_sample_alpha_one_keeps_everything(spark):
     # alpha=1 is proportional sampling: no rebalancing, every group kept whole
     for r in out.values():
         assert r["rate_permille"] == 1000 and r["n_kept"] == r["n_docs"]
+
+
+# --- DataFrame-native Bloom filter -----------------------------------------
+
+
+def test_bloom_no_false_negatives_and_low_fp(spark):
+    from data_warehouse_spark.functions import bloom as B
+
+    build = spark.range(0, 1000).selectExpr("id AS v")
+    probe = spark.range(0, 10000).selectExpr("id AS v")
+    gated = B.bloom_gate(probe, build, "v", "v").collect()
+    got = {r["v"] for r in gated}
+    # every member passes (bloom filters never false-negative)
+    assert set(range(1000)) <= got
+    # false positives are rare at this geometry (<2% of the 9000 non-members)
+    assert len(got) - 1000 < 180
+
+
+def test_bloom_gate_never_shuffles_big_side(spark):
+    from data_warehouse_spark.functions import bloom as B
+    from data_warehouse_spark.plans.explain import plan_report
+
+    build = spark.range(0, 100).selectExpr("id AS v")
+    probe = spark.range(0, 1000).selectExpr("id AS v")
+    rep = plan_report(B.bloom_gate(probe, build, "v", "v"))
+    # the bitmap arrives via a 1-row broadcast nested-loop join (the
+    # intended literal-delivery mechanism — NOT an accidental cartesian);
+    # the big side itself is never exchanged
+    assert "BroadcastNestedLoopJoin" in rep.text, rep.text
+    assert "(d) CartesianProduct" not in rep.text
+    assert rep.sortmerge_joins == 0 and rep.shuffle_hash_joins == 0, rep.text
+
+
+def test_contamination_bloom_prefilter_is_transparent(spark):
+    from data_warehouse_spark.operators import text_analysis as ta
+
+    docs = (
+        __import__("data_warehouse_spark.catalog", fromlist=["load_table"])
+        .load_table(spark, SF_DIR, "documents")
+    )
+    plain = ta.benchmark_contamination(docs, k=20).collect()
+    gated = ta.benchmark_contamination(docs, k=20, bloom_prefilter=True).collect()
+    assert sorted(map(tuple, plain)) == sorted(map(tuple, gated))
