@@ -54,9 +54,59 @@ def export_jsonl(
     return n
 
 
-def read_jsonl(spark: SparkSession, path: str) -> DataFrame:
-    """Read a JSONL export using the manifest's schema (no inference pass)."""
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, mode: str = "FAILFAST"
+) -> DataFrame:
+    """Read a JSONL export using the manifest's schema (no inference pass).
+
+    ``mode`` is Spark's JSON parser policy — the malformed-input contract
+    every external-format source needs once data arrives from outside the
+    engine's own sink:
+
+      FAILFAST       (default) any malformed line aborts the read — right
+                     for manifest-checked handoffs, where corruption means
+                     the producer broke its contract
+      DROPMALFORMED  silently skip bad lines (lossy — prefer quarantine)
+      PERMISSIVE     bad lines become NULL rows carrying the raw text in
+                     ``_corrupt_record`` (use :func:`read_jsonl_quarantine`
+                     for the split)
+    """
     with open(os.path.join(path, MANIFEST)) as f:
         manifest = json.load(f)
     schema = T.StructType.fromJson(manifest["schema"])
-    return spark.read.schema(schema).json(path)
+    if mode.upper() == "PERMISSIVE":
+        schema = T.StructType(
+            list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType(), True)]
+        )
+    return (
+        spark.read.schema(schema)
+        .option("mode", mode.upper())
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+    )
+
+
+def read_jsonl_quarantine(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE read split into (good rows, quarantined raw lines).
+
+    The production shape for untrusted feeds: good rows flow on with the
+    manifest schema (corrupt column dropped), bad lines land in a
+    quarantine DataFrame with the raw text for triage — nothing is lost,
+    nothing poisons downstream aggregates. The parse is materialized ONCE
+    to storage (Spark refuses corrupt-column-only queries on a raw read,
+    and re-parsing for each branch would double the scan anyway); the
+    caller decides where to sink the quarantine.
+    """
+    from ..materialize import storage_checkpoint
+
+    parsed = storage_checkpoint(read_jsonl(spark, path, mode="PERMISSIVE"))
+    good = parsed.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    bad = parsed.filter(F.col(CORRUPT_COL).isNotNull()).select(
+        F.col(CORRUPT_COL).alias("raw_line")
+    )
+    return good, bad

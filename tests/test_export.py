@@ -63,3 +63,38 @@ def test_jsonl_shard_by_is_deterministic(spark, tmp_path):
     export_jsonl(docs, a, n_shards=4, shard_by="doc_id")
     export_jsonl(docs.orderBy(F.rand(seed=1)), b, n_shards=4, shard_by="doc_id")
     assert shard_map(a) == shard_map(b)
+
+
+def test_read_jsonl_malformed_line_policies(spark, tmp_path):
+    import pytest
+
+    from data_warehouse_spark.sources.export import read_jsonl_quarantine
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "lang")
+    out = str(tmp_path / "jl")
+    n = export_jsonl(docs, out, n_shards=2)
+    # corrupt one shard: append garbage + truncate-style half json
+    shard = sorted(
+        p for p in glob.glob(os.path.join(out, "part-*")) if not p.endswith(".crc")
+    )[0]
+    with open(shard, "a") as f:
+        f.write("not json at all\n")
+        f.write('{"doc_id": 999999, "lang": \n')
+    # drop the LocalFS checksum sidecar the append just invalidated —
+    # otherwise every mode fails on ChecksumException, not the parser
+    crc = os.path.join(os.path.dirname(shard), f".{os.path.basename(shard)}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    # FAILFAST (the default): corruption aborts the read (surfaces as a
+    # raw JVM FAILED_READ_FILE error, not a typed PySparkException)
+    with pytest.raises(Exception, match="FAILED_READ_FILE|Malformed"):
+        read_jsonl(spark, out).count()
+    # DROPMALFORMED: bad lines silently gone
+    assert read_jsonl(spark, out, mode="DROPMALFORMED").count() == n
+    # quarantine split: good rows intact + exactly the 2 bad raw lines
+    good, bad = read_jsonl_quarantine(spark, out)
+    assert good.count() == n
+    assert good.columns == ["doc_id", "lang"]
+    raws = [r["raw_line"] for r in bad.collect()]
+    assert len(raws) == 2 and any("not json" in r for r in raws)
