@@ -478,3 +478,324 @@ def props_rollup(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ==============================================================================
+# Deep TPC-H shapes — correlated/scalar subqueries, wide joins, disjunctive
+# predicates, distinct aggregation. Each decorrelates the textbook subquery
+# into the join/agg form that actually scales on Spark; every measure stays
+# integer fixed-point (exact across the DuckDB oracle boundary). The repo has
+# no partsupp table, so Q2/Q16-style shapes derive the part↔supplier relation
+# from lineitem (groupBy/distinct on the two keys — one bounded shuffle).
+# ==============================================================================
+
+
+# --- TPC-H Q2 shape: per-part min-cost supplier in a region -------------------
+def min_cost_supplier(
+    tables: dict[str, DataFrame],
+    region_name: str = "EUROPE",
+    part_type: str = "STANDARD",
+    k: int = 25,
+) -> DataFrame:
+    """For each part of a type, the cheapest regional supplier.
+
+    The correlated scalar subquery ``cost = (SELECT min(cost) ... WHERE
+    partkey = p_partkey)`` decorrelates into a per-part ``row_number``
+    window (one shuffle on partkey); ties break deterministically on
+    suppkey. Supply cost is derived as the minimum observed sale price per
+    (part, supplier) — one groupBy shuffle over the pre-projected fact.
+    nation/region are fixed-size → broadcast; supplier/part joins are left
+    to AQE (they grow with SF).
+    """
+    ps = (
+        tables["lineitem"]
+        .select("l_partkey", "l_suppkey", cents("l_extendedprice").alias("price_c"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("price_c").alias("supply_cost_cents"))
+    )
+    regional = (
+        tables["supplier"]
+        .join(F.broadcast(tables["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(tables["region"].filter(F.col("r_name") == region_name)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    w = Window.partitionBy("l_partkey").orderBy("supply_cost_cents", "l_suppkey")
+    cheapest = (
+        ps.join(regional, F.col("l_suppkey") == F.col("s_suppkey"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    parts = tables["part"].filter(F.col("p_type") == part_type).select("p_partkey", "p_name")
+    return (
+        cheapest.join(parts, F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_partkey", "p_name", "s_name", "supply_cost_cents")
+        .orderBy("supply_cost_cents", "p_partkey")
+        .limit(k)
+    )
+
+
+# --- TPC-H Q15 shape: supplier(s) with the maximum revenue --------------------
+def top_revenue_suppliers(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+) -> DataFrame:
+    """Suppliers whose quarterly revenue equals the global maximum.
+
+    The uncorrelated scalar subquery ``= (SELECT max(total) FROM rev)``
+    becomes an agg over the already-aggregated per-supplier table (tiny)
+    broadcast back as a 1-row equi-join — never a global sort, never a
+    single-partition window.
+    """
+    rev_expr = cents("l_extendedprice") * (100 - cents("l_discount"))
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(rev_expr).alias("revenue_x10k"))
+    )
+    mx = rev.agg(F.max("revenue_x10k").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), F.col("revenue_x10k") == F.col("mx"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "revenue_x10k")
+        .orderBy("s_suppkey")
+    )
+
+
+# --- TPC-H Q18 shape: large-volume orders (agg-subquery IN) -------------------
+def large_quantity_orders(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    min_qty: int = 300,
+    k: int = 25,
+) -> DataFrame:
+    """Orders whose total line quantity exceeds ``min_qty``, with customer.
+
+    ``o_orderkey IN (SELECT l_orderkey ... HAVING sum > T)`` is an
+    agg-then-join: the fact aggregates down to qualifying orderkeys FIRST
+    (the having filter runs on the agg output, upstream of both joins), so
+    the join fan-in is the tiny qualifying set, not the fact.
+    """
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > min_qty)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "o_orderkey",
+            "c_custkey",
+            "c_name",
+            "o_orderdate",
+            cents("o_totalprice").alias("totalprice_cents"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("sum_qty"), "o_orderkey")
+        .limit(k)
+    )
+
+
+# --- TPC-H Q22 shape: above-average balances with no orders -------------------
+def idle_rich_customers(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Per segment: customers with above-average positive balance and no
+    orders at all.
+
+    The scalar subquery ``c_acctbal > (SELECT avg(c_acctbal) WHERE
+    c_acctbal > 0)`` stays INTEGER-exact by cross-multiplying:
+    ``bal > sum/cnt  ⇔  bal·cnt > sum`` — the (sum, cnt) pair is a 1-row
+    broadcast, no float average crosses the engine boundary. NOT EXISTS →
+    left-anti join on the projected key column.
+    """
+    bal_c = cents("c_acctbal")
+    pos = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(bal_c).alias("sum_bal_c"), F.count(F.lit(1)).alias("n_pos")
+    )
+    rich = (
+        customer.select("c_custkey", "c_mktsegment", bal_c.alias("bal_c"))
+        .crossJoin(F.broadcast(pos))
+        .filter(F.col("bal_c") * F.col("n_pos") > F.col("sum_bal_c"))
+    )
+    return (
+        rich.join(
+            orders.select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.sum("bal_c").alias("total_bal_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# --- TPC-H Q8 shape: national market share within a region --------------------
+def market_share(
+    tables: dict[str, DataFrame],
+    region_name: str = "AMERICA",
+    nation_name: str = "NATION_3",
+    part_type: str = "PROMO",
+) -> DataFrame:
+    """Per order-year: total revenue sold into a region and the slice
+    delivered by one supplier nation.
+
+    The share is exported as the exact integer pair (total_x10k,
+    nation_x10k), not a rounded quotient. One fact scan; orders joined on
+    orderkey (shuffle), every dim broadcast after its filter; the nation
+    flag is a CASE aggregated conditionally — no second pass.
+    """
+    rev = cents("l_extendedprice") * (100 - cents("l_discount"))
+    cust_region = (
+        tables["customer"]
+        .join(F.broadcast(tables["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(tables["region"].filter(F.col("r_name") == region_name)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    supp_nation = (
+        tables["supplier"]
+        .join(
+            F.broadcast(
+                tables["nation"].select(
+                    F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+                )
+            ),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    parts = tables["part"].filter(F.col("p_type") == part_type).select("p_partkey")
+    return (
+        tables["lineitem"]
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(tables["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust_region, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            rev.alias("rev_x10k"),
+            "supp_nation",
+        )
+        .groupBy("o_year")
+        .agg(
+            F.sum("rev_x10k").alias("total_x10k"),
+            F.sum(
+                F.when(F.col("supp_nation") == nation_name, F.col("rev_x10k")).otherwise(
+                    F.lit(0).cast("bigint")
+                )
+            ).alias("nation_x10k"),
+        )
+        .orderBy("o_year")
+    )
+
+
+# --- TPC-H Q9 shape: profit by supplier nation and year -----------------------
+def nation_profit(tables: dict[str, DataFrame], name_substr: str = "red") -> DataFrame:
+    """Profit (revenue − retail cost of goods) per supplier nation per
+    order-year, for parts whose name contains a substring.
+
+    Cost uses the part's retail price (the repo has no partsupp):
+    ``cost_x10k = retail_cents · qty · 100`` aligns the scale with
+    ``rev_x10k`` so profit subtracts exactly. The part filter is a
+    broadcast inner join carrying retail_cents; the only fact-fact shuffle
+    is lineitem↔orders on orderkey.
+    """
+    rev = cents("l_extendedprice") * (100 - cents("l_discount"))
+    parts = tables["part"].filter(F.col("p_name").contains(name_substr)).select(
+        "p_partkey", cents("p_retailprice").alias("retail_c")
+    )
+    supp_nation = (
+        tables["supplier"]
+        .join(F.broadcast(tables["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "n_name")
+    )
+    profit = rev - F.col("retail_c") * F.col("l_quantity").cast("bigint") * 100
+    return (
+        tables["lineitem"]
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(tables["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("n_name", F.year("o_orderdate").cast("bigint").alias("o_year"), profit.alias("p"))
+        .groupBy("n_name", "o_year")
+        .agg(F.sum("p").alias("profit_x10k"))
+        .orderBy("n_name", F.desc("o_year"))
+    )
+
+
+# --- TPC-H Q16 shape: distinct supplier count per part attribute --------------
+def supplier_counts_by_part(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    excl_brand: str = "Brand#1",
+    excl_type: str = "PROMO",
+    k: int = 50,
+) -> DataFrame:
+    """How many distinct suppliers ship each (brand, type, size) bucket,
+    excluding one brand, one type, and negative-balance suppliers.
+
+    The part↔supplier relation comes from the fact projected to its two
+    key columns; COUNT(DISTINCT) runs as Spark's two-phase distinct
+    aggregate (partial distinct map-side → final). Exclusions: dim filters
+    before the broadcast join + a broadcast left-anti on the bad-supplier
+    keys (NOT IN with a guaranteed non-null key set).
+    """
+    ps = lineitem.select("l_partkey", "l_suppkey")
+    good_parts = part.filter(
+        (F.col("p_brand") != excl_brand) & (F.col("p_type") != excl_type)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_supp = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        ps.join(F.broadcast(good_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("n_suppliers"))
+        .orderBy(F.desc("n_suppliers"), "p_brand", "p_type", "p_size")
+        .limit(k)
+    )
+
+
+# --- TPC-H Q19 shape: disjunctive predicate revenue ---------------------------
+def disjunctive_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Revenue matched by an OR of three conjunctive (brand, size, qty)
+    clauses — the shape that exercises disjunctive predicate handling.
+
+    The part-side conjuncts (brand, size) ride the broadcast join; the OR
+    collapses to per-row CASE logic after the join, and the common
+    superset predicates (size ≥ 1, qty bounds) are pushed to the scans as
+    the disjunction's envelope. Single aggregate output.
+    """
+    qty = F.col("l_quantity").cast("bigint")
+    rev = cents("l_extendedprice") * (100 - cents("l_discount"))
+    clauses = (
+        (F.col("p_brand") == "Brand#11") & F.col("p_size").between(1, 5) & qty.between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 10) & qty.between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#13") & F.col("p_size").between(1, 15) & qty.between(20, 30)
+    )
+    parts = part.filter(
+        F.col("p_brand").isin("Brand#11", "Brand#12", "Brand#13") & (F.col("p_size") <= 15)
+    ).select("p_partkey", "p_brand", "p_size")
+    return (
+        lineitem.filter(qty.between(1, 30))
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(clauses)
+        .agg(
+            F.sum(rev).alias("revenue_x10k"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

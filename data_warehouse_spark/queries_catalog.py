@@ -95,6 +95,262 @@ def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Newest / least-checked first (see module docstring).
 # ===========================================================================
 
+_CENTS = "CAST(round({col} * 100) AS BIGINT)"
+_LI_FIXED_CTE = f"""li AS (
+  SELECT l_partkey, l_suppkey, l_orderkey,
+         CAST(l_quantity AS BIGINT) AS qty,
+         {_CENTS.format(col='l_extendedprice')} AS price_c,
+         {_CENTS.format(col='l_discount')} AS disc_c,
+         l_shipdate
+  FROM lineitem
+)"""
+
+
+@register(
+    "tpch_subquery_suite",
+    f"""
+WITH {_LI_FIXED_CTE},
+ps AS (
+  SELECT l_partkey, l_suppkey, CAST(min(price_c) AS BIGINT) AS supply_cost_cents
+  FROM li GROUP BY l_partkey, l_suppkey),
+regional AS (
+  SELECT s_suppkey, s_name FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'),
+q2 AS (
+  SELECT p_partkey, p_name, s_name, supply_cost_cents FROM (
+    SELECT ps.*, s_name,
+           row_number() OVER (PARTITION BY l_partkey
+               ORDER BY supply_cost_cents, l_suppkey) AS rn
+    FROM ps JOIN regional ON l_suppkey = s_suppkey) r
+  JOIN part ON l_partkey = p_partkey
+  WHERE rn = 1 AND p_type = 'STANDARD'
+  ORDER BY supply_cost_cents, p_partkey LIMIT 25),
+rev AS (
+  SELECT l_suppkey, CAST(SUM(price_c * (100 - disc_c)) AS BIGINT) AS revenue_x10k
+  FROM li
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey),
+q15 AS (
+  SELECT s_suppkey, s_name, revenue_x10k
+  FROM rev JOIN supplier ON l_suppkey = s_suppkey
+  WHERE revenue_x10k = (SELECT max(revenue_x10k) FROM rev)),
+big AS (
+  SELECT l_orderkey, CAST(SUM(qty) AS BIGINT) AS sum_qty
+  FROM li GROUP BY l_orderkey HAVING SUM(qty) > 300),
+q18 AS (
+  SELECT o_orderkey, c_name,
+         {_CENTS.format(col='o_totalprice')} AS totalprice_cents, sum_qty
+  FROM big JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  ORDER BY sum_qty DESC, o_orderkey LIMIT 25),
+pos AS (
+  SELECT CAST(SUM({_CENTS.format(col='c_acctbal')}) AS BIGINT) AS sum_bal_c,
+         CAST(count(*) AS BIGINT) AS n_pos
+  FROM customer WHERE c_acctbal > 0),
+q22 AS (
+  SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_custs,
+         CAST(SUM(bal_c) AS BIGINT) AS total_bal_cents
+  FROM (SELECT c_custkey, c_mktsegment,
+               {_CENTS.format(col='c_acctbal')} AS bal_c
+        FROM customer, pos
+        WHERE {_CENTS.format(col='c_acctbal')} * n_pos > sum_bal_c) rich
+  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = rich.c_custkey)
+  GROUP BY c_mktsegment)
+SELECT * FROM (
+  SELECT 'q2_mincost' AS q, CAST(p_partkey AS VARCHAR) AS k1, s_name AS k2,
+         'supply_cost_cents' AS metric, supply_cost_cents AS value FROM q2
+  UNION ALL
+  SELECT 'q15_top_supplier', CAST(s_suppkey AS VARCHAR), s_name,
+         'revenue_x10k', revenue_x10k FROM q15
+  UNION ALL
+  SELECT 'q18_big_order', CAST(o_orderkey AS VARCHAR), c_name,
+         'sum_qty', sum_qty FROM q18
+  UNION ALL
+  SELECT 'q18_big_order', CAST(o_orderkey AS VARCHAR), c_name,
+         'totalprice_cents', totalprice_cents FROM q18
+  UNION ALL
+  SELECT 'q22_idle_rich', c_mktsegment, NULL, 'n_custs', n_custs FROM q22
+  UNION ALL
+  SELECT 'q22_idle_rich', c_mktsegment, NULL, 'total_bal_cents',
+         total_bal_cents FROM q22
+) ORDER BY q, k1 NULLS FIRST, k2 NULLS FIRST, metric""",
+    "deep TPC-H subquery shapes, melted long: Q2 correlated min-cost "
+    "supplier (per-part window decorrelation), Q15 max-revenue supplier "
+    "(scalar-subquery → 1-row broadcast), Q18 agg-subquery IN "
+    "(having-then-join), Q22 above-average balance + NOT EXISTS "
+    "(integer-exact cross-multiplied average, anti-join)",
+)
+def _tpch_subquery_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = cat.load_all(spark, sf_dir)
+
+    def arm(df: DataFrame, q: str, k1, k2, metric: str, value) -> DataFrame:
+        return df.select(
+            F.lit(q).alias("q"),
+            (F.lit(None) if k1 is None else F.col(k1)).cast("string").alias("k1"),
+            (F.lit(None) if k2 is None else F.col(k2)).cast("string").alias("k2"),
+            F.lit(metric).alias("metric"),
+            F.col(value).cast("bigint").alias("value"),
+        )
+
+    q2 = arm(
+        analytics.min_cost_supplier(t),
+        "q2_mincost", "p_partkey", "s_name", "supply_cost_cents", "supply_cost_cents",
+    )
+    q15 = arm(
+        analytics.top_revenue_suppliers(t["supplier"], t["lineitem"]),
+        "q15_top_supplier", "s_suppkey", "s_name", "revenue_x10k", "revenue_x10k",
+    )
+    q18_df = analytics.large_quantity_orders(t["customer"], t["orders"], t["lineitem"])
+    q18 = (
+        q18_df.unpivot(
+            ["o_orderkey", "c_name"], ["sum_qty", "totalprice_cents"], "metric", "value"
+        )
+        .select(
+            F.lit("q18_big_order").alias("q"),
+            F.col("o_orderkey").cast("string").alias("k1"),
+            F.col("c_name").cast("string").alias("k2"),
+            "metric",
+            F.col("value").cast("bigint").alias("value"),
+        )
+    )
+    q22_df = analytics.idle_rich_customers(t["customer"], t["orders"])
+    q22 = (
+        q22_df.unpivot(["c_mktsegment"], ["n_custs", "total_bal_cents"], "metric", "value")
+        .select(
+            F.lit("q22_idle_rich").alias("q"),
+            F.col("c_mktsegment").cast("string").alias("k1"),
+            F.lit(None).cast("string").alias("k2"),
+            "metric",
+            F.col("value").cast("bigint").alias("value"),
+        )
+    )
+    return (
+        q2.unionByName(q15)
+        .unionByName(q18)
+        .unionByName(q22)
+        .orderBy("q", "k1", "k2", "metric")
+    )
+
+
+@register(
+    "tpch_join_suite",
+    f"""
+WITH {_LI_FIXED_CTE},
+q8 AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(SUM(price_c * (100 - disc_c)) AS BIGINT) AS total_x10k,
+         CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+                  THEN price_c * (100 - disc_c) ELSE 0 END) AS BIGINT) AS nation_x10k
+  FROM li
+  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  GROUP BY 1),
+q9 AS (
+  SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(SUM(price_c * (100 - disc_c)
+                  - {_CENTS.format(col='p_retailprice')} * qty * 100) AS BIGINT)
+             AS profit_x10k
+  FROM li
+  JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2),
+q16 AS (
+  SELECT p_brand, p_type, p_size,
+         CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+  FROM li
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+    AND NOT EXISTS (SELECT 1 FROM supplier
+                    WHERE s_suppkey = l_suppkey AND s_acctbal < 0)
+  GROUP BY 1, 2, 3
+  ORDER BY n_suppliers DESC, p_brand, p_type, p_size LIMIT 50),
+q19 AS (
+  SELECT CAST(SUM(price_c * (100 - disc_c)) AS BIGINT) AS revenue_x10k,
+         CAST(count(*) AS BIGINT) AS n_lines
+  FROM li JOIN part ON l_partkey = p_partkey
+  WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 5  AND qty BETWEEN 1 AND 11)
+     OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10 AND qty BETWEEN 10 AND 20)
+     OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15 AND qty BETWEEN 20 AND 30))
+SELECT * FROM (
+  SELECT 'q8_mkt_share' AS q, CAST(o_year AS VARCHAR) AS k1, NULL AS k2,
+         'total_x10k' AS metric, total_x10k AS value FROM q8
+  UNION ALL
+  SELECT 'q8_mkt_share', CAST(o_year AS VARCHAR), NULL, 'nation_x10k',
+         nation_x10k FROM q8
+  UNION ALL
+  SELECT 'q9_profit', n_name, CAST(o_year AS VARCHAR), 'profit_x10k',
+         profit_x10k FROM q9
+  UNION ALL
+  SELECT 'q16_supplier_cnt', p_brand,
+         p_type || '/' || CAST(p_size AS VARCHAR), 'n_suppliers',
+         n_suppliers FROM q16
+  UNION ALL
+  SELECT 'q19_disjunctive', NULL, NULL, 'revenue_x10k', revenue_x10k FROM q19
+  UNION ALL
+  SELECT 'q19_disjunctive', NULL, NULL, 'n_lines', n_lines FROM q19
+) ORDER BY q, k1 NULLS FIRST, k2 NULLS FIRST, metric""",
+    "deep TPC-H join shapes, melted long: Q8 national market share "
+    "(exact integer revenue pair, 8-way join), Q9 profit by nation/year "
+    "(retail-cost proxy, fixed-point subtraction), Q16 distinct-supplier "
+    "counts (two-phase COUNT DISTINCT, NOT-IN → broadcast anti-join), "
+    "Q19 disjunctive brand/size/qty predicates (OR envelope pushed to scan)",
+)
+def _tpch_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = cat.load_all(spark, sf_dir)
+    q8 = (
+        analytics.market_share(t)
+        .unpivot(["o_year"], ["total_x10k", "nation_x10k"], "metric", "value")
+        .select(
+            F.lit("q8_mkt_share").alias("q"),
+            F.col("o_year").cast("string").alias("k1"),
+            F.lit(None).cast("string").alias("k2"),
+            "metric",
+            F.col("value").cast("bigint").alias("value"),
+        )
+    )
+    q9 = analytics.nation_profit(t).select(
+        F.lit("q9_profit").alias("q"),
+        F.col("n_name").cast("string").alias("k1"),
+        F.col("o_year").cast("string").alias("k2"),
+        F.lit("profit_x10k").alias("metric"),
+        F.col("profit_x10k").cast("bigint").alias("value"),
+    )
+    q16 = analytics.supplier_counts_by_part(
+        t["part"], t["supplier"], t["lineitem"]
+    ).select(
+        F.lit("q16_supplier_cnt").alias("q"),
+        F.col("p_brand").cast("string").alias("k1"),
+        F.concat_ws("/", F.col("p_type"), F.col("p_size").cast("string")).alias("k2"),
+        F.lit("n_suppliers").alias("metric"),
+        F.col("n_suppliers").cast("bigint").alias("value"),
+    )
+    q19 = (
+        analytics.disjunctive_revenue(t["lineitem"], t["part"])
+        .unpivot([], ["revenue_x10k", "n_lines"], "metric", "value")
+        .select(
+            F.lit("q19_disjunctive").alias("q"),
+            F.lit(None).cast("string").alias("k1"),
+            F.lit(None).cast("string").alias("k2"),
+            "metric",
+            F.col("value").cast("bigint").alias("value"),
+        )
+    )
+    return (
+        q8.unionByName(q9)
+        .unionByName(q16)
+        .unionByName(q19)
+        .orderBy("q", "k1", "k2", "metric")
+    )
+
 
 @register(
     "doc_substring_dedup",
@@ -401,25 +657,32 @@ def _ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_topk_methods",
     f"""
 SELECT * FROM (
+  SELECT 'exact' AS method, t.* FROM ({tw.ann_bruteforce_sql(_ANN_QUERY_IDS,
+      k=_ANN_K)}) t
+  UNION ALL
   SELECT 'ivf' AS method, t.* FROM ({tw.ann_ivf_sql(_ANN_QUERY_IDS, k=_ANN_K,
       n_cells=similarity.N_CELLS, nprobe=similarity.N_PROBE)}) t
   UNION ALL
   SELECT 'lsh' AS method, t.* FROM ({tw.ann_lsh_sql(similarity.hyperplanes(),
       _ANN_QUERY_IDS, k=_ANN_K)}) t
 ) ORDER BY method, query_id, rank""",
-    "both approximate ANN scale paths, value-checked neighbor-by-neighbor: "
-    "IVF-flat (hash-selected centroids, map-only cell assignment, "
-    "nprobe-cell probe, cached index) and hyperplane-LSH (bucketed probe)",
+    "every ANN serving path, value-checked neighbor-by-neighbor: exact "
+    "brute-force cosine (broadcast cross-score baseline), IVF-flat "
+    "(hash-selected centroids, map-only cell assignment, nprobe-cell "
+    "probe, cached index) and hyperplane-LSH (bucketed probe)",
 )
 def _ann_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = cat.load_table(spark, sf_dir, "embeddings")
+    bf = similarity.brute_force_topk(emb, _ANN_QUERY_IDS, k=_ANN_K).select(
+        F.lit("exact").alias("method"), "query_id", "neighbor_id", "rank"
+    )
     ivf = similarity.ivf_topk(
         emb, _ANN_QUERY_IDS, k=_ANN_K, index_cache_key=sf_dir
     ).select(F.lit("ivf").alias("method"), "query_id", "neighbor_id", "rank")
     lsh = similarity.lsh_topk(emb, _ANN_QUERY_IDS, k=_ANN_K).select(
         F.lit("lsh").alias("method"), "query_id", "neighbor_id", "rank"
     )
-    return ivf.unionByName(lsh).orderBy("method", "query_id", "rank")
+    return bf.unionByName(ivf).unionByName(lsh).orderBy("method", "query_id", "rank")
 
 
 @register(
@@ -1226,28 +1489,7 @@ def _top_users_per_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 
-@register(
-    "doc_exact_dedup",
-    tw.exact_dedup_sql(),
-    "exact dedup: hash-groupBy on normalized text, canonical-id assignment",
-)
-def _doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.exact_duplicates(cat.load_table(spark, sf_dir, "documents"))
-
-
-@register(
-    "doc_minhash_lsh_dedup",
-    tw.minhash_lsh_sql(),
-    "MinHash(16) + 8×2 banded LSH candidates + exact Jaccard verify ≥ 0.6",
-)
-def _doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.minhash_lsh_duplicates(
-        cat.load_table(spark, sf_dir, "documents"), signatures_cache_key=sf_dir
-    )
-
-
-@register(
-    "doc_ngram_jaccard_pairs",
+_JACCARD_PAIRS_SQL = (
     """WITH """
     + tw.shingles_cte(3).split("WITH", 1)[-1].lstrip()
     + """
@@ -1258,13 +1500,52 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE len(a.shingles) > 0 AND len(b.shingles) > 0
   AND floor(len(list_intersect(a.shingles, b.shingles)) * 1000
-      / greatest(len(list_distinct(list_concat(a.shingles, b.shingles))), 1)) >= 800
-ORDER BY doc_a, doc_b""",
-    "exact all-pairs 3-gram Jaccard ≥ 0.8 (small-data recall baseline for LSH)",
+      / greatest(len(list_distinct(list_concat(a.shingles, b.shingles))), 1)) >= 800"""
 )
-def _doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.ngram_jaccard_pairs(
-        cat.load_table(spark, sf_dir, "documents"), threshold_x1000=800
+
+
+@register(
+    "doc_dedup_baselines",
+    f"""
+WITH e AS ({tw.exact_dedup_sql()}),
+j AS ({_JACCARD_PAIRS_SQL})
+SELECT * FROM (
+  SELECT 'exact' AS src, CAST(doc_id AS BIGINT) AS key_a,
+         canonical_id AS key_b, n_copies AS value
+  FROM e
+  UNION ALL
+  SELECT 'jaccard', doc_a, doc_b, jaccard_x1000 FROM j
+) ORDER BY src, key_a, key_b""",
+    "both exact-recall dedup baselines in one tagged union: hash-groupBy "
+    "exact dedup (canonical-id per normalized-content group; duplicate ⇔ "
+    "key_a ≠ key_b) and all-pairs 3-gram Jaccard ≥ 0.8 (the small-data "
+    "recall baseline the LSH path is measured against)",
+)
+def _doc_dedup_baselines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = cat.load_table(spark, sf_dir, "documents")
+    e = dedup.exact_duplicates(docs).select(
+        F.lit("exact").alias("src"),
+        F.col("doc_id").cast("bigint").alias("key_a"),
+        F.col("canonical_id").cast("bigint").alias("key_b"),
+        F.col("n_copies").cast("bigint").alias("value"),
+    )
+    j = dedup.ngram_jaccard_pairs(docs, threshold_x1000=800).select(
+        F.lit("jaccard").alias("src"),
+        F.col("doc_a").cast("bigint").alias("key_a"),
+        F.col("doc_b").cast("bigint").alias("key_b"),
+        F.col("jaccard_x1000").cast("bigint").alias("value"),
+    )
+    return e.unionByName(j).orderBy("src", "key_a", "key_b")
+
+
+@register(
+    "doc_minhash_lsh_dedup",
+    tw.minhash_lsh_sql(),
+    "MinHash(16) + 8×2 banded LSH candidates + exact Jaccard verify ≥ 0.6",
+)
+def _doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_duplicates(
+        cat.load_table(spark, sf_dir, "documents"), signatures_cache_key=sf_dir
     )
 
 
@@ -1385,15 +1666,7 @@ def _doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analysis.pack_sequences(cat.load_table(spark, sf_dir, "documents"))
 
 
-@register(
-    "ann_bruteforce_topk",
-    tw.ann_bruteforce_sql(_ANN_QUERY_IDS, k=_ANN_K),
-    "exact cosine top-5 neighbors for 5 query vectors (broadcast cross-score)",
-)
-def _ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.brute_force_topk(
-        cat.load_table(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS, k=_ANN_K
-    )
+# brute_force_topk is value-checked as the 'exact' arm of ann_topk_methods.
 
 
 @register(

@@ -306,3 +306,102 @@ def test_semantic_dedup_joins_on_cell_only(spark):
     rep = plan_report(df)
     assert "CartesianProduct" not in rep.text
     assert "BroadcastNestedLoopJoin" not in rep.text
+
+
+# --- deep TPC-H shapes --------------------------------------------------------
+
+
+def test_min_cost_supplier_filters_prejoin_no_cartesian(spark):
+    df = analytics.min_cost_supplier(cat.load_all(spark, SF_DIR))
+    rep = plan_report(df)
+    # region/type filters reach the dim scans; the fact never cross-joins
+    assert any("r_name" in f for f in rep.pushed_filters), rep.text
+    assert any("p_type" in f for f in rep.pushed_filters), rep.text
+    assert rep.cartesian_products == 0, rep.text
+
+
+def test_top_revenue_suppliers_no_global_sort_before_agg(spark):
+    df = analytics.top_revenue_suppliers(
+        cat.load_table(spark, SF_DIR, "supplier"),
+        cat.load_table(spark, SF_DIR, "lineitem"),
+    )
+    rep = plan_report(df)
+    # the scalar max joins back as a broadcast (1-row build side) — the
+    # per-supplier table is never globally sorted or window-scanned
+    assert rep.broadcast_joins >= 1, rep.text
+    assert "Window" not in rep.text, rep.text
+    assert any("l_shipdate" in f for f in rep.pushed_filters), rep.text
+    assert rep.cartesian_products == 0, rep.text
+
+
+def test_large_quantity_orders_aggregates_before_joins(spark):
+    df = analytics.large_quantity_orders(
+        cat.load_table(spark, SF_DIR, "customer"),
+        cat.load_table(spark, SF_DIR, "orders"),
+        cat.load_table(spark, SF_DIR, "lineitem"),
+    )
+    rep = plan_report(df)
+    # the having filter runs on the aggregate output (sum_qty), never as a
+    # post-join filter over fact rows; lineitem scan pruned to 2 columns
+    cols = rep.scans_column_count("lineitem")
+    assert cols is not None and cols <= 2, rep.text
+    assert rep.cartesian_products == 0, rep.text
+
+
+def test_idle_rich_customers_broadcast_scalar_and_anti_join(spark):
+    df = analytics.idle_rich_customers(
+        cat.load_table(spark, SF_DIR, "customer"),
+        cat.load_table(spark, SF_DIR, "orders"),
+    )
+    rep = plan_report(df)
+    # orders participates only via its key column
+    cols = rep.scans_column_count("orders")
+    assert cols is not None and cols <= 1, rep.text
+    assert any("c_acctbal" in f for f in rep.pushed_filters), rep.text
+
+
+def test_market_share_semi_joins_and_pruning(spark):
+    df = analytics.market_share(cat.load_all(spark, SF_DIR))
+    rep = plan_report(df)
+    assert any("p_type" in f for f in rep.pushed_filters), rep.text
+    assert any("r_name" in f for f in rep.pushed_filters), rep.text
+    assert rep.cartesian_products == 0, rep.text
+    # lineitem contributes only join keys + measures (5 columns)
+    cols = rep.scans_column_count("lineitem")
+    assert cols is not None and cols <= 5, rep.text
+
+
+def test_nation_profit_broadcasts_dims_single_fact_shuffle_join(spark):
+    df = analytics.nation_profit(cat.load_all(spark, SF_DIR))
+    rep = plan_report(df)
+    # part (filtered), supplier+nation are broadcast; the only non-broadcast
+    # join is lineitem↔orders
+    assert rep.broadcast_joins >= 2, rep.text
+    assert any("p_name" in f for f in rep.pushed_filters), rep.text
+    assert rep.cartesian_products == 0, rep.text
+
+
+def test_supplier_counts_distinct_agg_broadcast_exclusions(spark):
+    df = analytics.supplier_counts_by_part(
+        cat.load_table(spark, SF_DIR, "part"),
+        cat.load_table(spark, SF_DIR, "supplier"),
+        cat.load_table(spark, SF_DIR, "lineitem"),
+    )
+    rep = plan_report(df)
+    assert rep.broadcast_joins >= 1, rep.text
+    assert any("p_brand" in f or "p_type" in f for f in rep.pushed_filters), rep.text
+    # fact scan pruned to the two relation keys
+    cols = rep.scans_column_count("lineitem")
+    assert cols is not None and cols <= 2, rep.text
+
+
+def test_disjunctive_revenue_or_envelope_pushed(spark):
+    df = analytics.disjunctive_revenue(
+        cat.load_table(spark, SF_DIR, "lineitem"),
+        cat.load_table(spark, SF_DIR, "part"),
+    )
+    rep = plan_report(df)
+    # the common qty envelope and the brand IN-list reach the scans
+    assert any("l_quantity" in f for f in rep.pushed_filters), rep.text
+    assert any("p_brand" in f for f in rep.pushed_filters), rep.text
+    assert rep.cartesian_products == 0, rep.text
