@@ -32,10 +32,11 @@ BENCH_QUERIES = [
     "top_users_per_event_type",
     "wh_transfers_suite",
     "wh_balances_suite",
-    "doc_exact_dedup",
+    # doc_dedup_baselines is NOT benched: its jaccard arm is the documented
+    # O(n²) all-pairs recall baseline — at bench SF it measures the baseline,
+    # not the engine (the scale path is doc_minhash_lsh_dedup below)
     "doc_minhash_lsh_dedup",
     "doc_profile",
-    "ann_bruteforce_topk",
     "ann_topk_methods",
     "ann_recall",
     "promo_revenue_by_month",
@@ -49,6 +50,10 @@ BENCH_QUERIES = [
     "doc_substring_dedup",
     "table_stats",
     "doc_temperature_sample",
+    "tpch_subquery_suite",
+    "tpch_join_suite",
+    "sketch_suite",
+    "events_lifecycle_suite",
 ]
 
 

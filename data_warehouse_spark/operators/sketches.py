@@ -1,0 +1,165 @@
+"""Mergeable-sketch operators: count-min frequency gating + quantile checks.
+
+At 100 TB the expensive part of "which keys are frequent?" is not the
+counting — it is the shuffle that routes every occurrence of every key to
+its reducer. A count-min sketch (Cormode & Muthukrishnan, 2005) bounds that
+cost: ``depth`` hash rows × ``width`` counters, built with ONE scan whose
+aggregation state is a constant-size table (depth×width rows regardless of
+key cardinality), mergeable across partitions/executors by cell-wise sum
+(exactly what Spark's partial aggregation does with the (d, bucket) group
+key). The sketch's one-sided guarantee — estimate ≥ true count, always —
+makes it a sound PRE-FILTER: keys whose estimate clears a frequency
+threshold form a superset of the true heavy hitters, so the exact verify
+pass shuffles only candidate occurrences and the final HAVING filter makes
+the answer exact (deterministic, sketch-parameter-independent — only the
+pruning efficiency varies with width/depth).
+
+This is the frequency twin of the broadcast-Bloom membership gate in
+``functions/bloom.py``: tiny driver-resident summary → map-side literal
+expressions → smaller shuffle, never a changed answer.
+
+Sizing at scale: width drives the overestimate (≤ 2·total/width per cell in
+expectation at each depth; the min over ``depth`` independent rows makes a
+large overestimate exponentially unlikely). For a 10¹¹-token corpus and a
+1‰ threshold, width 2¹⁷ keeps E[overestimate] ≈ 1.5 M ≪ the 10⁸ threshold —
+a few MB of driver memory replaces a full-cardinality shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as X
+
+CMS_WIDTH = 1024
+CMS_DEPTH = 4
+
+
+def _cms_bucket(key: F.Column, d: int, width: int) -> F.Column:
+    """Depth-``d`` bucket of ``key``: salted 60-bit hash mod width.
+
+    Same h60 primitive as every cross-engine hash in the repo
+    (functions/text.py) — deterministic, engine-independent, no RNG.
+    """
+    return (X.h60(F.concat(key.cast("string"), F.lit(f"|cms{d}"))) % width).cast("int")
+
+
+def count_min_sketch(
+    df: DataFrame, key_col: str, width: int = CMS_WIDTH, depth: int = CMS_DEPTH
+) -> DataFrame:
+    """Build the sketch as a DataFrame: (d, bucket, cnt), ≤ depth×width rows.
+
+    One scan; ``posexplode`` fans each row into its ``depth`` cells and the
+    (d, bucket) groupBy aggregates them — partial (map-side) aggregation
+    keeps the shuffle at most depth×width×partitions rows, independent of
+    key cardinality. The result is a mergeable artifact: sketches of two
+    corpora (same geometry) merge by (d, bucket) cell-wise sum.
+    """
+    key = F.col(key_col)
+    cells = F.array(*[_cms_bucket(key, d, width) for d in range(depth)])
+    return (
+        df.select(F.posexplode(cells).alias("d", "bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def merge_sketches(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Cell-wise sum of two same-geometry sketches (the mergeability that
+    makes CMS a distributed-systems primitive: per-shard sketches roll up
+    without re-reading data)."""
+    return (
+        a.unionByName(b).groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    threshold_permille: int,
+    width: int = CMS_WIDTH,
+    depth: int = CMS_DEPTH,
+) -> DataFrame:
+    """EXACT heavy hitters (count ≥ threshold_permille·total/1000), with the
+    shuffle gated by a count-min pre-filter.
+
+    Pass 1 builds the sketch (constant-size agg state) and collects it to
+    the driver — depth×width longs, a few KB. The total row count falls out
+    of the sketch for free (any depth row sums to it) — no extra job.
+    Pass 2 evaluates the estimate map-side as ``least(element_at(lit(row_d),
+    bucket_d) …)`` — literal-array lookups, zero Python, zero join — keeps
+    rows whose estimate clears the threshold (superset of the truth by the
+    one-sided bound), then exact-counts only the survivors. The final
+    HAVING filter re-applies the threshold on true counts, so the output is
+    exactly the plain groupBy-HAVING answer; integer cross-multiplication
+    (``cnt·1000 ≥ permille·total``) keeps the comparison engine-exact.
+    """
+    key = F.col(key_col)
+    sk = count_min_sketch(df, key_col, width=width, depth=depth)
+    rows = sk.collect()
+    table = [[0] * width for _ in range(depth)]
+    for r in rows:
+        table[r["d"]][r["bucket"]] = r["cnt"]
+    total = sum(table[0])
+
+    ests = [
+        F.coalesce(
+            F.element_at(F.lit(table[d]), _cms_bucket(key, d, width) + 1),
+            F.lit(0),
+        )
+        for d in range(depth)
+    ]
+    est = F.least(*ests) if depth > 1 else ests[0]
+    candidates = df.filter(est * 1000 >= threshold_permille * total)
+    return (
+        candidates.groupBy(key.alias(key_col))
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") * 1000 >= threshold_permille * F.lit(total))
+    )
+
+
+def token_heavy_hitters(
+    documents: DataFrame,
+    threshold_permille: int = 30,
+    text_col: str = "text",
+    width: int = CMS_WIDTH,
+    depth: int = CMS_DEPTH,
+) -> DataFrame:
+    """Heavy hitters over the corpus token stream (the high-cardinality
+    domain the sketch exists for: token vocabulary scales with corpus size,
+    user-id-style keys don't). Output: (token, n_occurrences), exact."""
+    toks = documents.select(
+        F.explode(X.tokens(F.col(text_col))).alias("token")
+    ).filter(F.col("token") != "")
+    return cms_heavy_hitters(
+        toks, "token", threshold_permille, width=width, depth=depth
+    ).orderBy("token")
+
+
+def quantile_sketch_check(events: DataFrame, value_col: str = "value") -> DataFrame:
+    """Per event type: the exact median of the 2-dp value (integer-cents
+    domain) plus a self-checked bound on the engine's own quantile sketch.
+
+    ``approx_rank_ok`` asserts the approximate median lands inside the
+    exact [p45, p55] value envelope — the RANK-error guarantee quantile
+    sketches actually make (value-space error is unbounded on skewed data).
+    Cross-engine discipline: each engine checks ITS OWN sketch against ITS
+    OWN exact envelope (the same pattern as the HLL arm of
+    events_shapes_suite) — the exact median is value-checked directly, the
+    sketch property must hold at 1 on both engines.
+    """
+    v = F.round(F.col(value_col) * 100).cast("bigint")
+    g = events.select("event_type", v.alias("v_cents")).groupBy("event_type")
+    agg = g.agg(
+        F.expr("percentile(v_cents, 0.5)").alias("p50_cents"),
+        F.expr("percentile(v_cents, 0.45)").alias("p45"),
+        F.expr("percentile(v_cents, 0.55)").alias("p55"),
+        F.expr("approx_percentile(v_cents, 0.5, 1000)").alias("p50_approx"),
+    )
+    ok = (F.col("p50_approx") >= F.col("p45")) & (F.col("p50_approx") <= F.col("p55"))
+    return agg.select(
+        "event_type",
+        "p50_cents",
+        F.when(ok, 1).otherwise(0).cast("bigint").alias("approx_rank_ok"),
+    ).orderBy("event_type")

@@ -353,6 +353,69 @@ def _tpch_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sketch_suite",
+    f"""
+WITH toks AS (
+  SELECT w FROM (SELECT unnest({tw.TOKS.format(c='text')}) AS w FROM documents)
+  WHERE w <> ''),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
+hh AS (
+  SELECT w AS key, CAST(count(*) AS BIGINT) AS cnt
+  FROM toks, tot GROUP BY w, n HAVING count(*) * 1000 >= 30 * n),
+q AS (
+  SELECT event_type,
+         quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5) AS p50_cents,
+         quantile_cont(CAST(round(value * 100) AS BIGINT), 0.45) AS p45,
+         quantile_cont(CAST(round(value * 100) AS BIGINT), 0.55) AS p55,
+         approx_quantile(CAST(round(value * 100) AS BIGINT), 0.5) AS p50a
+  FROM events GROUP BY event_type)
+SELECT * FROM (
+  SELECT 'cms_tokens' AS src, key, 'n_occurrences' AS metric,
+         CAST(cnt AS DOUBLE) AS value FROM hh
+  UNION ALL
+  SELECT 'quantile', event_type, 'p50_cents', p50_cents FROM q
+  UNION ALL
+  SELECT 'quantile', event_type, 'approx_rank_ok',
+         CAST(CASE WHEN p50a >= p45 AND p50a <= p55 THEN 1 ELSE 0 END
+              AS DOUBLE) FROM q
+) ORDER BY src, key, metric""",
+    "mergeable-sketch operators, melted long: count-min-gated EXACT token "
+    "heavy hitters (constant-size sketch built in one scan, collected as "
+    "map-side literal pre-filter — candidate superset by the one-sided CMS "
+    "bound, exact verify on survivors only) + per-type exact median with "
+    "each engine's own quantile sketch checked against the exact [p45,p55] "
+    "rank envelope (the error bound quantile sketches actually make)",
+)
+def _sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import sketches
+
+    hh = sketches.token_heavy_hitters(
+        cat.load_table(spark, sf_dir, "documents"), threshold_permille=30
+    ).select(
+        F.lit("cms_tokens").alias("src"),
+        F.col("token").alias("key"),
+        F.lit("n_occurrences").alias("metric"),
+        F.col("n_occurrences").cast("double").alias("value"),
+    )
+    q = sketches.quantile_sketch_check(cat.load_table(spark, sf_dir, "events"))
+    q = (
+        q.select(
+            "event_type",
+            F.col("p50_cents").cast("double").alias("p50_cents"),
+            F.col("approx_rank_ok").cast("double").alias("approx_rank_ok"),
+        )
+        .unpivot(["event_type"], ["p50_cents", "approx_rank_ok"], "metric", "value")
+        .select(
+            F.lit("quantile").alias("src"),
+            F.col("event_type").alias("key"),
+            "metric",
+            "value",
+        )
+    )
+    return hh.unionByName(q).orderBy("src", "key", "metric")
+
+
+@register(
     "doc_substring_dedup",
     tw.substring_dedup_sql(k=8),
     "exact duplicated-substring spans via 8-token-gram collision (the "
@@ -1363,7 +1426,7 @@ def _events_type_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "events_funnel",
+    "events_lifecycle_suite",
     """WITH s1 AS (
          SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
          WHERE event_type = 'view' GROUP BY user_id
@@ -1381,8 +1444,8 @@ def _events_type_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
          WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
            AND epoch_us(e.ts) <= s2.t1 + 604800000000
          GROUP BY e.user_id
-       )
-       SELECT * FROM (
+       ),
+       fun AS (
          SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
                 CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
          UNION ALL
@@ -1391,17 +1454,8 @@ def _events_type_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
          UNION ALL
          SELECT CAST(3 AS BIGINT), 'purchase',
                 CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
-       ) ORDER BY step""",
-    "ordered view→click→purchase funnel within 7 days: progressive "
-    "agg-then-join, integer-µs time math, one row per step",
-)
-def _events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return analytics.funnel(cat.load_table(spark, sf_dir, "events"))
-
-
-@register(
-    "events_retention_cohorts",
-    """WITH first AS (
+       ),
+       first AS (
          SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
          FROM events GROUP BY user_id
        ),
@@ -1410,17 +1464,42 @@ def _events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) // 7
                     AS week_offset
          FROM events e JOIN first f ON e.user_id = f.user_id
+       ),
+       ret AS (
+         SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+                CAST(week_offset AS BIGINT) AS week_offset,
+                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active_users
+         FROM j WHERE week_offset <= 8
+         GROUP BY cohort_day, week_offset
        )
-       SELECT CAST(cohort_day AS TIMESTAMP) AS cohort_day,
-              CAST(week_offset AS BIGINT) AS week_offset,
-              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active_users
-       FROM j WHERE week_offset <= 8
-       GROUP BY cohort_day, week_offset ORDER BY cohort_day, week_offset""",
-    "weekly retention triangle anchored on first-seen DATE (integer "
-    "day-diff div 7 — no cross-engine week-start semantics)",
+       SELECT * FROM (
+         SELECT 'funnel' AS src, CAST(step AS VARCHAR) AS k1,
+                event_type AS k2, n_users AS value FROM fun
+         UNION ALL
+         SELECT 'retention', cohort_day, CAST(week_offset AS VARCHAR),
+                n_active_users FROM ret
+       ) ORDER BY src, k1, k2""",
+    "user-lifecycle analytics in one tagged union: ordered "
+    "view→click→purchase funnel within 7 days (single-pass fold, "
+    "integer-µs time math) + weekly retention triangle anchored on "
+    "first-seen DATE (integer day-diff div 7 — no cross-engine "
+    "week-start semantics)",
 )
-def _events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return analytics.retention_cohorts(cat.load_table(spark, sf_dir, "events"))
+def _events_lifecycle_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = cat.load_table(spark, sf_dir, "events")
+    fun = analytics.funnel(events).select(
+        F.lit("funnel").alias("src"),
+        F.col("step").cast("string").alias("k1"),
+        F.col("event_type").alias("k2"),
+        F.col("n_users").cast("bigint").alias("value"),
+    )
+    ret = analytics.retention_cohorts(events).select(
+        F.lit("retention").alias("src"),
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("k1"),
+        F.col("week_offset").cast("string").alias("k2"),
+        F.col("n_active_users").cast("bigint").alias("value"),
+    )
+    return fun.unionByName(ret).orderBy("src", "k1", "k2")
 
 
 @register(
