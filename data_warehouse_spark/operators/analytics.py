@@ -500,19 +500,15 @@ def min_cost_supplier(
     """For each part of a type, the cheapest regional supplier.
 
     The correlated scalar subquery ``cost = (SELECT min(cost) ... WHERE
-    partkey = p_partkey)`` decorrelates into a per-part ``row_number``
-    window (one shuffle on partkey); ties break deterministically on
-    suppkey. Supply cost is derived as the minimum observed sale price per
-    (part, supplier) — one groupBy shuffle over the pre-projected fact.
-    nation/region are fixed-size → broadcast; supplier/part joins are left
-    to AQE (they grow with SF).
+    partkey = p_partkey)`` decorrelates into ONE per-part argmin: supply
+    cost is the minimum observed sale price per (part, supplier), and the
+    chosen supplier is the min-cost one with suppkey tiebreak — both fall
+    out of a single lexicographic ``min(struct(price, suppkey))`` over the
+    regional rows (min price first; among its rows, min suppkey — exactly
+    the two-phase min-then-rank answer, without the second shuffle a
+    groupBy-pair + window would cost). nation/region are fixed-size →
+    broadcast; supplier/part joins are left to AQE (they grow with SF).
     """
-    ps = (
-        tables["lineitem"]
-        .select("l_partkey", "l_suppkey", cents("l_extendedprice").alias("price_c"))
-        .groupBy("l_partkey", "l_suppkey")
-        .agg(F.min("price_c").alias("supply_cost_cents"))
-    )
     regional = (
         tables["supplier"]
         .join(F.broadcast(tables["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
@@ -522,15 +518,22 @@ def min_cost_supplier(
         )
         .select("s_suppkey", "s_name")
     )
-    w = Window.partitionBy("l_partkey").orderBy("supply_cost_cents", "l_suppkey")
-    cheapest = (
-        ps.join(regional, F.col("l_suppkey") == F.col("s_suppkey"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+    best = (
+        tables["lineitem"]
+        .select("l_partkey", "l_suppkey", cents("l_extendedprice").alias("price_c"))
+        .join(regional.select("s_suppkey"), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.min(F.struct("price_c", "l_suppkey")).alias("m"))
+        .select(
+            "l_partkey",
+            F.col("m.price_c").alias("supply_cost_cents"),
+            F.col("m.l_suppkey").alias("best_suppkey"),
+        )
     )
     parts = tables["part"].filter(F.col("p_type") == part_type).select("p_partkey", "p_name")
     return (
-        cheapest.join(parts, F.col("l_partkey") == F.col("p_partkey"))
+        best.join(parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(regional, F.col("best_suppkey") == F.col("s_suppkey"))
         .select("p_partkey", "p_name", "s_name", "supply_cost_cents")
         .orderBy("supply_cost_cents", "p_partkey")
         .limit(k)
@@ -798,4 +801,79 @@ def disjunctive_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
             F.sum(rev).alias("revenue_x10k"),
             F.count(F.lit(1)).alias("n_lines"),
         )
+    )
+
+
+# --- TPC-H Q10 shape: returned-item revenue by customer -----------------------
+def returned_item_revenue(
+    tables: dict[str, DataFrame],
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+    k: int = 20,
+) -> DataFrame:
+    """Top customers by revenue lost to returns in one quarter.
+
+    Fact filtered on return flag at the scan, orders filtered on the
+    quarter — both upstream of the orderkey shuffle join; the agg shrinks
+    to customers before the dim joins (agg-then-join); nation broadcast.
+    """
+    rev = cents("l_extendedprice") * (100 - cents("l_discount"))
+    li = tables["lineitem"].filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", rev.alias("rev_x10k")
+    )
+    o = tables["orders"].filter(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    per_cust = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum("rev_x10k").alias("lost_revenue_x10k"))
+    )
+    return (
+        per_cust.join(tables["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(tables["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_name", "n_name", "lost_revenue_x10k")
+        .orderBy(F.desc("lost_revenue_x10k"), "c_custkey")
+        .limit(k)
+    )
+
+
+# --- TPC-H Q21 shape: sole-supplier orders ------------------------------------
+def sole_supplier_orders(
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    status: str = "F",
+    k: int = 25,
+) -> DataFrame:
+    """Per supplier: how many finished orders they supplied ALONE.
+
+    The textbook form is a correlated pair — EXISTS(my lineitem) AND NOT
+    EXISTS(another supplier's lineitem in the same order) — which the
+    DuckDB oracle states literally. The scale form decorrelates both into
+    ONE aggregate over the fact: per order, the distinct-supplier count
+    and (via the lexicographic min trick) the single supplier when that
+    count is 1 — one shuffle on orderkey, no self-join of the fact against
+    itself. Orders join filters status; final per-supplier count is a
+    second (tiny) shuffle.
+    """
+    per_order = (
+        lineitem.select("l_orderkey", "l_suppkey")
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.min("l_suppkey").alias("only_supp"),
+        )
+        .filter(F.col("n_supp") == 1)
+    )
+    o = orders.filter(F.col("o_orderstatus") == status).select("o_orderkey")
+    return (
+        per_order.join(o, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .groupBy("only_supp")
+        .agg(F.count(F.lit(1)).alias("n_sole_orders"))
+        .join(supplier, F.col("only_supp") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "n_sole_orders")
+        .orderBy(F.desc("n_sole_orders"), "s_suppkey")
+        .limit(k)
     )

@@ -97,7 +97,7 @@ def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CENTS = "CAST(round({col} * 100) AS BIGINT)"
 _LI_FIXED_CTE = f"""li AS (
-  SELECT l_partkey, l_suppkey, l_orderkey,
+  SELECT l_partkey, l_suppkey, l_orderkey, l_returnflag,
          CAST(l_quantity AS BIGINT) AS qty,
          {_CENTS.format(col='l_extendedprice')} AS price_c,
          {_CENTS.format(col='l_discount')} AS disc_c,
@@ -279,7 +279,31 @@ q19 AS (
   FROM li JOIN part ON l_partkey = p_partkey
   WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 5  AND qty BETWEEN 1 AND 11)
      OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10 AND qty BETWEEN 10 AND 20)
-     OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15 AND qty BETWEEN 20 AND 30))
+     OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15 AND qty BETWEEN 20 AND 30)),
+q10 AS (
+  SELECT c_custkey, c_name, n_name,
+         CAST(SUM(price_c * (100 - disc_c)) AS BIGINT) AS lost_revenue_x10k
+  FROM li
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate <  TIMESTAMP '1996-04-01'
+  GROUP BY 1, 2, 3
+  ORDER BY lost_revenue_x10k DESC, c_custkey LIMIT 20),
+q21 AS (
+  SELECT s_suppkey, s_name,
+         CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_sole_orders
+  FROM orders o
+  JOIN li l1 ON l1.l_orderkey = o.o_orderkey
+  JOIN supplier ON l1.l_suppkey = s_suppkey
+  WHERE o.o_orderstatus = 'F'
+    AND NOT EXISTS (SELECT 1 FROM li l2
+                    WHERE l2.l_orderkey = o.o_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+  GROUP BY 1, 2
+  ORDER BY n_sole_orders DESC, s_suppkey LIMIT 25)
 SELECT * FROM (
   SELECT 'q8_mkt_share' AS q, CAST(o_year AS VARCHAR) AS k1, NULL AS k2,
          'total_x10k' AS metric, total_x10k AS value FROM q8
@@ -297,12 +321,22 @@ SELECT * FROM (
   SELECT 'q19_disjunctive', NULL, NULL, 'revenue_x10k', revenue_x10k FROM q19
   UNION ALL
   SELECT 'q19_disjunctive', NULL, NULL, 'n_lines', n_lines FROM q19
+  UNION ALL
+  SELECT 'q10_returns', CAST(c_custkey AS VARCHAR), c_name || '/' || n_name,
+         'lost_revenue_x10k', lost_revenue_x10k FROM q10
+  UNION ALL
+  SELECT 'q21_sole_supplier', CAST(s_suppkey AS VARCHAR), s_name,
+         'n_sole_orders', n_sole_orders FROM q21
 ) ORDER BY q, k1 NULLS FIRST, k2 NULLS FIRST, metric""",
     "deep TPC-H join shapes, melted long: Q8 national market share "
     "(exact integer revenue pair, 8-way join), Q9 profit by nation/year "
-    "(retail-cost proxy, fixed-point subtraction), Q16 distinct-supplier "
-    "counts (two-phase COUNT DISTINCT, NOT-IN → broadcast anti-join), "
-    "Q19 disjunctive brand/size/qty predicates (OR envelope pushed to scan)",
+    "(retail-cost proxy, fixed-point subtraction), Q10 returned-item "
+    "revenue top-k (agg-then-join), Q16 distinct-supplier counts "
+    "(two-phase COUNT DISTINCT, NOT-IN → broadcast anti-join), Q19 "
+    "disjunctive brand/size/qty predicates (OR envelope pushed to scan), "
+    "Q21 sole-supplier orders (oracle states the correlated NOT-EXISTS "
+    "literally; Spark runs the decorrelated single-scan form — hash "
+    "equality proves the rewrite)",
 )
 def _tpch_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = cat.load_all(spark, sf_dir)
@@ -344,10 +378,28 @@ def _tpch_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").cast("bigint").alias("value"),
         )
     )
+    q10 = analytics.returned_item_revenue(t).select(
+        F.lit("q10_returns").alias("q"),
+        F.col("c_custkey").cast("string").alias("k1"),
+        F.concat_ws("/", F.col("c_name"), F.col("n_name")).alias("k2"),
+        F.lit("lost_revenue_x10k").alias("metric"),
+        F.col("lost_revenue_x10k").cast("bigint").alias("value"),
+    )
+    q21 = analytics.sole_supplier_orders(
+        t["supplier"], t["orders"], t["lineitem"]
+    ).select(
+        F.lit("q21_sole_supplier").alias("q"),
+        F.col("s_suppkey").cast("string").alias("k1"),
+        F.col("s_name").cast("string").alias("k2"),
+        F.lit("n_sole_orders").alias("metric"),
+        F.col("n_sole_orders").cast("bigint").alias("value"),
+    )
     return (
         q8.unionByName(q9)
         .unionByName(q16)
         .unionByName(q19)
+        .unionByName(q10)
+        .unionByName(q21)
         .orderBy("q", "k1", "k2", "metric")
     )
 

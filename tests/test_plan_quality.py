@@ -318,6 +318,9 @@ def test_min_cost_supplier_filters_prejoin_no_cartesian(spark):
     assert any("r_name" in f for f in rep.pushed_filters), rep.text
     assert any("p_type" in f for f in rep.pushed_filters), rep.text
     assert rep.cartesian_products == 0, rep.text
+    # per-part argmin is ONE lexicographic struct-min aggregate — the
+    # two-phase groupBy-pair + rank window (second shuffle) must not return
+    assert "Window" not in rep.text, rep.text
 
 
 def test_top_revenue_suppliers_no_global_sort_before_agg(spark):
@@ -404,4 +407,33 @@ def test_disjunctive_revenue_or_envelope_pushed(spark):
     # the common qty envelope and the brand IN-list reach the scans
     assert any("l_quantity" in f for f in rep.pushed_filters), rep.text
     assert any("p_brand" in f for f in rep.pushed_filters), rep.text
+    assert rep.cartesian_products == 0, rep.text
+
+
+def test_returned_item_revenue_agg_before_dim_joins(spark):
+    df = analytics.returned_item_revenue(cat.load_all(spark, SF_DIR))
+    rep = plan_report(df)
+    assert any("l_returnflag" in f for f in rep.pushed_filters), rep.text
+    assert any("o_orderdate" in f for f in rep.pushed_filters), rep.text
+    assert rep.cartesian_products == 0, rep.text
+
+
+def test_sole_supplier_orders_no_fact_self_join(spark):
+    df = analytics.sole_supplier_orders(
+        cat.load_table(spark, SF_DIR, "supplier"),
+        cat.load_table(spark, SF_DIR, "orders"),
+        cat.load_table(spark, SF_DIR, "lineitem"),
+    )
+    rep = plan_report(df)
+    # the correlated NOT-EXISTS decorrelates to ONE scan of lineitem — the
+    # fact must not appear twice (no self semi/anti join of lineitem);
+    # scan detail headers name the file list, so count lineitem scans there
+    import re
+
+    li_scans = sum(
+        "lineitem" in m
+        for m in re.findall(r"\(\d+\) Scan parquet[^\n]*\n(?:[^\n]*\n){1,6}", rep.text)
+    )
+    assert li_scans == 1, rep.text
+    assert any("o_orderstatus" in f for f in rep.pushed_filters), rep.text
     assert rep.cartesian_products == 0, rep.text
