@@ -37,12 +37,20 @@ CMS_DEPTH = 4
 
 
 def _cms_bucket(key: F.Column, d: int, width: int) -> F.Column:
-    """Depth-``d`` bucket of ``key``: salted 60-bit hash mod width.
+    """Depth-``d`` bucket of ``key``: a 15-bit slice of ONE 60-bit hash.
 
-    Same h60 primitive as every cross-engine hash in the repo
-    (functions/text.py) — deterministic, engine-independent, no RNG.
+    One md5 per key serves all depths (bits 15d..15d+14 are the depth-d
+    hash — the Kirsch-Mitzenmacher observation that a few derived hashes
+    preserve sketch guarantees); per-depth salted hashes would cost
+    ``depth`` md5s per row in BOTH the build and the gate pass, and the
+    hash is the dominant per-row cost of the whole operator. Same h60
+    primitive as every cross-engine hash in the repo (functions/text.py) —
+    deterministic, engine-independent, no RNG. Requires width ≤ 2¹⁵ and
+    depth ≤ 4 (60 bits / 15).
     """
-    return (X.h60(F.concat(key.cast("string"), F.lit(f"|cms{d}"))) % width).cast("int")
+    assert 0 <= d < 4 and width <= 32768
+    sliced = F.shiftright(X.h60(key.cast("string")), 15 * d).bitwiseAND(F.lit(0x7FFF))
+    return (sliced % width).cast("int")
 
 
 def count_min_sketch(

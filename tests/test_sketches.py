@@ -68,7 +68,7 @@ def test_cms_sketch_is_mergeable_and_bounds_true_counts(spark):
 
     for k, c in true_counts.items():
         est = min(
-            table[d].get(h60(f"{k}|cms{d}") % sketches.CMS_WIDTH, 0)
+            table[d].get(((h60(k) >> (15 * d)) & 0x7FFF) % sketches.CMS_WIDTH, 0)
             for d in table
         )
         assert est >= c, (k, est, c)
