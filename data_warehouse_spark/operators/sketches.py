@@ -171,3 +171,37 @@ def quantile_sketch_check(events: DataFrame, value_col: str = "value") -> DataFr
         "p50_cents",
         F.when(ok, 1).otherwise(0).cast("bigint").alias("approx_rank_ok"),
     ).orderBy("event_type")
+
+
+# --- HLL distinct-count cube --------------------------------------------------
+# The mergeable-summary pattern applied to COUNT(DISTINCT): persist one
+# DataSketches HLL per fine-grained cell, answer any coarser rollup by
+# unioning cell sketches — the classic pre-aggregated distinct cube. The
+# exact distinct over 100 TB re-shuffles every (key, user) pair per
+# question; the cube pays that once at build and every rollup after is a
+# cells-count merge.
+
+HLL_LG_K = 12  # 2^12 registers ≈ 1.6 % relative standard error
+
+
+def hll_distinct_cube(
+    events: DataFrame,
+    value_col: str = "user_id",
+    lg_k: int = HLL_LG_K,
+) -> DataFrame:
+    """The stored cube: one HLL sketch of ``value_col`` per
+    (event_type, day) cell — (event_type, day, sk binary). Build is one
+    shuffle on the cell key with partial map-side sketch aggregation (the
+    sketch is the agg state, constant-size per cell)."""
+    return events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.hll_sketch_agg(value_col, F.lit(lg_k)).alias("sk"))
+
+
+def hll_serve_distinct(cube: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Answer ``COUNT(DISTINCT value) GROUP BY group_cols`` from the stored
+    cube: union the cell sketches along the collapsed dimensions. Cost is
+    O(|cells|), never a re-scan of the fact."""
+    return cube.groupBy(*group_cols).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_distinct_approx")
+    )

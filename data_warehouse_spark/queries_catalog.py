@@ -420,6 +420,11 @@ q AS (
          quantile_cont(CAST(round(value * 100) AS BIGINT), 0.45) AS p45,
          quantile_cont(CAST(round(value * 100) AS BIGINT), 0.55) AS p55,
          approx_quantile(CAST(round(value * 100) AS BIGINT), 0.5) AS p50a
+  FROM events GROUP BY event_type),
+d AS (
+  SELECT event_type,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+         CAST(approx_count_distinct(user_id) AS BIGINT) AS n_approx
   FROM events GROUP BY event_type)
 SELECT * FROM (
   SELECT 'cms_tokens' AS src, key, 'n_occurrences' AS metric,
@@ -430,13 +435,24 @@ SELECT * FROM (
   SELECT 'quantile', event_type, 'approx_rank_ok',
          CAST(CASE WHEN p50a >= p45 AND p50a <= p55 THEN 1 ELSE 0 END
               AS DOUBLE) FROM q
+  UNION ALL
+  SELECT 'hll_cube', event_type, 'n_distinct_exact',
+         CAST(n_exact AS DOUBLE) FROM d
+  UNION ALL
+  SELECT 'hll_cube', event_type, 'cube_within_50pm',
+         CAST(CASE WHEN abs(n_approx - n_exact) * 1000 <= 50 * n_exact
+              THEN 1 ELSE 0 END AS DOUBLE) FROM d
 ) ORDER BY src, key, metric""",
     "mergeable-sketch operators, melted long: count-min-gated EXACT token "
     "heavy hitters (constant-size sketch built in one scan, collected as "
     "map-side literal pre-filter — candidate superset by the one-sided CMS "
     "bound, exact verify on survivors only) + per-type exact median with "
     "each engine's own quantile sketch checked against the exact [p45,p55] "
-    "rank envelope (the error bound quantile sketches actually make)",
+    "rank envelope (the error bound quantile sketches actually make) + the "
+    "HLL distinct-count cube: exact per-type distinct users value-checked, "
+    "and the rollup SERVED FROM stored per-(type,day) DataSketches HLL "
+    "cells (hll_union_agg merge, never a fact re-scan) pinned within 50‰ "
+    "of exact — each engine checks its own sketch",
 )
 def _sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import sketches
@@ -449,7 +465,8 @@ def _sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("n_occurrences").alias("metric"),
         F.col("n_occurrences").cast("double").alias("value"),
     )
-    q = sketches.quantile_sketch_check(cat.load_table(spark, sf_dir, "events"))
+    events = cat.load_table(spark, sf_dir, "events")
+    q = sketches.quantile_sketch_check(events)
     q = (
         q.select(
             "event_type",
@@ -464,7 +481,33 @@ def _sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
         )
     )
-    return hh.unionByName(q).orderBy("src", "key", "metric")
+    cube = sketches.hll_distinct_cube(events)
+    served = sketches.hll_serve_distinct(cube, ["event_type"])
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    flag = (
+        F.abs(F.col("n_distinct_approx").cast("bigint") - F.col("n_exact")) * 1000
+        <= 50 * F.col("n_exact")
+    )
+    hll = (
+        served.join(exact, "event_type")
+        .select(
+            "event_type",
+            F.col("n_exact").cast("double").alias("n_distinct_exact"),
+            F.when(flag, 1.0).otherwise(0.0).alias("cube_within_50pm"),
+        )
+        .unpivot(
+            ["event_type"], ["n_distinct_exact", "cube_within_50pm"], "metric", "value"
+        )
+        .select(
+            F.lit("hll_cube").alias("src"),
+            F.col("event_type").alias("key"),
+            "metric",
+            "value",
+        )
+    )
+    return hh.unionByName(q).unionByName(hll).orderBy("src", "key", "metric")
 
 
 @register(

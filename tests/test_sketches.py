@@ -91,3 +91,54 @@ def test_quantile_check_rank_property_holds(spark):
     rows = sketches.quantile_sketch_check(events).collect()
     assert len(rows) > 0
     assert all(r["approx_rank_ok"] == 1 for r in rows), rows
+
+
+def test_hll_cube_serves_all_rollups_within_tolerance(spark):
+    events = cat.load_table(spark, SF_DIR, "events")
+    cube = sketches.hll_distinct_cube(events)
+    # cube grain: one row per (event_type, day) cell, binary sketch column
+    assert cube.schema["sk"].dataType.typeName() == "binary"
+    n_cells = cube.count()
+    assert (
+        n_cells
+        == events.select("event_type", F.to_date("ts").alias("d")).distinct().count()
+    )
+    # every coarser rollup served from the cube lands within 5% of exact
+    for dims, exact_df in (
+        (
+            ["event_type"],
+            events.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")),
+        ),
+        (
+            [],
+            events.agg(F.countDistinct("user_id").alias("n")),
+        ),
+    ):
+        served = sketches.hll_serve_distinct(cube, dims).collect()
+        exact = {
+            tuple(r[d] for d in dims): r["n"] for r in exact_df.collect()
+        }
+        for r in served:
+            key = tuple(r[d] for d in dims)
+            approx = r["n_distinct_approx"]
+            assert abs(approx - exact[key]) * 1000 <= 50 * exact[key], (
+                key,
+                approx,
+                exact[key],
+            )
+
+
+def test_hll_cube_cells_merge_like_the_whole(spark):
+    events = cat.load_table(spark, SF_DIR, "events")
+    cube = sketches.hll_distinct_cube(events)
+    # serving the global rollup from per-cell sketches ≈ one direct sketch
+    # over the raw stream (merge loses nothing beyond sketch error)
+    from_cells = sketches.hll_serve_distinct(cube, []).collect()[0][
+        "n_distinct_approx"
+    ]
+    direct = events.agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("user_id", F.lit(sketches.HLL_LG_K))
+        ).alias("n")
+    ).collect()[0]["n"]
+    assert abs(from_cells - direct) * 1000 <= 50 * max(direct, 1), (from_cells, direct)
