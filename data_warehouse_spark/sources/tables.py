@@ -396,6 +396,95 @@ class TableStore:
         finally:
             fresh.unpersist()
 
+    def merge_delete(self, name: str, batch: DataFrame, keys: list[str]) -> int:
+        """DELETE by key set (the MERGE … WHEN MATCHED THEN DELETE verb —
+        GDPR/right-to-be-forgotten over a key list). Returns #rows deleted.
+
+        Same copy-on-write discipline as :meth:`merge_upsert`: on a
+        partitioned table whose partition column is in the key, only the
+        partitions the key batch touches are rewritten; everything else is
+        hard-linked into the new snapshot. Deleting keys that don't exist
+        is a no-op (idempotent — a replayed deletion request deletes
+        nothing twice). The previous snapshot stays readable
+        (:meth:`read_previous`) until the next write, which is the
+        retention story a deletion pipeline needs anyway (verify, then the
+        old version ages out)."""
+        doomed = batch.dropDuplicates(keys).select(*keys).cache()
+        try:
+            if not self.exists(name) or doomed.isEmpty():
+                return 0
+            pcols = self.partitions.get(name, [])
+            if len(pcols) == 1 and pcols[0] in keys:
+                pvals = doomed.select(*pcols).distinct().collect()
+                if 0 < len(pvals) <= MAX_PRUNE_PARTITIONS:
+                    return self._delete_partitions(name, doomed, keys, pcols, pvals)
+            current = self.read(name)
+            kept = current.join(
+                F.broadcast(doomed), self._key_cond(current, doomed, keys), "left_anti"
+            )
+            n_total = current.count()
+            n_kept = kept.count()
+            if n_kept == n_total:
+                return 0  # nothing matched: don't churn a new version
+            self.overwrite(name, kept)
+            return n_total - n_kept
+        finally:
+            doomed.unpersist()
+
+    def _delete_partitions(
+        self, name: str, doomed: DataFrame, keys: list[str], pcols: list[str], pvals
+    ) -> int:
+        """Rewrite only the partitions the doomed keys touch; hard-link the
+        rest — the deletion twin of :meth:`_upsert_partitions`."""
+        old_vdir = self._resolve(name)
+        touched = self.read(name)
+        for i, c in enumerate(pcols):
+            touched = touched.filter(
+                self._partition_filter(c, [row[i] for row in pvals])
+            )
+        touched = touched.cache()
+        try:
+            kept = touched.join(
+                F.broadcast(doomed), self._key_cond(touched, doomed, keys), "left_anti"
+            )
+            n_touched = touched.count()
+            n_kept = kept.count()
+            if n_kept == n_touched:
+                return 0
+            new_vdir = self._write_version(name, kept)
+            for entry in os.listdir(old_vdir):
+                src = os.path.join(old_vdir, entry)
+                if not (os.path.isdir(src) and "=" in entry):
+                    continue
+                if self._unquoted_match(entry, pcols[0], pvals):
+                    continue
+                self._link_tree(src, os.path.join(new_vdir, entry))
+            self._swap(name, new_vdir)
+        finally:
+            touched.unpersist()
+        return n_touched - n_kept
+
+    def delete_where(self, name: str, condition: F.Column) -> int:
+        """DELETE rows matching an arbitrary predicate (retention expiry:
+        ``delete_where("events", col("ts") < cutoff)``). Returns #deleted.
+
+        Full-snapshot rewrite of the surviving rows — predicate deletes
+        can't be partition-scoped without introspecting the expression, so
+        callers with a partition-aligned predicate should pass the key
+        batch to :meth:`merge_delete` instead. The overwrite re-applies
+        the table's declared partitioning, so survivors land laid out
+        exactly as before."""
+        if not self.exists(name):
+            return 0
+        current = self.read(name)
+        kept = current.filter(~condition | condition.isNull())
+        n_total = current.count()
+        n_kept = kept.count()
+        if n_kept == n_total:
+            return 0
+        self.overwrite(name, kept)
+        return n_total - n_kept
+
     def _upsert_full(self, name: str, fresh: DataFrame, keys: list[str]) -> tuple[int, int]:
         current = self.read(name).cache()
         try:

@@ -230,3 +230,60 @@ def test_compact_clusters_files_by_sort_key(spark, tmp_path):
     # contents intact after the clustered rewrite
     rows = {r["name"]: r["v"] for r in store.read("t").collect()}
     assert len(rows) == 12 and rows["n99"] == 0 and rows["n88"] == 11
+
+
+def test_merge_delete_rewrites_only_touched_partition(spark, tmp_path):
+    """Deleting tenant-A keys must hard-link tenant B's files unchanged —
+    the right-to-be-forgotten path is copy-on-write like the upsert."""
+    store = _store(spark, tmp_path)
+    store.merge_insert_missing(
+        "t",
+        _rows(spark, [("A", "x", 1), ("A", "y", 1), ("B", "x", 1)]),
+        ["tenant", "name"],
+    )
+    b_before = _part_files(store, "t", "tenant=B")
+
+    n = store.merge_delete("t", _rows(spark, [("A", "x", 0)]), ["tenant", "name"])
+    assert n == 1
+    assert _part_files(store, "t", "tenant=B") == b_before
+    rows = {(r["tenant"], r["name"]) for r in store.read("t").collect()}
+    assert rows == {("A", "y"), ("B", "x")}
+    # previous snapshot still shows the deleted row until it ages out
+    prev = {(r["tenant"], r["name"]) for r in store.read_previous("t").collect()}
+    assert ("A", "x") in prev
+
+
+def test_merge_delete_is_idempotent_and_noop_safe(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    store.merge_insert_missing(
+        "t", _rows(spark, [("A", "x", 1), ("B", "x", 1)]), ["tenant", "name"]
+    )
+    vdir = store._resolve("t")
+    assert store.merge_delete("t", _rows(spark, [("A", "x", 0)]), ["tenant", "name"]) == 1
+    # replayed deletion request: deletes nothing, creates no new version
+    vdir2 = store._resolve("t")
+    assert store.merge_delete("t", _rows(spark, [("A", "x", 0)]), ["tenant", "name"]) == 0
+    assert store._resolve("t") == vdir2 != vdir
+    # deleting a key that never existed is a no-op too
+    assert store.merge_delete("t", _rows(spark, [("C", "q", 0)]), ["tenant", "name"]) == 0
+
+
+def test_delete_where_predicate_and_null_semantics(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    store = _store(spark, tmp_path)
+    store.merge_insert_missing(
+        "t",
+        _rows(spark, [("A", "x", 1), ("A", "y", 5), ("B", "x", 9)]),
+        ["tenant", "name"],
+    )
+    # retention expiry: drop everything with v >= 5
+    assert store.delete_where("t", F.col("v") >= 5) == 2
+    rows = {(r["tenant"], r["name"]) for r in store.read("t").collect()}
+    assert rows == {("A", "x")}
+    # nothing matches -> no new version churned
+    vdir = store._resolve("t")
+    assert store.delete_where("t", F.col("v") >= 5) == 0
+    assert store._resolve("t") == vdir
+    # survivors keep the declared hive partitioning
+    assert _part_files(store, "t", "tenant=A")
