@@ -145,3 +145,37 @@ def distinct_user_counts(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def rolling_daily_activity(events: DataFrame, window_days: int = 7) -> DataFrame:
+    """RANGE-frame moving aggregate: per event type, each day's event count
+    plus the trailing ``window_days``-day rolling count and value sum.
+
+    The frame is RANGE over an integer day ordinal (epoch days), so a
+    missing calendar day still shortens the window — the semantics ROWS
+    frames get wrong on gappy time series (a ROWS frame would reach back
+    ``window_days`` *observed* days, silently widening over gaps). Two
+    shuffles total: the daily pre-aggregation (shrinks the fact to
+    |types|×|days| rows) and the per-type window — the window input is the
+    tiny daily grain, never raw events.
+    """
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+    )
+    ordinal = F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(ordinal)
+        .rangeBetween(-(window_days - 1), 0)
+    )
+    return daily.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        "value_cents",
+        F.sum("n_events").over(w).alias("rolling_events"),
+        F.sum("value_cents").over(w).alias("rolling_value_cents"),
+    ).orderBy("event_type", "day")

@@ -988,7 +988,21 @@ def _orders_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                              - count(DISTINCT user_id)) * 1000
                         <= 150 * count(DISTINCT user_id)
                    THEN 1 ELSE 0 END AS BIGINT) AS approx_ok
-         FROM events GROUP BY event_type)
+         FROM events GROUP BY event_type),
+       daily AS (
+         SELECT event_type, CAST(ts AS DATE) AS day,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                    AS value_cents
+         FROM events GROUP BY 1, 2),
+       roll AS (
+         SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+                CAST(SUM(n_events) OVER w AS BIGINT) AS rolling_events,
+                CAST(SUM(value_cents) OVER w AS BIGINT) AS rolling_value_cents
+         FROM daily
+         WINDOW w AS (PARTITION BY event_type
+                      ORDER BY date_diff('day', DATE '1970-01-01', day)
+                      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
        SELECT * FROM (
          SELECT 'pivot' AS src, CAST(user_id AS VARCHAR) AS key,
                 'n_click' AS metric, n_click AS value FROM pv
@@ -998,10 +1012,17 @@ def _orders_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
          UNION ALL SELECT 'pivot', CAST(user_id AS VARCHAR), 'n_view', n_view FROM pv
          UNION ALL SELECT 'distinct', event_type, 'n_users_exact', n_users_exact FROM d
          UNION ALL SELECT 'distinct', event_type, 'approx_ok', approx_ok FROM d
+         UNION ALL SELECT 'rolling', event_type || '/' || day,
+                'rolling_events', rolling_events FROM roll
+         UNION ALL SELECT 'rolling', event_type || '/' || day,
+                'rolling_value_cents', rolling_value_cents FROM roll
        ) ORDER BY src, key, metric""",
     "static-schema pivot + distinct-user counts (exact value-checked; HLL++ "
-    "approximate count checked as a ≤15% relative-error PROPERTY), melted "
-    "long — both windows.py operators run and value-check in one entry",
+    "approximate count checked as a ≤15% relative-error PROPERTY) + "
+    "RANGE-frame trailing-7-day moving aggregates over the daily grain "
+    "(gap-correct calendar windows — the semantics ROWS frames get wrong "
+    "on sparse days), melted long — three windows.py operators run and "
+    "value-check in one entry",
 )
 def _events_shapes_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = cat.load_table(spark, sf_dir, "events")
@@ -1039,7 +1060,17 @@ def _events_shapes_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").cast("bigint").alias("value"),
         )
     )
-    return pv.unionByName(d).orderBy("src", "key", "metric")
+    roll = (
+        windows.rolling_daily_activity(events)
+        .select(
+            F.concat_ws("/", "event_type", "day").alias("key"),
+            F.col("rolling_events").cast("bigint").alias("rolling_events"),
+            F.col("rolling_value_cents").cast("bigint").alias("rolling_value_cents"),
+        )
+        .unpivot(["key"], ["rolling_events", "rolling_value_cents"], "metric", "value")
+        .select(F.lit("rolling").alias("src"), "key", "metric", "value")
+    )
+    return pv.unionByName(d).unionByName(roll).orderBy("src", "key", "metric")
 
 
 def _neardup_clusters_oracle() -> str:
