@@ -346,3 +346,111 @@ def resize_images(
 
     pruned = media.filter(F.col("kind") == "image").select("media_id", "payload")
     return pruned.mapInPandas(batches, RESIZED_IMAGE_SCHEMA)
+
+
+MEDIA_METADATA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("metric", T.StringType(), False),
+        T.StructField("value", T.LongType(), False),
+    ]
+)
+
+
+def extract_media_metadata(
+    media: DataFrame,
+    decode: str = "fake",
+    every_ms: int = 1000,
+    max_frames: int = 8,
+) -> DataFrame:
+    """EVERY kind's header metadata in ONE decode pass, long format
+    (media_id, kind, metric, value).
+
+    The per-kind operators above each scan the media table and spin their
+    own Arrow/mapInPandas stage — right when you need one modality, wasteful
+    when a pipeline wants the full metadata sweep (the common case: corpus
+    QA dashboards, ingest validation). This fuses them: one blob scan, one
+    Python worker stage, per-row dispatch on ``kind``; image rows emit
+    width/height/channels/n_bytes, audio rows sample_rate/n_samples/
+    duration_ms/n_bytes, video rows n_frames (the frame COUNT — sampling
+    frame payloads stays in :func:`sample_frames`, which materializes 1→N
+    rows). Metrics are integers, so one value column serves all kinds —
+    and the long format is what the metadata sinks want anyway.
+
+    ``decode="real"`` resolves each codec lazily per batch, so a corpus
+    containing only images never needs the audio/video libraries.
+    """
+    if decode not in ("fake", "real"):
+        raise ValueError("decode must be 'fake' or 'real'")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if decode == "fake":
+            def image_metrics(raw: bytes) -> list[tuple[str, int]]:
+                w, h, c, _emb = _fake_decode(raw)
+                return [
+                    ("width", w), ("height", h),
+                    ("channels", c), ("n_bytes", len(raw)),
+                ]
+
+            def audio_metrics(raw: bytes) -> list[tuple[str, int]]:
+                p = raw + bytes(8)
+                rate = 8000 * (1 + p[4] % 6)
+                n_samples = max(len(raw) - 4, 0) * 4
+                return [
+                    ("sample_rate", rate), ("n_samples", n_samples),
+                    ("duration_ms", n_samples * 1000 // rate),
+                    ("n_bytes", len(raw)),
+                ]
+
+            def video_metrics(raw: bytes) -> list[tuple[str, int]]:
+                return [("n_frames", min(max_frames, max(1, len(raw) // 32)))]
+        else:
+            import io
+
+            def image_metrics(raw: bytes) -> list[tuple[str, int]]:
+                pil_image = _require("PIL.Image", "image decode")
+                img = pil_image.open(io.BytesIO(raw))
+                w, h = img.size
+                return [
+                    ("width", w), ("height", h),
+                    ("channels", len(img.getbands())), ("n_bytes", len(raw)),
+                ]
+
+            def audio_metrics(raw: bytes) -> list[tuple[str, int]]:
+                sf = _require("soundfile", "audio decode")
+                data, rate = sf.read(io.BytesIO(raw))
+                n = int(data.shape[0])
+                return [
+                    ("sample_rate", int(rate)), ("n_samples", n),
+                    ("duration_ms", n * 1000 // int(rate)), ("n_bytes", len(raw)),
+                ]
+
+            def video_metrics(raw: bytes) -> list[tuple[str, int]]:
+                av = _require("av", "video frame sampling")
+                n = 0
+                with av.open(io.BytesIO(raw)) as container:
+                    stream = container.streams.video[0]
+                    next_ts = 0.0
+                    for frame in container.decode(stream):
+                        if frame.time is not None and frame.time * 1000 < next_ts:
+                            continue
+                        n += 1
+                        next_ts += every_ms
+                        if n >= max_frames:
+                            break
+                return [("n_frames", n)]
+
+        dispatch = {"image": image_metrics, "audio": audio_metrics, "video": video_metrics}
+        for pdf in it:
+            out = {"media_id": [], "kind": [], "metric": [], "value": []}
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                for metric, value in dispatch[kind](bytes(payload)):
+                    out["media_id"].append(mid)
+                    out["kind"].append(kind)
+                    out["metric"].append(metric)
+                    out["value"].append(value)
+            yield pd.DataFrame(out)
+
+    pruned = media.select("media_id", "kind", "payload")
+    return pruned.mapInPandas(batches, MEDIA_METADATA_SCHEMA)

@@ -713,12 +713,16 @@ JOIN ({tw.media_resize_sql(target_w=64, target_h=64)}) b ON a.media_id = b.media
 def _media_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = _media(spark, sf_dir)
 
-    feats = multimodal.extract_image_features(media).select(
-        "media_id",
-        F.col("width").cast("bigint").alias("width"),
-        F.col("height").cast("bigint").alias("height"),
-        F.col("channels").cast("bigint").alias("channels"),
-        "n_bytes",
+    # ONE decode pass serves the image/audio/video metadata arms (fused
+    # kind-dispatched mapInPandas — already long format); only the
+    # payload-producing resize and the JVM-side stats rollup are their own
+    # stages. The per-kind operators remain the public single-modality API
+    # and stay pinned by test_llm_ops.
+    meta = multimodal.extract_media_metadata(media).select(
+        F.col("kind").alias("src"),
+        F.col("media_id").cast("string").alias("mkey"),
+        "metric",
+        F.col("value").cast("long").alias("value"),
     )
     resized = multimodal.resize_images(media, 64, 64).select(
         "media_id",
@@ -727,12 +731,7 @@ def _media_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("channels").cast("bigint").alias("r_channels"),
         F.col("n_bytes").alias("r_n_bytes"),
     )
-    image = feats.join(resized, "media_id")
-    audio = multimodal.extract_audio_features(media)
     stats = multimodal.media_stats(media)
-    video = multimodal.sample_frames(media).groupBy("media_id").agg(
-        F.count(F.lit(1)).alias("n_frames")
-    )
 
     def melt(df: DataFrame, src: str, key_col: str, metrics: list[str]) -> DataFrame:
         cast = df.select(
@@ -743,11 +742,10 @@ def _media_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(src).alias("src"), "mkey", "metric", "value"
         )
 
+    r_metrics = ["r_width", "r_height", "r_channels", "r_n_bytes"]
     return (
-        melt(image, "image", "media_id", _MEDIA_IMAGE_METRICS)
-        .unionByName(melt(audio, "audio", "media_id", _MEDIA_AUDIO_METRICS))
+        meta.unionByName(melt(resized, "image", "media_id", r_metrics))
         .unionByName(melt(stats, "stats", "kind", _MEDIA_STATS_METRICS))
-        .unionByName(melt(video, "video", "media_id", _MEDIA_VIDEO_METRICS))
         .orderBy("src", "mkey", "metric")
     )
 

@@ -948,3 +948,33 @@ def test_contamination_bloom_prefilter_is_transparent(spark):
     plain = ta.benchmark_contamination(docs, k=20).collect()
     gated = ta.benchmark_contamination(docs, k=20, bloom_prefilter=True).collect()
     assert sorted(map(tuple, plain)) == sorted(map(tuple, gated))
+
+
+def test_fused_media_metadata_matches_per_kind_operators(spark):
+    """The one-pass kind-dispatched extractor must agree metric-for-metric
+    with each single-modality operator (same codec, one scan)."""
+    from data_warehouse_spark import catalog as cat
+
+    docs = cat.load_table(spark, SF_DIR, "documents")
+    media = multimodal.media_from_documents(docs)
+    fused = {
+        (r["media_id"], r["metric"]): r["value"]
+        for r in multimodal.extract_media_metadata(media).collect()
+    }
+    img = multimodal.extract_image_features(media).collect()
+    for r in img:
+        for m in ("width", "height", "channels", "n_bytes"):
+            assert fused[(r["media_id"], m)] == r[m], (r["media_id"], m)
+    aud = multimodal.extract_audio_features(media).collect()
+    for r in aud:
+        for m in ("sample_rate", "n_samples", "duration_ms", "n_bytes"):
+            assert fused[(r["media_id"], m)] == r[m], (r["media_id"], m)
+    vid = (
+        multimodal.sample_frames(media)
+        .groupBy("media_id")
+        .count()
+        .collect()
+    )
+    assert vid
+    for r in vid:
+        assert fused[(r["media_id"], "n_frames")] == r["count"], r["media_id"]
