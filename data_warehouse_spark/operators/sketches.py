@@ -18,11 +18,15 @@ This is the frequency twin of the broadcast-Bloom membership gate in
 ``functions/bloom.py``: tiny driver-resident summary → map-side literal
 expressions → smaller shuffle, never a changed answer.
 
-Sizing at scale: width drives the overestimate (≤ 2·total/width per cell in
+Sizing at scale: width drives the overestimate (≤ total/width per cell in
 expectation at each depth; the min over ``depth`` independent rows makes a
-large overestimate exponentially unlikely). For a 10¹¹-token corpus and a
-1‰ threshold, width 2¹⁷ keeps E[overestimate] ≈ 1.5 M ≪ the 10⁸ threshold —
-a few MB of driver memory replaces a full-cardinality shuffle.
+large overestimate exponentially unlikely). At the maximum width this
+implementation supports (2¹⁵ — one 60-bit hash yields four 15-bit derived
+hashes, see ``_cms_bucket``), a 10¹¹-token corpus gives E[overestimate]
+≈ 3 M per cell ≪ a 1‰ threshold of 10⁸ — ~1 MB of driver memory replaces
+a full-cardinality shuffle, and the gate expression stays a literal-array
+lookup Catalyst can codegen (the reason for the width cap: a wider sketch
+would need a broadcast join per depth instead of literals).
 """
 
 from __future__ import annotations
@@ -73,6 +77,31 @@ def count_min_sketch(
     )
 
 
+def estimate_expr(
+    table: list[list[int]], key: F.Column, width: int, depth: int
+) -> F.Column:
+    """The map-side CMS estimate of ``key`` against a collected sketch:
+    min over depths of a literal-array lookup. Shared by the batch gate
+    (:func:`cms_heavy_hitters`) and the streaming serving path
+    (``streaming/sketch_stream.estimate_counts``)."""
+    ests = [
+        F.coalesce(
+            F.element_at(F.lit(table[d]), _cms_bucket(key, d, width) + 1),
+            F.lit(0),
+        )
+        for d in range(depth)
+    ]
+    return F.least(*ests) if depth > 1 else ests[0]
+
+
+def sketch_table(rows, width: int, depth: int) -> list[list[int]]:
+    """Collected (d, bucket, cnt) rows → dense per-depth counter arrays."""
+    table = [[0] * width for _ in range(depth)]
+    for r in rows:
+        table[r["d"]][r["bucket"]] = r["cnt"]
+    return table
+
+
 def merge_sketches(a: DataFrame, b: DataFrame) -> DataFrame:
     """Cell-wise sum of two same-geometry sketches (the mergeability that
     makes CMS a distributed-systems primitive: per-shard sketches roll up
@@ -104,21 +133,13 @@ def cms_heavy_hitters(
     (``cnt·1000 ≥ permille·total``) keeps the comparison engine-exact.
     """
     key = F.col(key_col)
-    sk = count_min_sketch(df, key_col, width=width, depth=depth)
-    rows = sk.collect()
-    table = [[0] * width for _ in range(depth)]
-    for r in rows:
-        table[r["d"]][r["bucket"]] = r["cnt"]
+    table = sketch_table(
+        count_min_sketch(df, key_col, width=width, depth=depth).collect(),
+        width,
+        depth,
+    )
     total = sum(table[0])
-
-    ests = [
-        F.coalesce(
-            F.element_at(F.lit(table[d]), _cms_bucket(key, d, width) + 1),
-            F.lit(0),
-        )
-        for d in range(depth)
-    ]
-    est = F.least(*ests) if depth > 1 else ests[0]
+    est = estimate_expr(table, key, width, depth)
     candidates = df.filter(est * 1000 >= threshold_permille * total)
     return (
         candidates.groupBy(key.alias(key_col))

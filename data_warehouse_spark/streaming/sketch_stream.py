@@ -131,19 +131,9 @@ def estimate_counts(
     """Frequency estimate for each requested key from the stored sketch —
     map-side literal lookups against the merged cells (the serving path:
     no stream scan, no join). Estimates are ≥ the true stream counts."""
-    rows = served_sketch(store).collect()
-    table = [[0] * width for _ in range(depth)]
-    for r in rows:
-        table[r["d"]][r["bucket"]] = r["cnt"]
+    table = sketches.sketch_table(served_sketch(store).collect(), width, depth)
     key = F.col(key_col)
-    ests = [
-        F.coalesce(
-            F.element_at(F.lit(table[d]), sketches._cms_bucket(key, d, width) + 1),
-            F.lit(0),
-        )
-        for d in range(depth)
-    ]
-    est = F.least(*ests) if depth > 1 else ests[0]
+    est = sketches.estimate_expr(table, key, width, depth)
     return keys.select(key, est.cast("long").alias("estimated_count"))
 
 
