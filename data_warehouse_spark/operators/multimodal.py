@@ -99,6 +99,24 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     return width, height, channels, emb
 
 
+def _fake_audio_header(raw: bytes) -> tuple[int, int]:
+    """(sample_rate, n_samples) parsed WAV/FLAC-style from the header bytes —
+    the single source of truth for the fake audio codec (used by both
+    :func:`extract_audio_features` and :func:`extract_media_metadata`)."""
+    p = raw + bytes(8)
+    rate = 8000 * (1 + p[4] % 6)
+    n_samples = max(len(raw) - 4, 0) * 4
+    return rate, n_samples
+
+
+def _fake_frame_count(raw: bytes, max_frames: int) -> int:
+    """How many frames the fake video codec yields for a payload — the
+    single source of truth shared by :func:`sample_frames` (which
+    materializes that many frame payloads) and the fused metadata sweep
+    (which only counts)."""
+    return min(max_frames, max(1, len(raw) // 32))
+
+
 def media_from_documents(documents: DataFrame) -> DataFrame:
     """Deterministic media fixture derived from the ``documents`` table: an
     opaque binary payload (bytes of a repeated md5 digest) plus typed
@@ -176,10 +194,9 @@ def sample_frames(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def frames_of(raw: bytes) -> list[bytes]:
-            n = min(max_frames, max(1, len(raw) // 32))
             return [
                 hashlib.sha256(raw + f_no.to_bytes(4, "big")).digest()
-                for f_no in range(n)
+                for f_no in range(_fake_frame_count(raw, max_frames))
             ]
 
         if decode == "real":
@@ -248,11 +265,7 @@ def extract_audio_features(media: DataFrame, decode: str = "fake") -> DataFrame:
         raise ValueError("decode must be 'fake' or 'real'")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def decode_one(raw: bytes) -> tuple[int, int]:
-            p = raw + bytes(8)
-            rate = 8000 * (1 + p[4] % 6)
-            n_samples = max(len(raw) - 4, 0) * 4
-            return rate, n_samples
+        decode_one = _fake_audio_header
 
         if decode == "real":
             sf = _require("soundfile", "audio decode")
@@ -394,9 +407,7 @@ def extract_media_metadata(
                 ]
 
             def audio_metrics(raw: bytes) -> list[tuple[str, int]]:
-                p = raw + bytes(8)
-                rate = 8000 * (1 + p[4] % 6)
-                n_samples = max(len(raw) - 4, 0) * 4
+                rate, n_samples = _fake_audio_header(raw)
                 return [
                     ("sample_rate", rate), ("n_samples", n_samples),
                     ("duration_ms", n_samples * 1000 // rate),
@@ -404,7 +415,7 @@ def extract_media_metadata(
                 ]
 
             def video_metrics(raw: bytes) -> list[tuple[str, int]]:
-                return [("n_frames", min(max_frames, max(1, len(raw) // 32)))]
+                return [("n_frames", _fake_frame_count(raw, max_frames))]
         else:
             import io
 
@@ -452,5 +463,10 @@ def extract_media_metadata(
                     out["value"].append(value)
             yield pd.DataFrame(out)
 
-    pruned = media.select("media_id", "kind", "payload")
+    # unknown kinds are skipped the same way the per-kind operators'
+    # kind == ... filters skip them — pushed to the scan, not a Python
+    # KeyError mid-job
+    pruned = media.filter(
+        F.col("kind").isin(list(("image", "audio", "video")))
+    ).select("media_id", "kind", "payload")
     return pruned.mapInPandas(batches, MEDIA_METADATA_SCHEMA)

@@ -71,7 +71,11 @@ def count_min_sketch(
     key = F.col(key_col)
     cells = F.array(*[_cms_bucket(key, d, width) for d in range(depth)])
     return (
-        df.select(F.posexplode(cells).alias("d", "bucket"))
+        # NULL keys are excluded throughout the sketch family (a NULL key
+        # hashes to NULL, which is not a bucket): COUNT-over-non-null
+        # semantics, matching every oracle's WHERE key IS NOT NULL shape
+        df.filter(key.isNotNull())
+        .select(F.posexplode(cells).alias("d", "bucket"))
         .groupBy("d", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -129,8 +133,11 @@ def cms_heavy_hitters(
     rows whose estimate clears the threshold (superset of the truth by the
     one-sided bound), then exact-counts only the survivors. The final
     HAVING filter re-applies the threshold on true counts, so the output is
-    exactly the plain groupBy-HAVING answer; integer cross-multiplication
-    (``cnt·1000 ≥ permille·total``) keeps the comparison engine-exact.
+    exactly the plain groupBy-HAVING answer over NON-NULL keys (NULL keys
+    are excluded by the sketch family — a NULL estimate fails the gate, and
+    :func:`count_min_sketch` drops them from the totals symmetrically);
+    integer cross-multiplication (``cnt·1000 ≥ permille·total``) keeps the
+    comparison engine-exact.
     """
     key = F.col(key_col)
     table = sketch_table(

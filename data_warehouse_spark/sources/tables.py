@@ -418,15 +418,20 @@ class TableStore:
                 pvals = doomed.select(*pcols).distinct().collect()
                 if 0 < len(pvals) <= MAX_PRUNE_PARTITIONS:
                     return self._delete_partitions(name, doomed, keys, pcols, pvals)
-            current = self.read(name)
-            kept = current.join(
-                F.broadcast(doomed), self._key_cond(current, doomed, keys), "left_anti"
-            )
-            n_total = current.count()
-            n_kept = kept.count()
-            if n_kept == n_total:
-                return 0  # nothing matched: don't churn a new version
-            self.overwrite(name, kept)
+            current = self.read(name).cache()
+            try:
+                kept = current.join(
+                    F.broadcast(doomed),
+                    self._key_cond(current, doomed, keys),
+                    "left_anti",
+                )
+                n_total = current.count()
+                n_kept = kept.count()
+                if n_kept == n_total:
+                    return 0  # nothing matched: don't churn a new version
+                self.overwrite(name, kept)
+            finally:
+                current.unpersist()
             return n_total - n_kept
         finally:
             doomed.unpersist()
@@ -476,13 +481,16 @@ class TableStore:
         exactly as before."""
         if not self.exists(name):
             return 0
-        current = self.read(name)
-        kept = current.filter(~condition | condition.isNull())
-        n_total = current.count()
-        n_kept = kept.count()
-        if n_kept == n_total:
-            return 0
-        self.overwrite(name, kept)
+        current = self.read(name).cache()
+        try:
+            kept = current.filter(~condition | condition.isNull())
+            n_total = current.count()
+            n_kept = kept.count()
+            if n_kept == n_total:
+                return 0
+            self.overwrite(name, kept)
+        finally:
+            current.unpersist()
         return n_total - n_kept
 
     def _upsert_full(self, name: str, fresh: DataFrame, keys: list[str]) -> tuple[int, int]:

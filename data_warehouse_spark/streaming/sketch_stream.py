@@ -154,13 +154,18 @@ def compact_epochs(store: TableStore) -> int:
     folded = [e for e in epochs if e != BASE_EPOCH]
     if not folded:
         return 0
+    # watermark FIRST, fold second — safe in both crash orders: a crash
+    # after the watermark but before the fold leaves the epochs in place
+    # (serving still sums them; replays of those epochs are skipped, which
+    # is correct because their cells are still counted; the next compaction
+    # re-runs the fold). The reverse order would open a window where a
+    # folded epoch's replay re-inserts and double-counts.
+    meta = store.spark.createDataFrame(
+        [("compacted_through", int(max(folded)))], schema=_META_SCHEMA
+    )
+    store.overwrite(CMS_META_TABLE, meta)
     base = cells.groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt")).select(
         F.lit(BASE_EPOCH).cast("long").alias("epoch"), "d", "bucket", "cnt"
     )
     store.overwrite(CMS_EPOCHS_TABLE, base)
-    hw = max(folded)
-    meta = store.spark.createDataFrame(
-        [("compacted_through", int(hw))], schema=_META_SCHEMA
-    )
-    store.overwrite(CMS_META_TABLE, meta)
     return len(folded)

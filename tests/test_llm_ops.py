@@ -957,10 +957,9 @@ def test_fused_media_metadata_matches_per_kind_operators(spark):
 
     docs = cat.load_table(spark, SF_DIR, "documents")
     media = multimodal.media_from_documents(docs)
-    fused = {
-        (r["media_id"], r["metric"]): r["value"]
-        for r in multimodal.extract_media_metadata(media).collect()
-    }
+    fused_rows = multimodal.extract_media_metadata(media).collect()
+    fused = {(r["media_id"], r["metric"]): r["value"] for r in fused_rows}
+    assert len(fused_rows) == len(fused)  # no duplicate (media, metric) rows
     img = multimodal.extract_image_features(media).collect()
     for r in img:
         for m in ("width", "height", "channels", "n_bytes"):
@@ -978,3 +977,7 @@ def test_fused_media_metadata_matches_per_kind_operators(spark):
     assert vid
     for r in vid:
         assert fused[(r["media_id"], "n_frames")] == r["count"], r["media_id"]
+    # and nothing more: the fused sweep emits exactly 4 metrics per image,
+    # 4 per audio, 1 per video — no duplicate or stray rows hiding behind
+    # the dict (the subset checks above alone would not catch them)
+    assert len(fused) == 4 * len(img) + 4 * len(aud) + len(vid)
