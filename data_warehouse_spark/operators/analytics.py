@@ -877,3 +877,34 @@ def sole_supplier_orders(
         .orderBy(F.desc("n_sole_orders"), "s_suppkey")
         .limit(k)
     )
+
+
+# --- monitoring: integer-exact z-score anomalies ------------------------------
+def anomalous_hours(events: DataFrame, z_x100: int = 300) -> DataFrame:
+    """Hours whose event count sits more than z standard deviations from
+    the event type's hourly mean — the data-quality tripwire over a rollup.
+
+    INTEGER-EXACT: ``|c − S/N| > z·σ`` cross-multiplies to
+    ``100²·(N·c − S)² > z₁₀₀²·(N·Σc² − S²)`` — counts, sums and squares are
+    BIGINTs, so the flag is bit-identical across engines (no float mean or
+    stddev). Two aggregations: the hourly grain (one shuffle over events)
+    and the tiny per-type moment rollup, broadcast back onto the hours.
+    Both tails flag (the square covers spikes and dips); types with a
+    single observed hour have zero variance evidence and are skipped.
+    """
+    hr = events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    st = hr.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    dev = F.col("n") * F.col("c") - F.col("s")
+    var_num = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    return (
+        hr.join(F.broadcast(st), "event_type")
+        .filter((F.col("n") >= 2) & (F.lit(10000) * dev * dev > z_x100 * z_x100 * var_num))
+        .select("event_type", "hour", F.col("c").alias("n_events"))
+        .orderBy("event_type", "hour")
+    )

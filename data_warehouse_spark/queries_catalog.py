@@ -1000,7 +1000,20 @@ def _orders_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
          FROM daily
          WINDOW w AS (PARTITION BY event_type
                       ORDER BY date_diff('day', DATE '1970-01-01', day)
-                      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+                      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)),
+       hr AS (
+         SELECT event_type, date_trunc('hour', ts) AS hour,
+                CAST(count(*) AS BIGINT) AS c
+         FROM events GROUP BY 1, 2),
+       st AS (
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                CAST(SUM(c) AS BIGINT) AS s, CAST(SUM(c * c) AS BIGINT) AS ss
+         FROM hr GROUP BY 1),
+       an AS (
+         SELECT hr.event_type, strftime(hour, '%Y-%m-%d %H') AS hour, c
+         FROM hr JOIN st USING (event_type)
+         WHERE n >= 2
+           AND 10000 * (n * c - s) * (n * c - s) > 300 * 300 * (n * ss - s * s))
        SELECT * FROM (
          SELECT 'pivot' AS src, CAST(user_id AS VARCHAR) AS key,
                 'n_click' AS metric, n_click AS value FROM pv
@@ -1014,13 +1027,17 @@ def _orders_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 'rolling_events', rolling_events FROM roll
          UNION ALL SELECT 'rolling', event_type || '/' || day,
                 'rolling_value_cents', rolling_value_cents FROM roll
+         UNION ALL SELECT 'anomaly', event_type || '/' || hour,
+                'n_events', c FROM an
        ) ORDER BY src, key, metric""",
     "static-schema pivot + distinct-user counts (exact value-checked; HLL++ "
     "approximate count checked as a ≤15% relative-error PROPERTY) + "
     "RANGE-frame trailing-7-day moving aggregates over the daily grain "
     "(gap-correct calendar windows — the semantics ROWS frames get wrong "
-    "on sparse days), melted long — three windows.py operators run and "
-    "value-check in one entry",
+    "on sparse days) + integer-exact 3-sigma hourly anomaly flags (the "
+    "z-score comparison cross-multiplied into BIGINT algebra — no float "
+    "mean/stddev crosses the engine boundary), melted long — four "
+    "operators run and value-check in one entry",
 )
 def _events_shapes_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = cat.load_table(spark, sf_dir, "events")
@@ -1068,7 +1085,20 @@ def _events_shapes_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unpivot(["key"], ["rolling_events", "rolling_value_cents"], "metric", "value")
         .select(F.lit("rolling").alias("src"), "key", "metric", "value")
     )
-    return pv.unionByName(d).unionByName(roll).orderBy("src", "key", "metric")
+    an = analytics.anomalous_hours(events).select(
+        F.lit("anomaly").alias("src"),
+        F.concat_ws(
+            "/", "event_type", F.date_format("hour", "yyyy-MM-dd HH")
+        ).alias("key"),
+        F.lit("n_events").alias("metric"),
+        F.col("n_events").cast("bigint").alias("value"),
+    )
+    return (
+        pv.unionByName(d)
+        .unionByName(roll)
+        .unionByName(an)
+        .orderBy("src", "key", "metric")
+    )
 
 
 def _neardup_clusters_oracle() -> str:
