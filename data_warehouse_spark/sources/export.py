@@ -110,3 +110,155 @@ def read_jsonl_quarantine(
         F.col(CORRUPT_COL).alias("raw_line")
     )
     return good, bad
+
+
+# --- WebDataset-style tar shards ---------------------------------------------
+# The training-loader handoff format for multimodal corpora (Beaumont et
+# al.'s webdataset convention, used by img2dataset / OpenCLIP pipelines):
+# N tar files, each sample a group of files sharing a key stem —
+# "<key>.txt", "<key>.jpg", "<key>.json" — so a loader streams samples
+# sequentially with zero random I/O. The tar layer is plain Python (an
+# I/O-bound sink, not a compute path); everything upstream stays
+# DataFrame-distributed and each task writes exactly one shard.
+
+WDS_MANIFEST = "_wds_manifest.json"
+
+
+def export_webdataset(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    n_shards: int | None = None,
+    shard_by: str | None = None,
+) -> int:
+    """Write ``df`` as WebDataset tar shards + manifest; returns row count.
+
+    Every non-key column becomes one file per sample: BinaryType bytes
+    verbatim (name the column with its extension — ``jpg``, ``wav``),
+    StringType as UTF-8, anything else JSON-encoded under
+    ``<column>.json``. ``shard_by`` gives deterministic key→shard
+    placement (resumable consumers); plain ``n_shards`` round-robins for
+    size balance. Shard files are byte-reproducible: rows sorted by key
+    within each shard, tar metadata (mtime/uid/gid) zeroed — re-exports of
+    the same data produce identical bytes (and a retried task overwrites
+    its own shard idempotently).
+
+    Executors write ``shard-<id>.tar`` directly under ``path`` — on a
+    cluster that path must be shared storage (object-store mount / NFS),
+    the same contract as every file sink here.
+    """
+    import tarfile
+
+    fields = [(f.name, f.dataType.typeName()) for f in df.schema.fields]
+    if key_col not in [n for n, _ in fields]:
+        raise ValueError(f"key_col {key_col!r} not in DataFrame columns")
+    components = [(n, t) for n, t in fields if n != key_col]
+    os.makedirs(path, exist_ok=True)
+
+    out = df
+    if shard_by is not None:
+        out = out.repartition(n_shards or 1, F.col(shard_by))
+    elif n_shards is not None:
+        out = out.repartition(n_shards)
+    out = out.sortWithinPartitions(key_col)
+
+    def write_shard(idx: int, rows) -> list[int]:
+        shard = os.path.join(path, f"shard-{idx:05d}.tar")
+        n = 0
+        with tarfile.open(shard + ".tmp", "w") as tar:
+            for row in rows:
+                key = str(row[key_col])
+                for name, kind in components:
+                    v = row[name]
+                    if v is None:
+                        continue
+                    if kind == "binary":
+                        data = bytes(v)
+                        fname = f"{key}.{name}"
+                    elif kind == "string":
+                        data = v.encode("utf-8")
+                        fname = f"{key}.{name}"
+                    else:
+                        data = json.dumps(v, default=str).encode("utf-8")
+                        fname = f"{key}.{name}.json"
+                    info = tarfile.TarInfo(fname)
+                    info.size = len(data)
+                    info.mtime = 0
+                    import io as _io
+
+                    tar.addfile(info, _io.BytesIO(data))
+                n += 1
+        if n == 0:
+            os.remove(shard + ".tmp")
+        else:
+            os.replace(shard + ".tmp", shard)  # atomic: retries overwrite
+        return [n]
+
+    counts = out.rdd.mapPartitionsWithIndex(write_shard).collect()
+    total = int(sum(counts))
+    with open(os.path.join(path, WDS_MANIFEST), "w") as f:
+        json.dump(
+            {
+                "rows": total,
+                "key": key_col,
+                "components": [n for n, _ in components],
+                "shards": sum(1 for c in counts if c),
+            },
+            f,
+        )
+    return total
+
+
+WDS_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.StringType(), False),
+        T.StructField("key", T.StringType(), False),
+        T.StructField("component", T.StringType(), False),
+        T.StructField("content", T.BinaryType(), False),
+    ]
+)
+
+
+def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
+    """Read tar shards back as long-format samples
+    (shard, key, component, content) — one row per member file.
+
+    Each tar is one ``binaryFile`` row fanned out by an Arrow-batched
+    ``mapInPandas`` (a tar cannot be split mid-stream — the shard is the
+    parallelism unit, exactly the property the format is built around).
+    Component names strip the trailing ``.json`` marker the writer added
+    for JSON-encoded columns; reassembly to wide rows is a
+    ``groupBy(key).pivot(component)`` away when the consumer wants it.
+    """
+    import tarfile
+
+    def parse(batches):
+        import io as _io
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"shard": [], "key": [], "component": [], "content": []}
+            for p, raw in zip(pdf["path"], pdf["content"]):
+                shard = os.path.basename(p)
+                with tarfile.open(fileobj=_io.BytesIO(bytes(raw))) as tar:
+                    for m in tar.getmembers():
+                        if not m.isfile():
+                            continue
+                        stem = m.name
+                        if stem.endswith(".json"):
+                            stem = stem[: -len(".json")]
+                        key, _, comp = stem.rpartition(".")
+                        out["shard"].append(shard)
+                        out["key"].append(key)
+                        out["component"].append(comp)
+                        out["content"].append(tar.extractfile(m).read())
+            yield pd.DataFrame(out)
+
+    blobs = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.tar")
+        .load(path)
+        .select("path", "content")
+    )
+    return blobs.mapInPandas(parse, WDS_SAMPLE_SCHEMA)
