@@ -287,3 +287,33 @@ def test_delete_where_predicate_and_null_semantics(spark, tmp_path):
     assert store._resolve("t") == vdir
     # survivors keep the declared hive partitioning
     assert _part_files(store, "t", "tenant=A")
+
+
+def test_diff_previous_tags_inserts_updates_deletes(spark, tmp_path):
+    """Snapshot-diff CDC: the last write's effect as insert/delete row
+    images (an update = delete of the old image + insert of the new)."""
+    store = _store(spark, tmp_path)
+    store.merge_insert_missing(
+        "t", _rows(spark, [("A", "x", 1), ("B", "x", 1)]), ["tenant", "name"]
+    )
+    assert store.diff_previous("t") is None  # first write: nothing to diff
+
+    store.merge_upsert(
+        "t", _rows(spark, [("A", "x", 2), ("C", "q", 7)]), ["tenant", "name"]
+    )
+    changes = {
+        (r["_change"], r["tenant"], r["name"], r["v"])
+        for r in store.diff_previous("t").collect()
+    }
+    assert changes == {
+        ("delete", "A", "x", 1),  # old image of the update
+        ("insert", "A", "x", 2),  # new image of the update
+        ("insert", "C", "q", 7),  # genuine insert; untouched B absent
+    }
+
+    store.merge_delete("t", _rows(spark, [("B", "x", 0)]), ["tenant", "name"])
+    changes = {
+        (r["_change"], r["tenant"], r["name"])
+        for r in store.diff_previous("t").collect()
+    }
+    assert changes == {("delete", "B", "x")}
