@@ -885,12 +885,17 @@ def anomalous_hours(events: DataFrame, z_x100: int = 300) -> DataFrame:
     the event type's hourly mean — the data-quality tripwire over a rollup.
 
     INTEGER-EXACT: ``|c − S/N| > z·σ`` cross-multiplies to
-    ``100²·(N·c − S)² > z₁₀₀²·(N·Σc² − S²)`` — counts, sums and squares are
-    BIGINTs, so the flag is bit-identical across engines (no float mean or
-    stddev). Two aggregations: the hourly grain (one shuffle over events)
-    and the tiny per-type moment rollup, broadcast back onto the hours.
-    Both tails flag (the square covers spikes and dips); types with a
-    single observed hour have zero variance evidence and are skipped.
+    ``100²·(N·c − S)² > z₁₀₀²·(N·Σc² − S²)`` — no float mean or stddev
+    crosses an engine boundary. The squared terms are compared in
+    DECIMAL(38,0) (DuckDB twin: HUGEINT): ``N·c`` is hours×count, so its
+    square overflows 64 bits at realistic volumes (~10⁹ deviation units),
+    and Spark's non-ANSI BIGINT would wrap silently while DuckDB errors —
+    the 38-digit domain keeps the flag bit-identical up to ~10¹⁷ deviation
+    units, far past any hourly-count magnitude. Two aggregations: the
+    hourly grain (one shuffle over events) and the tiny per-type moment
+    rollup, broadcast back onto the hours. Both tails flag (the square
+    covers spikes and dips); types with a single observed hour have zero
+    variance evidence and are skipped.
     """
     hr = events.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
@@ -900,11 +905,16 @@ def anomalous_hours(events: DataFrame, z_x100: int = 300) -> DataFrame:
         F.sum("c").alias("s"),
         F.sum(F.col("c") * F.col("c")).alias("ss"),
     )
-    dev = F.col("n") * F.col("c") - F.col("s")
-    var_num = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    # widen BEFORE the first multiply — an inner BIGINT product would have
+    # already wrapped by the time an outer cast saw it
+    wide = "decimal(38,0)"
+    dev = F.col("n").cast(wide) * F.col("c") - F.col("s")
+    var_num = F.col("n").cast(wide) * F.col("ss") - F.col("s").cast(wide) * F.col("s")
+    lhs = F.lit(10000).cast(wide) * dev * dev
+    rhs = F.lit(z_x100 * z_x100).cast(wide) * var_num
     return (
         hr.join(F.broadcast(st), "event_type")
-        .filter((F.col("n") >= 2) & (F.lit(10000) * dev * dev > z_x100 * z_x100 * var_num))
+        .filter((F.col("n") >= 2) & (lhs > rhs))
         .select("event_type", "hour", F.col("c").alias("n_events"))
         .orderBy("event_type", "hour")
     )

@@ -1013,7 +1013,8 @@ def _orders_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
          SELECT hr.event_type, strftime(hour, '%Y-%m-%d %H') AS hour, c
          FROM hr JOIN st USING (event_type)
          WHERE n >= 2
-           AND 10000 * (n * c - s) * (n * c - s) > 300 * 300 * (n * ss - s * s))
+           AND 10000 * (CAST(n AS HUGEINT) * c - s) * (CAST(n AS HUGEINT) * c - s)
+             > 90000 * (CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s))
        SELECT * FROM (
          SELECT 'pivot' AS src, CAST(user_id AS VARCHAR) AS key,
                 'n_click' AS metric, n_click AS value FROM pv

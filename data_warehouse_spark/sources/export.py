@@ -16,8 +16,10 @@ schema inference is a full extra pass at 100 TB.
 
 from __future__ import annotations
 
+import io
 import json
 import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -28,6 +30,20 @@ from pyspark.sql import types as T
 MANIFEST = "_manifest.json"
 
 
+def _reshard(
+    df: DataFrame, n_shards: int | None, shard_by: str | None
+) -> DataFrame:
+    """The one shared sharding contract for every export sink here:
+    ``shard_by`` hash-partitions on the key (deterministic key→shard
+    placement; single shard when ``n_shards`` is omitted), plain
+    ``n_shards`` round-robins for size balance, neither = input layout."""
+    if shard_by is not None:
+        return df.repartition(n_shards or 1, F.col(shard_by))
+    if n_shards is not None:
+        return df.repartition(n_shards)
+    return df
+
+
 def export_jsonl(
     df: DataFrame,
     path: str,
@@ -36,11 +52,7 @@ def export_jsonl(
     compression: str | None = None,
 ) -> int:
     """Write ``df`` as sharded JSONL + manifest; returns the row count."""
-    out = df
-    if shard_by is not None:
-        out = out.repartition(n_shards or 1, F.col(shard_by))
-    elif n_shards is not None:
-        out = out.repartition(n_shards)
+    out = _reshard(df, n_shards, shard_by)
     writer = out.write.mode("overwrite")
     if compression:
         writer = writer.option("compression", compression)
@@ -153,19 +165,32 @@ def export_webdataset(
     if key_col not in [n for n, _ in fields]:
         raise ValueError(f"key_col {key_col!r} not in DataFrame columns")
     components = [(n, t) for n, t in fields if n != key_col]
+    for n, t in components:
+        # a string/binary column named "json" would write "<key>.json" —
+        # indistinguishable on read from the writer's own JSON-encoding
+        # suffix. Refuse up front instead of mangling the round trip.
+        if n == "json" and t in ("binary", "string"):
+            raise ValueError(
+                "a string/binary component named 'json' collides with the "
+                "JSON-encoding suffix; rename the column (e.g. 'meta')"
+            )
     os.makedirs(path, exist_ok=True)
+    # a re-export is a full replace, like every overwrite-mode sink: stale
+    # shards from a previous (larger) export must not survive to be read
+    for f in os.listdir(path):
+        if f.endswith(".tar") or ".tar.tmp-" in f or f == WDS_MANIFEST:
+            os.remove(os.path.join(path, f))
 
-    out = df
-    if shard_by is not None:
-        out = out.repartition(n_shards or 1, F.col(shard_by))
-    elif n_shards is not None:
-        out = out.repartition(n_shards)
-    out = out.sortWithinPartitions(key_col)
+    out = _reshard(df, n_shards, shard_by).sortWithinPartitions(key_col)
 
     def write_shard(idx: int, rows) -> list[int]:
         shard = os.path.join(path, f"shard-{idx:05d}.tar")
+        # per-ATTEMPT temp name: concurrent speculative/zombie attempts each
+        # write their own file; whichever os.replace lands last publishes a
+        # complete tar (same-path .tmp would interleave two writers)
+        tmp = f"{shard}.tmp-{uuid.uuid4().hex[:8]}"
         n = 0
-        with tarfile.open(shard + ".tmp", "w") as tar:
+        with tarfile.open(tmp, "w") as tar:
             for row in rows:
                 key = str(row[key_col])
                 for name, kind in components:
@@ -184,14 +209,12 @@ def export_webdataset(
                     info = tarfile.TarInfo(fname)
                     info.size = len(data)
                     info.mtime = 0
-                    import io as _io
-
-                    tar.addfile(info, _io.BytesIO(data))
+                    tar.addfile(info, io.BytesIO(data))
                 n += 1
         if n == 0:
-            os.remove(shard + ".tmp")
+            os.remove(tmp)
         else:
-            os.replace(shard + ".tmp", shard)  # atomic: retries overwrite
+            os.replace(tmp, shard)  # atomic publish
         return [n]
 
     counts = out.rdd.mapPartitionsWithIndex(write_shard).collect()
@@ -233,15 +256,13 @@ def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
     import tarfile
 
     def parse(batches):
-        import io as _io
-
         import pandas as pd
 
         for pdf in batches:
             out = {"shard": [], "key": [], "component": [], "content": []}
             for p, raw in zip(pdf["path"], pdf["content"]):
                 shard = os.path.basename(p)
-                with tarfile.open(fileobj=_io.BytesIO(bytes(raw))) as tar:
+                with tarfile.open(fileobj=io.BytesIO(bytes(raw))) as tar:
                     for m in tar.getmembers():
                         if not m.isfile():
                             continue

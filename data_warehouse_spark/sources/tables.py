@@ -397,17 +397,28 @@ class TableStore:
             fresh.unpersist()
 
     def diff_previous(self, name: str) -> DataFrame | None:
-        """Change-data-capture between the retained snapshots: every row
-        added or removed by the last write, tagged ``_change`` =
-        'insert' | 'delete' (an update surfaces as delete+insert of the
-        row images — the Delta CDF convention without a change log).
+        """Change-data-capture between the two retained SNAPSHOTS: every
+        row added or removed across the last version swap, tagged
+        ``_change`` = 'insert' | 'delete' (an update surfaces as
+        delete+insert of the row images — the Delta CDF convention without
+        a change log).
+
+        Snapshot granularity, precisely: overwrite / merge_upsert /
+        merge_delete / compact each swap a version, so their effect is one
+        diff. :meth:`merge_insert_missing` appends part files INTO the
+        current version without a swap — those rows become visible in the
+        diff only at the next swap (and a compaction right after an append
+        diffs empty, correctly: compaction rewrites files, not rows). For
+        per-append change capture use the sink's own return value (the
+        inserted count) or an epoch/provenance column, as the streaming
+        sinks here do.
 
         Returns None when no previous snapshot exists. Implementation is
         symmetric ``exceptAll`` over the two snapshots — exact on
         duplicate rows too. Scale note: this is the snapshot-diff
         FALLBACK for auditing/backfill; a hot 100 TB pipeline should
-        capture changes at MERGE time (the sinks already return
-        inserted/updated counts) rather than diff two full table scans.
+        capture changes at MERGE time rather than diff two full table
+        scans.
         """
         prev = self.read_previous(name)
         if prev is None:

@@ -170,3 +170,26 @@ def test_webdataset_manifest_counts(spark, tmp_path):
     assert set(m["components"]) == {"kind", "payload", "mime"}
     tars = [f for f in os.listdir(out) if f.endswith(".tar")]
     assert len(tars) == m["shards"] <= 4
+
+
+def test_webdataset_reexport_replaces_stale_shards(spark, tmp_path):
+    from data_warehouse_spark.sources import export as ex
+
+    big, small = _media_df(spark, 40), _media_df(spark, 6)
+    out = str(tmp_path / "wds")
+    ex.export_webdataset(big, out, key_col="media_id", n_shards=4)
+    n = ex.export_webdataset(small, out, key_col="media_id", n_shards=2)
+    # shards from the larger first export must not survive to be read
+    keys = {r["key"] for r in ex.read_webdataset(spark, out).collect()}
+    assert keys == {str(r["media_id"]) for r in small.collect()}
+    assert len(keys) == n == 6
+
+
+def test_webdataset_rejects_ambiguous_json_component(spark, tmp_path):
+    import pytest
+
+    from data_warehouse_spark.sources import export as ex
+
+    df = _media_df(spark, 5).withColumnRenamed("mime", "json")
+    with pytest.raises(ValueError, match="json"):
+        ex.export_webdataset(df, str(tmp_path / "w"), key_col="media_id")
