@@ -97,6 +97,31 @@ def status_priority_rollup(orders: DataFrame) -> DataFrame:
     )
 
 
+def status_priority_grouping_sets(orders: DataFrame) -> DataFrame:
+    """Explicit GROUPING SETS ((status), (priority)) with ``grouping_id`` —
+    the marginal cuts a ROLLUP cannot express (ROLLUP's lattice is strictly
+    hierarchical; the priority-only marginal needs an explicit set). One
+    shuffle with partial aggregation per set; ``gid`` disambiguates which
+    set a row belongs to exactly as SQL-standard GROUPING() does
+    (bit per column, rightmost column = bit 0)."""
+    return (
+        orders.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"]],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents("o_totalprice")).alias("total_cents"),
+            F.grouping_id().cast("bigint").alias("gid"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
 def event_type_pivot(events: DataFrame) -> DataFrame:
     """Pivot: one row per user, one count column per event type. Explicit
     pivot values keep the schema static (required for a 100 TB plan — an
@@ -179,3 +204,46 @@ def rolling_daily_activity(events: DataFrame, window_days: int = 7) -> DataFrame
         F.sum("n_events").over(w).alias("rolling_events"),
         F.sum("value_cents").over(w).alias("rolling_value_cents"),
     ).orderBy("event_type", "day")
+
+
+def densify_daily_activity(events: DataFrame) -> DataFrame:
+    """Gap-filled daily series per event type: every calendar day between
+    the type's first and last observation appears, missing days carry
+    ``n_events = 0`` and the FORWARD-FILLED last observed daily value sum.
+
+    The two window-function idioms this pins: grid DENSIFICATION (per-type
+    ``sequence(min_day, max_day)`` exploded — the calendar comes from an
+    aggregate + generator, never a driver loop) and FORWARD FILL
+    (``last(value, ignorenulls=True)`` over an unbounded-preceding frame).
+    Cost: the daily pre-aggregation shuffle, a broadcast of the tiny
+    per-type bounds, and one per-type window over |types|×|days| rows —
+    the fact is scanned once.
+    """
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+    )
+    bounds = daily.groupBy("event_type").agg(
+        F.min("day").alias("mn"), F.max("day").alias("mx")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.sequence("mn", "mx", F.expr("interval 1 day"))).alias("day"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+            F.last("value_cents", ignorenulls=True).over(w).alias("filled_value_cents"),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -919,7 +919,13 @@ def _asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
               quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5) AS p50_cents,
               quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.9) AS p90_cents,
               CAST(count(*) AS BIGINT) AS n_orders
-       FROM orders GROUP BY o_orderstatus)
+       FROM orders GROUP BY o_orderstatus),
+       gs AS (SELECT o_orderstatus, o_orderpriority,
+              CAST(count(*) AS BIGINT) AS n_orders,
+              CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                  AS total_cents,
+              CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+       FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority)))
        SELECT * FROM (
          SELECT 'rollup' AS src, o_orderstatus, o_orderpriority,
                 'n_orders' AS metric, CAST(n_orders AS DOUBLE) AS value FROM r
@@ -932,9 +938,21 @@ def _asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
          SELECT 'pctl', o_orderstatus, NULL, 'p90_cents', p90_cents FROM p
          UNION ALL
          SELECT 'pctl', o_orderstatus, NULL, 'n_orders', CAST(n_orders AS DOUBLE) FROM p
+         UNION ALL
+         SELECT 'gsets', o_orderstatus, o_orderpriority,
+                'n_orders', CAST(n_orders AS DOUBLE) FROM gs
+         UNION ALL
+         SELECT 'gsets', o_orderstatus, o_orderpriority,
+                'total_cents', CAST(total_cents AS DOUBLE) FROM gs
+         UNION ALL
+         SELECT 'gsets', o_orderstatus, o_orderpriority,
+                'gid', CAST(gid AS DOUBLE) FROM gs
        ) ORDER BY src, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST, metric""",
-    "hierarchical ROLLUP subtotals + exact type-7 percentiles on orders, "
-    "melted long — both windows.py operators run and value-check in one entry",
+    "hierarchical ROLLUP subtotals + exact type-7 percentiles + explicit "
+    "GROUPING SETS marginals with SQL-standard grouping_id (the "
+    "priority-only cut ROLLUP's hierarchical lattice cannot express), "
+    "melted long — three windows.py operators run and value-check in one "
+    "entry",
 )
 def _orders_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = cat.load_table(spark, sf_dir, "orders")
@@ -966,7 +984,34 @@ def _orders_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "value",
     )
-    return r.unionByName(p).orderBy("src", "o_orderstatus", "o_orderpriority", "metric")
+    gs = (
+        windows.status_priority_grouping_sets(orders)
+        .select(
+            "o_orderstatus",
+            "o_orderpriority",
+            F.col("n_orders").cast("double").alias("n_orders"),
+            F.col("total_cents").cast("double").alias("total_cents"),
+            F.col("gid").cast("double").alias("gid"),
+        )
+        .unpivot(
+            ["o_orderstatus", "o_orderpriority"],
+            ["n_orders", "total_cents", "gid"],
+            "metric",
+            "value",
+        )
+        .select(
+            F.lit("gsets").alias("src"),
+            "o_orderstatus",
+            "o_orderpriority",
+            "metric",
+            "value",
+        )
+    )
+    return (
+        r.unionByName(p)
+        .unionByName(gs)
+        .orderBy("src", "o_orderstatus", "o_orderpriority", "metric")
+    )
 
 
 @register(
@@ -1014,7 +1059,27 @@ def _orders_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
          FROM hr JOIN st USING (event_type)
          WHERE n >= 2
            AND 10000 * (CAST(n AS HUGEINT) * c - s) * (CAST(n AS HUGEINT) * c - s)
-             > 90000 * (CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s))
+             > 90000 * (CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s)),
+       dday AS (
+         SELECT event_type, CAST(ts AS DATE) AS day,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                    AS value_cents
+         FROM events GROUP BY 1, 2),
+       bounds AS (SELECT event_type, min(day) AS mn, max(day) AS mx
+                  FROM dday GROUP BY 1),
+       grid AS (
+         SELECT event_type,
+                CAST(unnest(generate_series(CAST(mn AS TIMESTAMP),
+                     CAST(mx AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+         FROM bounds),
+       dense AS (
+         SELECT g.event_type, strftime(g.day, '%Y-%m-%d') AS day,
+                CAST(coalesce(d.n_events, 0) AS BIGINT) AS n_events,
+                CAST(last_value(d.value_cents IGNORE NULLS) OVER (
+                     PARTITION BY g.event_type ORDER BY g.day
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS filled_value_cents
+         FROM grid g LEFT JOIN dday d USING (event_type, day))
        SELECT * FROM (
          SELECT 'pivot' AS src, CAST(user_id AS VARCHAR) AS key,
                 'n_click' AS metric, n_click AS value FROM pv
@@ -1030,15 +1095,21 @@ def _orders_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 'rolling_value_cents', rolling_value_cents FROM roll
          UNION ALL SELECT 'anomaly', event_type || '/' || hour,
                 'n_events', c FROM an
+         UNION ALL SELECT 'densify', event_type || '/' || day,
+                'n_events', n_events FROM dense
+         UNION ALL SELECT 'densify', event_type || '/' || day,
+                'filled_value_cents', filled_value_cents FROM dense
        ) ORDER BY src, key, metric""",
     "static-schema pivot + distinct-user counts (exact value-checked; HLL++ "
     "approximate count checked as a ≤15% relative-error PROPERTY) + "
     "RANGE-frame trailing-7-day moving aggregates over the daily grain "
     "(gap-correct calendar windows — the semantics ROWS frames get wrong "
     "on sparse days) + integer-exact 3-sigma hourly anomaly flags (the "
-    "z-score comparison cross-multiplied into BIGINT algebra — no float "
-    "mean/stddev crosses the engine boundary), melted long — four "
-    "operators run and value-check in one entry",
+    "z-score comparison cross-multiplied into DECIMAL(38,0)/HUGEINT — no "
+    "float mean/stddev crosses the engine boundary, no silent BIGINT "
+    "wrap) + calendar densification with forward fill (per-type "
+    "sequence-exploded day grid, last-observation-carried value), melted "
+    "long — five operators run and value-check in one entry",
 )
 def _events_shapes_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = cat.load_table(spark, sf_dir, "events")
@@ -1094,10 +1165,21 @@ def _events_shapes_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("n_events").alias("metric"),
         F.col("n_events").cast("bigint").alias("value"),
     )
+    dense = (
+        windows.densify_daily_activity(events)
+        .select(
+            F.concat_ws("/", "event_type", "day").alias("key"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.col("filled_value_cents").cast("bigint").alias("filled_value_cents"),
+        )
+        .unpivot(["key"], ["n_events", "filled_value_cents"], "metric", "value")
+        .select(F.lit("densify").alias("src"), "key", "metric", "value")
+    )
     return (
         pv.unionByName(d)
         .unionByName(roll)
         .unionByName(an)
+        .unionByName(dense)
         .orderBy("src", "key", "metric")
     )
 
