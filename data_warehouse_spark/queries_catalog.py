@@ -1708,6 +1708,16 @@ def _events_type_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
                 CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active_users
          FROM j WHERE week_offset <= 8
          GROUP BY cohort_day, week_offset
+       ),
+       pu AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+       eu AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error'),
+       so AS (
+         SELECT 'n_purchase_and_error' AS k,
+                CAST(count(*) AS BIGINT) AS v
+         FROM (SELECT user_id FROM pu INTERSECT SELECT user_id FROM eu)
+         UNION ALL
+         SELECT 'n_purchase_not_error', CAST(count(*) AS BIGINT)
+         FROM (SELECT user_id FROM pu EXCEPT SELECT user_id FROM eu)
        )
        SELECT * FROM (
          SELECT 'funnel' AS src, CAST(step AS VARCHAR) AS k1,
@@ -1715,12 +1725,17 @@ def _events_type_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
          UNION ALL
          SELECT 'retention', cohort_day, CAST(week_offset AS VARCHAR),
                 n_active_users FROM ret
+         UNION ALL
+         SELECT 'set_ops', k, NULL, v FROM so
        ) ORDER BY src, k1, k2""",
     "user-lifecycle analytics in one tagged union: ordered "
     "view→click→purchase funnel within 7 days (single-pass fold, "
     "integer-µs time math) + weekly retention triangle anchored on "
     "first-seen DATE (integer day-diff div 7 — no cross-engine "
-    "week-start semantics)",
+    "week-start semantics) + INTERSECT/EXCEPT user-set algebra "
+    "(purchasers∩erroring, purchasers∖erroring — Spark's native "
+    "intersect/exceptAll, the set-op physical paths the semi/anti joins "
+    "elsewhere don't exercise)",
 )
 def _events_lifecycle_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = cat.load_table(spark, sf_dir, "events")
@@ -1736,7 +1751,21 @@ def _events_lifecycle_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("week_offset").cast("string").alias("k2"),
         F.col("n_active_users").cast("bigint").alias("value"),
     )
-    return fun.unionByName(ret).orderBy("src", "k1", "k2")
+    pu = events.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    eu = events.filter(F.col("event_type") == "error").select("user_id").distinct()
+
+    def setop_row(label: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias("value")).select(
+            F.lit("set_ops").alias("src"),
+            F.lit(label).alias("k1"),
+            F.lit(None).cast("string").alias("k2"),
+            "value",
+        )
+
+    so = setop_row("n_purchase_and_error", pu.intersect(eu)).unionByName(
+        setop_row("n_purchase_not_error", pu.exceptAll(eu))
+    )
+    return fun.unionByName(ret).unionByName(so).orderBy("src", "k1", "k2")
 
 
 @register(
