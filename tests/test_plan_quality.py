@@ -437,3 +437,27 @@ def test_sole_supplier_orders_no_fact_self_join(spark):
     assert li_scans == 1, rep.text
     assert any("o_orderstatus" in f for f in rep.pushed_filters), rep.text
     assert rep.cartesian_products == 0, rep.text
+
+
+def test_rolling_and_densify_window_over_daily_grain_only(spark):
+    """Both calendar operators must window over the |types|x|days| daily
+    pre-aggregation — one scan of the fact, never a window over raw events."""
+    import re
+
+    from data_warehouse_spark.operators import windows
+
+    for op in (windows.rolling_daily_activity, windows.densify_daily_activity):
+        df = op(cat.load_table(spark, SF_DIR, "events"))
+        rep = plan_report(df)
+        assert len(re.findall(r"\(\d+\) Scan parquet", rep.text)) <= 2, rep.text
+        # the Window node consumes an Aggregate, not the scan directly
+        assert "Window" in rep.text and "HashAggregate" in rep.text, rep.text
+        assert rep.cartesian_products == 0, rep.text
+
+
+def test_anomalous_hours_moment_join_broadcast(spark):
+    df = analytics.anomalous_hours(cat.load_table(spark, SF_DIR, "events"))
+    rep = plan_report(df)
+    # the per-type moment table is tiny -> broadcast back onto the hours
+    assert rep.broadcast_joins >= 1, rep.text
+    assert rep.cartesian_products == 0, rep.text
