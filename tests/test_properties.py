@@ -204,3 +204,75 @@ def test_chunking_tiles_every_document(spark, texts, chunk_chars, overlap_frac):
         last = chunks[-1]
         assert last["pos"] + last["n_chars"] - 1 == len(t)
         assert all(1 <= c["n_chars"] <= chunk_chars for c in chunks)
+
+
+# --- TableStore MERGE verbs vs a dict model ----------------------------------
+
+_OPS = st.lists(
+    st.tuples(
+        st.sampled_from(["insert", "upsert", "delete"]),
+        st.lists(
+            st.tuples(
+                st.sampled_from(["A", "B", "C"]),      # tenant (partition)
+                st.sampled_from(["x", "y"]),           # name
+                st.integers(min_value=0, max_value=99),
+            ),
+            min_size=1,
+            max_size=4,
+            # a batch with duplicate PKs keeps an ARBITRARY row (documented
+            # dropDuplicates behavior) — keep batches unambiguous so the
+            # dict model is deterministic
+            unique_by=lambda r: (r[0], r[1]),
+        ),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(ops=_OPS)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_tablestore_merge_verbs_match_dict_model(spark, tmp_path_factory, ops):
+    """Any interleaving of insert-missing / upsert / delete batches must
+    leave the table exactly where the obvious dict model lands: the MERGE
+    verbs are the reference semantics (ON CONFLICT DO NOTHING / DO
+    UPDATE / WHEN MATCHED DELETE), partition copy-on-write and version
+    swaps are implementation detail the model must not observe."""
+    from pyspark.sql import types as T
+
+    from data_warehouse_spark.sources.tables import TableStore
+
+    schema = T.StructType(
+        [
+            T.StructField("tenant", T.StringType(), False),
+            T.StructField("name", T.StringType(), False),
+            T.StructField("v", T.IntegerType(), False),
+        ]
+    )
+    root = str(tmp_path_factory.mktemp("props-store"))
+    store = TableStore(spark, root, {"t": schema}, partitions={"t": ["tenant"]})
+    model: dict[tuple[str, str], int] = {}
+
+    for verb, rows in ops:
+        batch = spark.createDataFrame(rows, schema)
+        seen = {(t, n): v for t, n, v in rows}  # PKs unique per batch
+        if verb == "insert":
+            store.merge_insert_missing("t", batch, ["tenant", "name"])
+            for k, v in seen.items():
+                model.setdefault(k, v)
+        elif verb == "upsert":
+            store.merge_upsert("t", batch, ["tenant", "name"])
+            model.update(seen)
+        else:
+            store.merge_delete("t", batch, ["tenant", "name"])
+            for k in seen:
+                model.pop(k, None)
+
+    got = {
+        (r["tenant"], r["name"]): r["v"] for r in store.read("t").collect()
+    } if store.exists("t") else {}
+    assert got == model
