@@ -28,3 +28,23 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0 and df.schema is not None
     assert set(mod.oracle_sql()) <= set(mod.queries())
+
+
+def test_catalog_queries_cache_only_the_ivf_index_and_release_on_evict(spark):
+    """The r2 persist-leak regression pin: multi-branch pipelines reuse
+    intermediates via storage_checkpoint (files), never persist() — a
+    long-lived server running catalog queries must not accumulate executor
+    cache. The ONE allowed cached artifact is the session-scoped IVF index
+    (documented, with an eviction API); after evicting it, zero persisted
+    RDDs may remain."""
+    from data_warehouse_spark.operators import similarity
+
+    spark.catalog.clearCache()
+    similarity.clear_ivf_cache()
+    for name in ("doc_minhash_lsh_dedup", "sketch_suite", "ann_topk_methods"):
+        QUERIES[name].fn(spark, SF_DIR).collect()
+    # at most the IVF index artifact is cached...
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() <= 1
+    # ...and eviction releases it completely
+    similarity.clear_ivf_cache()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
