@@ -918,3 +918,29 @@ def anomalous_hours(events: DataFrame, z_x100: int = 300) -> DataFrame:
         .select("event_type", "hour", F.col("c").alias("n_events"))
         .orderBy("event_type", "hour")
     )
+
+
+# --- set-op algebra over behavior cohorts -------------------------------------
+def user_set_op_counts(
+    events: DataFrame, type_a: str = "purchase", type_b: str = "error"
+) -> DataFrame:
+    """INTERSECT / EXCEPT over two behavior cohorts: users who did both
+    ``type_a`` and ``type_b``, and users who did ``type_a`` but never
+    ``type_b`` — the relational set-op SEMANTICS (bag-exact on the
+    already-distinct inputs). Physically Catalyst rewrites INTERSECT to a
+    left-semi join while EXCEPT ALL runs its own union + replicate-rows
+    plan — so only the EXCEPT arm adds a distinct physical path; both arms
+    pin the set-op API surface and its NULL/duplicate semantics.
+    Output: two (set_op, n_users) rows.
+    """
+    a = events.filter(F.col("event_type") == type_a).select("user_id").distinct()
+    b = events.filter(F.col("event_type") == type_b).select("user_id").distinct()
+
+    def count_row(label: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias("n_users")).select(
+            F.lit(label).alias("set_op"), "n_users"
+        )
+
+    return count_row(f"n_{type_a}_and_{type_b}", a.intersect(b)).unionByName(
+        count_row(f"n_{type_a}_not_{type_b}", a.exceptAll(b))
+    )

@@ -439,27 +439,28 @@ def neardup_clusters(
     fixpoint; each round is one shuffle (join on node id) + one grouped
     min. Rounds needed = component diameter ≈ log for the chain-y clusters
     near-dup graphs have (dup clusters are near-cliques — typically 2-3
-    rounds). ``localCheckpoint`` truncates the growing lineage each round
-    so the final plan stays iteration-count-independent (an iterative
-    driver loop, NOT a driver-side union-find: the edge set never leaves
-    the executors). At extreme scale, swap for large-star/small-star
-    (Kiveris et al.) — same contract.
+    rounds). Each round's label table is truncated to a storage checkpoint
+    (parquet scratch, the repo-wide pattern) so the plan stays
+    iteration-count-independent AND no block-manager state outlives the
+    call — ``localCheckpoint`` here would strand one persisted RDD per
+    round until JVM GC, the executor-cache leak the cache-hygiene test
+    pins against (an iterative driver loop, NOT a driver-side union-find:
+    the edge set never leaves the executors). At extreme scale, swap for
+    large-star/small-star (Kiveris et al.) — same contract.
 
     Not SQL-expressible in one query (recursive CTE over an arbitrary graph
     explodes); the catalog records it rows-only, pytest pins exactness
     against a Python union-find on collected pairs.
     """
-    edges = (
+    edges = _storage_checkpoint(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
-        .persist()
     )
-    labels = (
+    labels = _storage_checkpoint(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("label"))
-        .localCheckpoint()
     )
     for _ in range(max_iter):
         prop = (
@@ -467,10 +468,9 @@ def neardup_clusters(
             .groupBy(F.col("dst").alias("nid"))
             .agg(F.min("label").alias("cand"))
         )
-        new_labels = (
+        new_labels = _storage_checkpoint(
             labels.join(prop, labels["id"] == prop["nid"], "left")
             .select("id", F.least("label", "cand").alias("label"))
-            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -481,7 +481,6 @@ def neardup_clusters(
         labels = new_labels
         if changed == 0:
             break
-    edges.unpersist()
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     ).orderBy("doc_id")

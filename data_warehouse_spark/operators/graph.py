@@ -15,7 +15,7 @@ Scale design (the GraphX/Pregel pattern expressed as DataFrame joins):
   * dangling nodes (no out-edges) redistribute their mass uniformly —
     computed as a scalar aggregate per iteration (tiny driver value), the
     standard correction that keeps ranks summing to 1.
-  * lineage is truncated with ``localCheckpoint`` every few rounds, exactly
+  * lineage is truncated with a storage checkpoint every few rounds, exactly
     like neardup_clusters — an unbounded iterative plan otherwise grows the
     DAG until planning dominates runtime.
   * iteration count is fixed (default 10): deterministic output, bounded
@@ -27,6 +27,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..materialize import storage_checkpoint as _storage_checkpoint
 
 CHECKPOINT_EVERY = 4
 
@@ -83,7 +85,10 @@ def pagerank(
             )
         )
         if (i + 1) % CHECKPOINT_EVERY == 0:
-            ranks = ranks.localCheckpoint(eager=True)
+            # storage checkpoint (parquet scratch), not localCheckpoint:
+            # the latter strands one persisted RDD per truncation until JVM
+            # GC — the executor-cache leak the cache-hygiene test pins
+            ranks = _storage_checkpoint(ranks)
     return ranks.orderBy(F.desc("rank"), "node")
 
 

@@ -172,6 +172,17 @@ def distinct_user_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def _daily_activity(events: DataFrame) -> DataFrame:
+    """The shared daily grain both calendar operators window over —
+    ONE definition so rolling and densify can never disagree on it."""
+    return events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+    )
+
+
 def rolling_daily_activity(events: DataFrame, window_days: int = 7) -> DataFrame:
     """RANGE-frame moving aggregate: per event type, each day's event count
     plus the trailing ``window_days``-day rolling count and value sum.
@@ -184,12 +195,7 @@ def rolling_daily_activity(events: DataFrame, window_days: int = 7) -> DataFrame
     |types|×|days| rows) and the per-type window — the window input is the
     tiny daily grain, never raw events.
     """
-    daily = events.groupBy(
-        "event_type", F.to_date("ts").alias("day")
-    ).agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),
-    )
+    daily = _daily_activity(events)
     ordinal = F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
     w = (
         Window.partitionBy("event_type")
@@ -215,16 +221,15 @@ def densify_daily_activity(events: DataFrame) -> DataFrame:
     ``sequence(min_day, max_day)`` exploded — the calendar comes from an
     aggregate + generator, never a driver loop) and FORWARD FILL
     (``last(value, ignorenulls=True)`` over an unbounded-preceding frame).
-    Cost: the daily pre-aggregation shuffle, a broadcast of the tiny
-    per-type bounds, and one per-type window over |types|×|days| rows —
-    the fact is scanned once.
+    Cost: ONE fact scan — the daily grain is materialized to a storage
+    checkpoint because two consumers read it (the bounds aggregate and the
+    grid join; without the checkpoint each would rescan the fact) — then a
+    broadcast of the tiny per-type bounds and one per-type window over
+    |types|×|days| rows.
     """
-    daily = events.groupBy(
-        "event_type", F.to_date("ts").alias("day")
-    ).agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),
-    )
+    from ..materialize import storage_checkpoint
+
+    daily = storage_checkpoint(_daily_activity(events))
     bounds = daily.groupBy("event_type").agg(
         F.min("day").alias("mn"), F.max("day").alias("mx")
     )

@@ -1733,9 +1733,10 @@ def _events_type_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
     "integer-µs time math) + weekly retention triangle anchored on "
     "first-seen DATE (integer day-diff div 7 — no cross-engine "
     "week-start semantics) + INTERSECT/EXCEPT user-set algebra "
-    "(purchasers∩erroring, purchasers∖erroring — Spark's native "
-    "intersect/exceptAll, the set-op physical paths the semi/anti joins "
-    "elsewhere don't exercise)",
+    "(purchasers∩erroring, purchasers∖erroring — the relational set-op "
+    "API and its semantics; physically Catalyst rewrites INTERSECT to a "
+    "left-semi join while EXCEPT ALL runs its own union+replicate-rows "
+    "plan, the one genuinely distinct path)",
 )
 def _events_lifecycle_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = cat.load_table(spark, sf_dir, "events")
@@ -1751,19 +1752,11 @@ def _events_lifecycle_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("week_offset").cast("string").alias("k2"),
         F.col("n_active_users").cast("bigint").alias("value"),
     )
-    pu = events.filter(F.col("event_type") == "purchase").select("user_id").distinct()
-    eu = events.filter(F.col("event_type") == "error").select("user_id").distinct()
-
-    def setop_row(label: str, df: DataFrame) -> DataFrame:
-        return df.agg(F.count(F.lit(1)).cast("bigint").alias("value")).select(
-            F.lit("set_ops").alias("src"),
-            F.lit(label).alias("k1"),
-            F.lit(None).cast("string").alias("k2"),
-            "value",
-        )
-
-    so = setop_row("n_purchase_and_error", pu.intersect(eu)).unionByName(
-        setop_row("n_purchase_not_error", pu.exceptAll(eu))
+    so = analytics.user_set_op_counts(events).select(
+        F.lit("set_ops").alias("src"),
+        F.col("set_op").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.col("n_users").alias("value"),
     )
     return fun.unionByName(ret).unionByName(so).orderBy("src", "k1", "k2")
 

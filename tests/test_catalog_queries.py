@@ -41,10 +41,18 @@ def test_catalog_queries_cache_only_the_ivf_index_and_release_on_evict(spark):
 
     spark.catalog.clearCache()
     similarity.clear_ivf_cache()
-    for name in ("doc_minhash_lsh_dedup", "sketch_suite", "ann_topk_methods"):
+    # snapshot, not absolute zero: other tests share this JVM and their
+    # strays (if any) are not this test's subject
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    for name in (
+        "doc_minhash_lsh_dedup",
+        "doc_neardup_clusters",  # iterative: per-round checkpoints must be files
+        "sketch_suite",
+        "ann_topk_methods",
+    ):
         QUERIES[name].fn(spark, SF_DIR).collect()
-    # at most the IVF index artifact is cached...
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() <= 1
+    # at most the IVF index artifact was added...
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() <= before + 1
     # ...and eviction releases it completely
     similarity.clear_ivf_cache()
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() <= before

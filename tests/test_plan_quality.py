@@ -440,19 +440,33 @@ def test_sole_supplier_orders_no_fact_self_join(spark):
 
 
 def test_rolling_and_densify_window_over_daily_grain_only(spark):
-    """Both calendar operators must window over the |types|x|days| daily
-    pre-aggregation — one scan of the fact, never a window over raw events."""
+    """Both calendar operators scan the fact exactly once. Rolling windows
+    directly over its daily aggregate; densify materializes the daily
+    grain to a checkpoint (two consumers), so its FINAL plan reads only
+    the tiny scratch parquet — zero events scans."""
     import re
 
     from data_warehouse_spark.operators import windows
 
-    for op in (windows.rolling_daily_activity, windows.densify_daily_activity):
-        df = op(cat.load_table(spark, SF_DIR, "events"))
-        rep = plan_report(df)
-        assert len(re.findall(r"\(\d+\) Scan parquet", rep.text)) <= 2, rep.text
-        # the Window node consumes an Aggregate, not the scan directly
-        assert "Window" in rep.text and "HashAggregate" in rep.text, rep.text
-        assert rep.cartesian_products == 0, rep.text
+    events = cat.load_table(spark, SF_DIR, "events")
+
+    def scans(rep, substr):
+        return sum(
+            substr in m
+            for m in re.findall(
+                r"\(\d+\) Scan parquet[^\n]*\n(?:[^\n]*\n){1,6}", rep.text
+            )
+        )
+
+    rep = plan_report(windows.rolling_daily_activity(events))
+    assert scans(rep, "events.parquet") == 1, rep.text
+    assert "Window" in rep.text and "HashAggregate" in rep.text, rep.text
+
+    rep = plan_report(windows.densify_daily_activity(events))
+    assert scans(rep, "events.parquet") == 0, rep.text  # grain checkpointed once
+    assert len(re.findall(r"\(\d+\) Scan parquet", rep.text)) <= 2, rep.text
+    assert "Window" in rep.text, rep.text
+    assert rep.cartesian_products == 0, rep.text
 
 
 def test_anomalous_hours_moment_join_broadcast(spark):
