@@ -856,3 +856,78 @@ SELECT d.lang, any_value(r.n_docs) AS n_docs,
            AS n_kept
 FROM documents d JOIN r ON d.lang = r.lang
 GROUP BY d.lang ORDER BY d.lang"""
+
+
+def _l2sq_sub_sql(a: str, b: str, j, sub: int = 8) -> str:
+    """Squared L2 over subspace ``j`` (python int or SQL expression), same
+    sequential fold and (x−y)·(x−y) form as the Spark expression."""
+    base = f"{sub} * {j}"
+    return (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(range(0, {sub}), i -> "
+        f"({a}[{base} + i + 1] - {b}[{base} + i + 1]) * "
+        f"({a}[{base} + i + 1] - {b}[{base} + i + 1]))), (acc, x) -> acc + x)"
+    )
+
+
+def ann_pq_sql(
+    query_ids: list[int],
+    k: int = 5,
+    kc: int = 16,
+    m: int = 8,
+    sub: int = 8,
+    dim: int = 64,
+) -> str:
+    """Product-quantization twin: PQ-salted hash-selected codewords over
+    L2-NORMALIZED vectors, per-subspace argmin encoding (ties → smaller
+    codeword id), ADC scoring as a FIXED j=0..m-1 addition chain (one join
+    per subspace — grouped SUM would have engine-dependent float order),
+    rank ascending approximate distance with neighbor-id ties."""
+    ids = ", ".join(str(i) for i in query_ids)
+    cw_hash = H60.format(s="CAST(vec_id AS VARCHAR) || '|pq'")
+    cw_joins = "\n  ".join(
+        f"JOIN cw cw{j} ON cw{j}.c = kd.codes[{j + 1}]" for j in range(m)
+    )
+    adist = " + ".join(f"({_l2sq_sub_sql('q.qv', f'cw{j}.w', j, sub)})" for j in range(m))
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id,
+         list_transform(v, x -> x / sqrt({_dot('v', 'v', dim)})) AS v
+  FROM e
+),
+cw AS (
+  SELECT row_number() OVER (ORDER BY {cw_hash}, vec_id) - 1 AS c, v AS w
+  FROM n ORDER BY {cw_hash}, vec_id LIMIT {kc}
+),
+sub AS (
+  SELECT n.vec_id, cw.c, j.j,
+         {_l2sq_sub_sql('n.v', 'cw.w', 'j.j', sub)} AS d2
+  FROM n, cw, (SELECT unnest(range(0, {m})) AS j) j
+),
+kd AS (
+  SELECT vec_id, list(c ORDER BY j) AS codes FROM (
+    SELECT vec_id, j, c,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS rn
+    FROM sub) WHERE rn = 1
+  GROUP BY vec_id
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM n WHERE vec_id IN ({ids})),
+scored AS (
+  SELECT q.query_id, kd.vec_id AS neighbor_id,
+         {adist} AS adist
+  FROM q CROSS JOIN kd
+  {cw_joins}
+  WHERE kd.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY adist, neighbor_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank"""

@@ -759,6 +759,7 @@ def _ann_recall_oracle() -> str:
         ),
         "lsh": tw.ann_lsh_sql(planes, _ANN_QUERY_IDS, k=k),
         "lsh_mp": tw.ann_lsh_sql(planes, _ANN_QUERY_IDS, k=k, multiprobe=True),
+        "pq": tw.ann_pq_sql(_ANN_QUERY_IDS, k=k),
     }
     ctes = ",\n".join(
         f"m_{name} AS (SELECT query_id, neighbor_id FROM ({sql}) t)"
@@ -785,8 +786,9 @@ SELECT * FROM (
     "ann_recall",
     _ann_recall_oracle(),
     "recall@k of every approximate ANN path (IVF, single-probe LSH, "
-    "multi-probe LSH) against exact brute force — integer permille, so the "
-    "quality/cost tradeoff is itself regression-pinned",
+    "multi-probe LSH, product quantization) against exact brute force — "
+    "integer permille, so the quality/cost tradeoff is itself "
+    "regression-pinned",
 )
 def _ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .materialize import storage_checkpoint
@@ -801,6 +803,7 @@ def _ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("ivf", similarity.ivf_topk(emb, _ANN_QUERY_IDS, k=_ANN_K, index_cache_key=sf_dir)),
         ("lsh", similarity.lsh_topk(emb, _ANN_QUERY_IDS, k=_ANN_K)),
         ("lsh_mp", similarity.lsh_topk(emb, _ANN_QUERY_IDS, k=_ANN_K, multiprobe=True)),
+        ("pq", similarity.pq_topk(emb, _ANN_QUERY_IDS, k=_ANN_K, index_cache_key=sf_dir)),
     ):
         r = similarity.recall_vs_exact(df, bf, k=_ANN_K).select(
             F.lit(method).alias("method"), "query_id", "recall_x1000"
@@ -821,11 +824,16 @@ SELECT * FROM (
   UNION ALL
   SELECT 'lsh' AS method, t.* FROM ({tw.ann_lsh_sql(similarity.hyperplanes(),
       _ANN_QUERY_IDS, k=_ANN_K)}) t
+  UNION ALL
+  SELECT 'pq' AS method, t.* FROM ({tw.ann_pq_sql(_ANN_QUERY_IDS, k=_ANN_K)}) t
 ) ORDER BY method, query_id, rank""",
     "every ANN serving path, value-checked neighbor-by-neighbor: exact "
     "brute-force cosine (broadcast cross-score baseline), IVF-flat "
     "(hash-selected centroids, map-only cell assignment, nprobe-cell "
-    "probe, cached index) and hyperplane-LSH (bucketed probe)",
+    "probe, cached index), hyperplane-LSH (bucketed probe), and product "
+    "quantization (8×16 codes over normalized vectors, ADC scoring = 8 "
+    "literal-table lookups per candidate — the memory-side half of "
+    "IVF+PQ)",
 )
 def _ann_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = cat.load_table(spark, sf_dir, "embeddings")
@@ -838,7 +846,17 @@ def _ann_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = similarity.lsh_topk(emb, _ANN_QUERY_IDS, k=_ANN_K).select(
         F.lit("lsh").alias("method"), "query_id", "neighbor_id", "rank"
     )
-    return bf.unionByName(ivf).unionByName(lsh).orderBy("method", "query_id", "rank")
+    pq = similarity.pq_topk(
+        emb, _ANN_QUERY_IDS, k=_ANN_K, index_cache_key=sf_dir
+    ).select(
+        F.lit("pq").alias("method"), "query_id", "neighbor_id", "rank"
+    )
+    return (
+        bf.unionByName(ivf)
+        .unionByName(lsh)
+        .unionByName(pq)
+        .orderBy("method", "query_id", "rank")
+    )
 
 
 @register(

@@ -981,3 +981,27 @@ def test_fused_media_metadata_matches_per_kind_operators(spark):
     # 4 per audio, 1 per video — no duplicate or stray rows hiding behind
     # the dict (the subset checks above alone would not catch them)
     assert len(fused) == 4 * len(img) + 4 * len(aud) + len(vid)
+
+
+def test_pq_structure_and_code_bounds(spark):
+    """PQ invariants: codes are m ints in [0, kc); the topk excludes self,
+    ranks dense from 1; repeated calls under a cache key reuse the stored
+    codes (no re-encode)."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cw = similarity.pq_codewords(emb)
+    assert len(cw) == similarity.PQ_KC
+    assert all(len(w) == similarity.PQ_M * similarity.PQ_SUB for w in cw)
+    codes = similarity.pq_encode(emb, cw).collect()
+    assert len(codes) == emb.count()
+    for r in codes:
+        assert len(r["codes"]) == similarity.PQ_M
+        assert all(0 <= c < similarity.PQ_KC for c in r["codes"])
+
+    top = similarity.pq_topk(emb, [0, 1, 2], k=7, index_cache_key="t").collect()
+    per_q: dict[int, list[int]] = {}
+    for r in top:
+        assert r["neighbor_id"] != r["query_id"]
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    assert any(k[1] == "t" for k in similarity._PQ_CODES_CACHE)
