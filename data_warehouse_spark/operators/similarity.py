@@ -825,3 +825,122 @@ def pq_topk(
         .select("query_id", "neighbor_id", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_cells: int = N_CELLS,
+    nprobe: int = N_PROBE,
+    m: int = PQ_M,
+    sub: int = PQ_SUB,
+    kc: int = PQ_KC,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index_cache_key: str | None = None,
+) -> DataFrame:
+    """The full FAISS recipe, composed from the two stored artifacts this
+    module already maintains: IVF restricts WHICH candidates are scored
+    (probe ``nprobe`` cells → candidates shrink ~nprobe/n_cells), PQ
+    decides HOW each survivor is scored (ADC over the codes table — m
+    lookups, no raw vector touched). At 100 TB that combination is the
+    serving economics: the probe prunes I/O to a cell slice, and that
+    slice is read as 8-byte codes instead of 256-byte vectors.
+
+    Semantics, precisely: the candidate set is EXACTLY ``ivf_topk``'s
+    (same index, same probe ranking) and the scoring order is EXACTLY
+    ``pq_topk``'s restricted to those candidates — pinned by test against
+    both parents. Shares both session caches via ``index_cache_key``.
+    """
+    from ..materialize import storage_checkpoint
+
+    # --- IVF half: probed candidate ids per query (cells from the index)
+    _centroids, cdf, corpus = ivf_index(
+        embeddings, n_cells, id_col, vec_col, cache_key=index_cache_key
+    )
+    queries = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        V.norm2(vec_col).alias("_qn"),
+    )
+    probe_cos = V.dot("q_vec", "cv") / (F.col("_qn") * F.col("cnorm"))
+    pw = Window.partitionBy("query_id").orderBy(
+        F.desc("probe_cos"), F.desc("cell_id")
+    )
+    probed = (
+        queries.crossJoin(F.broadcast(cdf))
+        .select("query_id", "cell_id", probe_cos.alias("probe_cos"))
+        .withColumn("prn", F.row_number().over(pw))
+        .filter(F.col("prn") <= nprobe)
+        .select("query_id", F.col("cell_id").alias("cell"))
+    )
+    cand = (
+        corpus.join(F.broadcast(probed), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+    )
+
+    # --- PQ half: ADC over the codes table, restricted to the candidates
+    cache_k = None
+    if index_cache_key is not None:
+        cache_k = (
+            embeddings.sparkSession.sparkContext.applicationId,
+            index_cache_key,
+            (m, sub, kc, id_col, vec_col),
+        )
+    hit = _PQ_CODES_CACHE.get(cache_k) if cache_k is not None else None
+    if hit is not None:
+        codewords, encoded = hit
+    else:
+        codewords = pq_codewords(embeddings, kc, id_col, vec_col)
+        encoded = storage_checkpoint(
+            pq_encode(embeddings, codewords, m, sub, id_col, vec_col)
+        )
+        if cache_k is not None:
+            _PQ_CODES_CACHE[cache_k] = (codewords, encoded)
+
+    q_rows = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).collect()
+    out = None
+    w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    for r in q_rows:
+        qv = _pq_normalize_py(r["qv"])
+        table = []
+        for j in range(m):
+            row = []
+            for cw in codewords:
+                acc = 0.0
+                for i in range(sub):
+                    d = qv[j * sub + i] - cw[j * sub + i]
+                    acc = acc + d * d
+                row.append(acc)
+            table.append(row)
+        adist = None
+        for j in range(m):
+            term = F.element_at(F.lit(table[j]), F.col("codes").getItem(j) + 1)
+            adist = term if adist is None else adist + term
+        branch = (
+            encoded.join(
+                F.broadcast(
+                    cand.filter(F.col("query_id") == int(r["qid"])).select(
+                        F.col("neighbor_id").alias("vec_id")
+                    )
+                ),
+                "vec_id",
+                "left_semi",
+            )
+            .select(
+                F.lit(int(r["qid"])).cast("bigint").alias("query_id"),
+                F.col("vec_id").alias("neighbor_id"),
+                adist.alias("adist"),
+            )
+        )
+        out = branch if out is None else out.unionByName(branch)
+    return (
+        out.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    )

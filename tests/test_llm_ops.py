@@ -1005,3 +1005,38 @@ def test_pq_structure_and_code_bounds(spark):
     for ranks in per_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
     assert any(k[1] == "t" for k in similarity._PQ_CODES_CACHE)
+
+
+def test_ivfpq_equals_pq_restricted_to_ivf_candidates(spark):
+    """The composition contract: ivfpq's result per query is exactly the
+    PQ (ADC) ranking restricted to the IVF-probed candidate set — both
+    halves behave identically inside the composition as standalone."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qids = [0, 1, 2]
+    got = [
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in similarity.ivfpq_topk(emb, qids, k=5, index_cache_key="ivfpq-t").collect()
+    ]
+    assert got
+
+    # reconstruct expected: PQ over the full corpus ranked within the
+    # IVF candidate sets (probe the same cells the ivf path probes)
+    # — take a large-k pq ranking and filter to candidates, re-rank.
+    big_pq = similarity.pq_topk(emb, qids, k=10_000, index_cache_key="ivfpq-t")
+    # candidate sets via exhaustive ivf internals: use ivf_topk with huge k
+    # (its candidate set = probed-cell members, exposed through its output
+    # when k exceeds the candidate count)
+    cand = similarity.ivf_topk(emb, qids, k=10_000)
+    cand_sets: dict[int, set] = {}
+    for r in cand.collect():
+        cand_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    order: dict[int, list] = {}
+    for r in big_pq.collect():
+        if r["neighbor_id"] in cand_sets.get(r["query_id"], set()):
+            order.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    want = [
+        (q, n, i + 1)
+        for q, ns in order.items()
+        for i, n in enumerate(ns[:5])
+    ]
+    assert sorted(got) == sorted(want)
