@@ -711,7 +711,11 @@ def pq_encode(
     # materialize the normalized vector ONCE per row in its own projection:
     # the code expressions below reference it ~m×kc×sub times, and Catalyst
     # keeps a multiply-referenced non-trivial alias un-collapsed — without
-    # this staging the norm fold would be re-evaluated per reference
+    # this staging the norm fold would be re-evaluated per reference.
+    # (The full encode projection can exceed Janino's single-method codegen
+    # limit; Spark then logs the compile error once and falls back to
+    # interpreted evaluation — correct by contract, and the cost is paid
+    # exactly once per corpus because the codes table is checkpointed.)
     base = embeddings.select(
         F.col(id_col).alias("vec_id"),
         _pq_normalized_col(F.col(vec_col)).alias("_nv"),
