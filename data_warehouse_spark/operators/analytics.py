@@ -944,3 +944,218 @@ def user_set_op_counts(
     return count_row(f"n_{type_a}_and_{type_b}", a.intersect(b)).unionByName(
         count_row(f"n_{type_a}_not_{type_b}", a.exceptAll(b))
     )
+
+
+# --- TPC-H Q6 shape: forecast revenue change ----------------------------------
+def forecast_revenue_change(
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+    disc_lo_c: int = 5,
+    disc_hi_c: int = 7,
+    max_qty: int = 24,
+) -> DataFrame:
+    """Revenue delta if discounts in a band were dropped for small orders —
+    the pure scan-aggregate shape: every predicate (date range, discount
+    band, quantity cap) pushes to the parquet scan, the map side computes
+    ``price·disc`` per surviving row, and ONE 1-row aggregate comes back.
+    No join, no wide shuffle; at 100 TB this is bandwidth-bound by design.
+    Exports (revenue_x10k, n_lines) — the exact integer pair.
+    """
+    disc_c = cents("l_discount")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+            & disc_c.between(disc_lo_c, disc_hi_c)
+            & (F.col("l_quantity") < max_qty)
+        )
+        .agg(
+            F.sum(cents("l_extendedprice") * disc_c).alias("revenue_x10k"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# --- TPC-H Q7 shape: volume shipping between two nations ----------------------
+def nation_pair_volume(
+    tables: dict[str, DataFrame],
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+    date_from: str = "1996-01-01",
+    date_to: str = "1998-01-01",
+) -> DataFrame:
+    """Revenue flowing between two nations (both directions), by supplier
+    nation → customer nation → ship year.
+
+    Both nation lookups ride broadcast joins (supplier and customer each
+    pre-joined to the 2-row filtered nation dim, so the fact only meets
+    already-small sides); the single fact-fact shuffle is lineitem↔orders
+    on orderkey. The cross-pair predicate (a→b or b→a) collapses to a
+    post-join filter on two tiny string columns.
+    """
+    rev = cents("l_extendedprice") * (100 - cents("l_discount"))
+    pair = tables["nation"].filter(F.col("n_name").isin(nation_a, nation_b))
+    supp = (
+        tables["supplier"]
+        .join(
+            F.broadcast(
+                pair.select(F.col("n_nationkey").alias("sn_key"),
+                            F.col("n_name").alias("supp_nation"))
+            ),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    cust = (
+        tables["customer"]
+        .join(
+            F.broadcast(
+                pair.select(F.col("n_nationkey").alias("cn_key"),
+                            F.col("n_name").alias("cust_nation"))
+            ),
+            F.col("c_nationkey") == F.col("cn_key"),
+        )
+        .select("c_custkey", "cust_nation")
+    )
+    li = tables["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+    )
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(tables["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+            rev.alias("rev_x10k"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("rev_x10k").alias("revenue_x10k"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# --- TPC-H Q11 shape: important stock values ----------------------------------
+def important_part_values(
+    lineitem: DataFrame, frac_num: int = 1, frac_den: int = 1000, k: int = 25
+) -> DataFrame:
+    """Parts whose shipped value exceeds a fraction of the corpus-wide
+    total (the repo's lineitem stands in for partsupp, as in the other
+    deep shapes).
+
+    The scalar subquery ``> total/1000`` is INTEGER-EXACT by
+    cross-multiplying: ``value·den > total·num`` with both sides widened
+    to DECIMAL(38,0) before the multiply (value is cents×qty, so ×1000
+    would overflow BIGINT at high SF). The global total re-aggregates the
+    tiny per-part table — never a second fact scan — and returns as a
+    1-row broadcast.
+    """
+    wide = "decimal(38,0)"
+    per_part = (
+        lineitem.select(
+            "l_partkey",
+            (cents("l_extendedprice") * F.col("l_quantity").cast("bigint")).alias("v"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum("v").alias("stock_value_x100"))
+    )
+    total = per_part.agg(F.sum("stock_value_x100").alias("total_x100"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("stock_value_x100").cast(wide) * frac_den
+            > F.col("total_x100").cast(wide) * frac_num
+        )
+        .select("l_partkey", "stock_value_x100")
+        .orderBy(F.desc("stock_value_x100"), "l_partkey")
+        .limit(k)
+    )
+
+
+# --- TPC-H Q12 shape: late shipments by line status ---------------------------
+def late_shipment_priority(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    late_days: int = 90,
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+) -> DataFrame:
+    """Per line status (standing in for the reference schema's ship mode,
+    absent here): how many lines shipped more than ``late_days`` after
+    their order was placed, split by urgent-vs-other order priority.
+
+    The priority split is conditional aggregation (two CASE sums, one
+    pass); the lateness predicate needs both fact sides, so the one
+    shuffle is the mandatory lineitem↔orders orderkey join — the ship-date
+    window still pushes to the lineitem scan first.
+    """
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+    ).select("l_orderkey", "l_linestatus", "l_shipdate")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")
+    return (
+        li.join(
+            orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(late)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(urgent.cast("bigint")).alias("high_line_count"),
+            F.sum((~urgent).cast("bigint")).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+# --- TPC-H Q20 shape: suppliers with excess supply ----------------------------
+def excess_supply_suppliers(
+    tables: dict[str, DataFrame],
+    name_substr: str = "red",
+    frac_num: int = 3,
+    frac_den: int = 10,
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+) -> DataFrame:
+    """Suppliers who shipped more than ``frac`` of some matching part's
+    year volume — the nested-IN shape (supplier IN (… part IN (…))).
+
+    Decorrelated bottom-up: the fact (filtered to the year and, via a
+    broadcast semi-join, to matching parts) aggregates ONCE to the
+    (part, supplier) grain; the per-part total is a window sum over that
+    small aggregated table — NOT a re-aggregate-and-join-back, which
+    would materialize the ``ps`` subtree twice (its two consumers prune
+    different columns, so exchange reuse cannot canonicalize them and the
+    fact would be scanned twice — plan-pinned in test_plan_quality). The
+    threshold compares integer-exactly by cross-multiplying. Qualifying
+    supplier keys arrive at the supplier dim as a distinct semi-join —
+    each supplier counted once with its excess-part count.
+    """
+    parts = tables["part"].filter(F.col("p_name").contains(name_substr)).select("p_partkey")
+    li = tables["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+    )
+    ps = (
+        li.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("qty_ps"))
+    )
+    w = Window.partitionBy("l_partkey")
+    excess = (
+        ps.withColumn("qty_part", F.sum("qty_ps").over(w))
+        .filter(F.col("qty_ps") * frac_den > F.col("qty_part") * frac_num)
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_excess_parts"))
+    )
+    return (
+        excess.join(tables["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "n_excess_parts")
+        .orderBy("s_suppkey")
+    )

@@ -97,7 +97,7 @@ def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CENTS = "CAST(round({col} * 100) AS BIGINT)"
 _LI_FIXED_CTE = f"""li AS (
-  SELECT l_partkey, l_suppkey, l_orderkey, l_returnflag,
+  SELECT l_partkey, l_suppkey, l_orderkey, l_returnflag, l_linestatus,
          CAST(l_quantity AS BIGINT) AS qty,
          {_CENTS.format(col='l_extendedprice')} AS price_c,
          {_CENTS.format(col='l_discount')} AS disc_c,
@@ -157,7 +157,31 @@ q22 AS (
         FROM customer, pos
         WHERE {_CENTS.format(col='c_acctbal')} * n_pos > sum_bal_c) rich
   WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = rich.c_custkey)
-  GROUP BY c_mktsegment)
+  GROUP BY c_mktsegment),
+pp AS (
+  SELECT l_partkey,
+         CAST(SUM(price_c * qty) AS BIGINT) AS stock_value_x100
+  FROM li GROUP BY l_partkey),
+q11 AS (
+  SELECT l_partkey, stock_value_x100
+  FROM pp, (SELECT CAST(SUM(stock_value_x100) AS HUGEINT) AS total_x100 FROM pp) t
+  WHERE CAST(stock_value_x100 AS HUGEINT) * 1000 > total_x100 * 1
+  ORDER BY stock_value_x100 DESC, l_partkey LIMIT 25),
+ps20 AS (
+  SELECT l_partkey, l_suppkey, CAST(SUM(qty) AS BIGINT) AS qty_ps
+  FROM li
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
+  GROUP BY 1, 2),
+q20 AS (
+  SELECT s_suppkey, s_name, n_excess_parts FROM (
+    SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_excess_parts
+    FROM ps20
+    JOIN (SELECT l_partkey AS pp_key, SUM(qty_ps) AS qty_part
+          FROM ps20 GROUP BY 1) tot ON l_partkey = pp_key
+    WHERE qty_ps * 10 > qty_part * 3
+    GROUP BY 1) e
+  JOIN supplier ON l_suppkey = s_suppkey)
 SELECT * FROM (
   SELECT 'q2_mincost' AS q, CAST(p_partkey AS VARCHAR) AS k1, s_name AS k2,
          'supply_cost_cents' AS metric, supply_cost_cents AS value FROM q2
@@ -175,12 +199,21 @@ SELECT * FROM (
   UNION ALL
   SELECT 'q22_idle_rich', c_mktsegment, NULL, 'total_bal_cents',
          total_bal_cents FROM q22
+  UNION ALL
+  SELECT 'q11_important_stock', CAST(l_partkey AS VARCHAR), NULL,
+         'stock_value_x100', stock_value_x100 FROM q11
+  UNION ALL
+  SELECT 'q20_excess_supply', CAST(s_suppkey AS VARCHAR), s_name,
+         'n_excess_parts', n_excess_parts FROM q20
 ) ORDER BY q, k1 NULLS FIRST, k2 NULLS FIRST, metric""",
     "deep TPC-H subquery shapes, melted long: Q2 correlated min-cost "
     "supplier (per-part window decorrelation), Q15 max-revenue supplier "
     "(scalar-subquery → 1-row broadcast), Q18 agg-subquery IN "
     "(having-then-join), Q22 above-average balance + NOT EXISTS "
-    "(integer-exact cross-multiplied average, anti-join)",
+    "(integer-exact cross-multiplied average, anti-join), Q11 important "
+    "stock (cross-multiplied fraction-of-total threshold, DECIMAL(38,0)/"
+    "HUGEINT), Q20 excess supply (nested IN decorrelated to one fact agg "
+    "+ small-table re-agg)",
 )
 def _tpch_subquery_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = cat.load_all(spark, sf_dir)
@@ -226,10 +259,20 @@ def _tpch_subquery_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").cast("bigint").alias("value"),
         )
     )
+    q11 = arm(
+        analytics.important_part_values(t["lineitem"]),
+        "q11_important_stock", "l_partkey", None, "stock_value_x100", "stock_value_x100",
+    )
+    q20 = arm(
+        analytics.excess_supply_suppliers(t),
+        "q20_excess_supply", "s_suppkey", "s_name", "n_excess_parts", "n_excess_parts",
+    )
     return (
         q2.unionByName(q15)
         .unionByName(q18)
         .unionByName(q22)
+        .unionByName(q11)
+        .unionByName(q20)
         .orderBy("q", "k1", "k2", "metric")
     )
 
@@ -303,7 +346,37 @@ q21 AS (
                     WHERE l2.l_orderkey = o.o_orderkey
                       AND l2.l_suppkey <> l1.l_suppkey)
   GROUP BY 1, 2
-  ORDER BY n_sole_orders DESC, s_suppkey LIMIT 25)
+  ORDER BY n_sole_orders DESC, s_suppkey LIMIT 25),
+q6 AS (
+  SELECT CAST(SUM(price_c * disc_c) AS BIGINT) AS revenue_x10k,
+         CAST(count(*) AS BIGINT) AS n_lines
+  FROM li
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+    AND disc_c BETWEEN 5 AND 7 AND qty < 24),
+q7 AS (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         CAST(SUM(price_c * (100 - disc_c)) AS BIGINT) AS revenue_x10k
+  FROM li
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY 1, 2, 3),
+q12 AS (
+  SELECT l_linestatus,
+         CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+         CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+  FROM li JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+    AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+  GROUP BY 1)
 SELECT * FROM (
   SELECT 'q8_mkt_share' AS q, CAST(o_year AS VARCHAR) AS k1, NULL AS k2,
          'total_x10k' AS metric, total_x10k AS value FROM q8
@@ -327,6 +400,19 @@ SELECT * FROM (
   UNION ALL
   SELECT 'q21_sole_supplier', CAST(s_suppkey AS VARCHAR), s_name,
          'n_sole_orders', n_sole_orders FROM q21
+  UNION ALL
+  SELECT 'q6_forecast', NULL, NULL, 'revenue_x10k', revenue_x10k FROM q6
+  UNION ALL
+  SELECT 'q6_forecast', NULL, NULL, 'n_lines', n_lines FROM q6
+  UNION ALL
+  SELECT 'q7_nation_volume', supp_nation || '->' || cust_nation,
+         CAST(l_year AS VARCHAR), 'revenue_x10k', revenue_x10k FROM q7
+  UNION ALL
+  SELECT 'q12_late_lines', l_linestatus, NULL, 'high_line_count',
+         high_line_count FROM q12
+  UNION ALL
+  SELECT 'q12_late_lines', l_linestatus, NULL, 'low_line_count',
+         low_line_count FROM q12
 ) ORDER BY q, k1 NULLS FIRST, k2 NULLS FIRST, metric""",
     "deep TPC-H join shapes, melted long: Q8 national market share "
     "(exact integer revenue pair, 8-way join), Q9 profit by nation/year "
@@ -336,7 +422,11 @@ SELECT * FROM (
     "disjunctive brand/size/qty predicates (OR envelope pushed to scan), "
     "Q21 sole-supplier orders (oracle states the correlated NOT-EXISTS "
     "literally; Spark runs the decorrelated single-scan form — hash "
-    "equality proves the rewrite)",
+    "equality proves the rewrite), Q6 pure scan-aggregate forecast, Q7 "
+    "two-nation volume (pair-filtered 2-row broadcast dims), Q12 late "
+    "shipments by priority (conditional agg over the mandatory fact-fact "
+    "join) — with the partner subquery suite this completes all 22 TPC-H "
+    "query shapes",
 )
 def _tpch_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = cat.load_all(spark, sf_dir)
@@ -394,12 +484,44 @@ def _tpch_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("n_sole_orders").alias("metric"),
         F.col("n_sole_orders").cast("bigint").alias("value"),
     )
+    q6 = (
+        analytics.forecast_revenue_change(t["lineitem"])
+        .unpivot([], ["revenue_x10k", "n_lines"], "metric", "value")
+        .select(
+            F.lit("q6_forecast").alias("q"),
+            F.lit(None).cast("string").alias("k1"),
+            F.lit(None).cast("string").alias("k2"),
+            "metric",
+            F.col("value").cast("bigint").alias("value"),
+        )
+    )
+    q7 = analytics.nation_pair_volume(t).select(
+        F.lit("q7_nation_volume").alias("q"),
+        F.concat_ws("->", F.col("supp_nation"), F.col("cust_nation")).alias("k1"),
+        F.col("l_year").cast("string").alias("k2"),
+        F.lit("revenue_x10k").alias("metric"),
+        F.col("revenue_x10k").cast("bigint").alias("value"),
+    )
+    q12 = (
+        analytics.late_shipment_priority(t["lineitem"], t["orders"])
+        .unpivot(["l_linestatus"], ["high_line_count", "low_line_count"], "metric", "value")
+        .select(
+            F.lit("q12_late_lines").alias("q"),
+            F.col("l_linestatus").cast("string").alias("k1"),
+            F.lit(None).cast("string").alias("k2"),
+            "metric",
+            F.col("value").cast("bigint").alias("value"),
+        )
+    )
     return (
         q8.unionByName(q9)
         .unionByName(q16)
         .unionByName(q19)
         .unionByName(q10)
         .unionByName(q21)
+        .unionByName(q6)
+        .unionByName(q7)
+        .unionByName(q12)
         .orderBy("q", "k1", "k2", "metric")
     )
 

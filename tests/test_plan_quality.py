@@ -439,6 +439,80 @@ def test_sole_supplier_orders_no_fact_self_join(spark):
     assert rep.cartesian_products == 0, rep.text
 
 
+def test_forecast_revenue_change_scan_only(spark):
+    df = analytics.forecast_revenue_change(cat.load_table(spark, SF_DIR, "lineitem"))
+    rep = plan_report(df)
+    # pure scan-aggregate: date + qty predicates reach the scan, no join at
+    # all, fact pruned to the 4 referenced columns
+    assert any("l_shipdate" in f for f in rep.pushed_filters), rep.text
+    assert any("l_quantity" in f for f in rep.pushed_filters), rep.text
+    assert "Join" not in rep.text, rep.text
+    cols = rep.scans_column_count("lineitem")
+    assert cols is not None and cols <= 4, rep.text
+
+
+def test_nation_pair_volume_broadcast_dims_single_fact_join(spark):
+    df = analytics.nation_pair_volume(cat.load_all(spark, SF_DIR))
+    rep = plan_report(df)
+    # nation-filtered supplier and customer sides broadcast; the only
+    # shuffle join is lineitem↔orders on orderkey
+    assert rep.broadcast_joins >= 2, rep.text
+    assert any("n_name" in f for f in rep.pushed_filters), rep.text
+    assert any("l_shipdate" in f for f in rep.pushed_filters), rep.text
+    assert rep.cartesian_products == 0, rep.text
+
+
+def test_important_part_values_single_fact_scan_broadcast_total(spark):
+    import re
+
+    df = analytics.important_part_values(cat.load_table(spark, SF_DIR, "lineitem"))
+    # the final AQE plan is the one that matters: both consumers of the
+    # per-part aggregate prune identical columns, so AQE's exchange reuse
+    # collapses the second fact scan into a ReusedExchange
+    rep = plan_report(df, run_first=True)
+    # count scan NODES in the final AQE tree only — the "Initial Plan"
+    # section the explain keeps around still shows the pre-reuse shape
+    final_tree = rep.text.split("== Initial Plan ==")[0]
+    assert final_tree.count("Scan parquet") == 1, rep.text
+    assert "ReusedExchange" in final_tree, rep.text
+    # the scalar total joins back as a 1-row broadcast nested-loop (the
+    # intended shape for a scalar subquery — never a shuffle)
+    assert "BroadcastNestedLoopJoin" in final_tree, rep.text
+    cols = rep.scans_column_count("lineitem")
+    assert cols is not None and cols <= 3, rep.text
+
+
+def test_late_shipment_priority_pushdown_and_single_join(spark):
+    df = analytics.late_shipment_priority(
+        cat.load_table(spark, SF_DIR, "lineitem"),
+        cat.load_table(spark, SF_DIR, "orders"),
+    )
+    rep = plan_report(df)
+    # the ship-date window pushes to the lineitem scan even though the
+    # lateness predicate itself needs both sides of the join
+    assert any("l_shipdate" in f for f in rep.pushed_filters), rep.text
+    assert rep.cartesian_products == 0, rep.text
+    cols = rep.scans_column_count("orders")
+    assert cols is not None and cols <= 3, rep.text
+
+
+def test_excess_supply_suppliers_one_fact_scan_semi_join(spark):
+    import re
+
+    df = analytics.excess_supply_suppliers(cat.load_all(spark, SF_DIR))
+    rep = plan_report(df)
+    # nested-IN decorrelation: the fact aggregates once; the per-part total
+    # comes from re-aggregating that small table, never a second fact scan
+    li_scans = sum(
+        "lineitem" in m
+        for m in re.findall(r"\(\d+\) Scan parquet[^\n]*\n(?:[^\n]*\n){1,6}", rep.text)
+    )
+    assert li_scans == 1, rep.text
+    assert any("p_name" in f for f in rep.pushed_filters), rep.text
+    assert any("l_shipdate" in f for f in rep.pushed_filters), rep.text
+    assert rep.cartesian_products == 0, rep.text
+
+
 def test_rolling_and_densify_window_over_daily_grain_only(spark):
     """Both calendar operators scan the fact exactly once. Rolling windows
     directly over its daily aggregate; densify materializes the daily
