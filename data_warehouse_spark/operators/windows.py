@@ -252,3 +252,62 @@ def densify_daily_activity(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+def band_join_pairs(
+    events: DataFrame,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    band_minutes: int = 60,
+) -> DataFrame:
+    """Banded interval join: every same-user (left, right) event pair with
+    ``0 < t_right − t_left ≤ band`` — the range-join shape Spark has no
+    native operator for (a raw theta-join ``ON t_r > t_l AND t_r ≤ t_l +
+    band`` plans as a nested-loop and explodes at scale).
+
+    The scale path quantizes time into buckets of the band width: a
+    qualifying pair's left timestamp is within one band of the right, so
+    the left bucket equals the right's bucket or the one before it.
+    Replicate each LEFT row into (its bucket, next bucket) — a 2-element
+    explode, bounded blowup — keep RIGHT rows single, and the join
+    becomes a pure EQUI-join on (user_id, bucket) that shuffles once per
+    side; the exact band predicate filters after. Each qualifying pair
+    matches exactly once (the two left copies land in distinct buckets).
+    Time math in integer µs end-to-end. Unlike the as-of join (latest
+    left only — one window pass), this yields ALL pairs in the band.
+    """
+    band_us = band_minutes * 60_000_000
+
+    def bucket_of(t: F.Column) -> F.Column:
+        # exact integer floor-division: (t − t mod b)/b divides an exact
+        # multiple, so the double division is exact (no boundary drift a
+        # rounded float quotient could introduce)
+        return ((t - t % band_us) / band_us).cast("bigint")
+
+    left = (
+        events.filter(F.col("event_type") == left_type)
+        .select(
+            "user_id",
+            F.col("event_id").alias("left_id"),
+            F.unix_micros("ts").alias("t_l"),
+        )
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.array(bucket_of(F.col("t_l")), bucket_of(F.col("t_l")) + 1)
+            ),
+        )
+    )
+    right = events.filter(F.col("event_type") == right_type).select(
+        "user_id",
+        F.col("event_id").alias("right_id"),
+        F.unix_micros("ts").alias("t_r"),
+        bucket_of(F.unix_micros("ts")).alias("bucket"),
+    )
+    dt = F.col("t_r") - F.col("t_l")
+    return (
+        left.join(right, ["user_id", "bucket"])
+        .filter((dt > 0) & (dt <= band_us))
+        .select("user_id", "left_id", "right_id", dt.alias("dt_us"))
+        .orderBy("left_id", "right_id")
+    )

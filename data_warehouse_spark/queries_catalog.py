@@ -1219,7 +1219,14 @@ def _orders_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 CAST(last_value(d.value_cents IGNORE NULLS) OVER (
                      PARTITION BY g.event_type ORDER BY g.day
                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS filled_value_cents
-         FROM grid g LEFT JOIN dday d USING (event_type, day))
+         FROM grid g LEFT JOIN dday d USING (event_type, day)),
+       band AS (
+         SELECT l.event_id AS left_id, r.event_id AS right_id,
+                CAST(epoch_us(r.ts) - epoch_us(l.ts) AS BIGINT) AS dt_us
+         FROM events l JOIN events r
+           ON l.user_id = r.user_id
+          AND l.event_type = 'click' AND r.event_type = 'purchase'
+          AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 60 MINUTE)
        SELECT * FROM (
          SELECT 'pivot' AS src, CAST(user_id AS VARCHAR) AS key,
                 'n_click' AS metric, n_click AS value FROM pv
@@ -1239,6 +1246,8 @@ def _orders_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 'n_events', n_events FROM dense
          UNION ALL SELECT 'densify', event_type || '/' || day,
                 'filled_value_cents', filled_value_cents FROM dense
+         UNION ALL SELECT 'band', CAST(left_id AS VARCHAR) || '/'
+                || CAST(right_id AS VARCHAR), 'dt_us', dt_us FROM band
        ) ORDER BY src, key, metric""",
     "static-schema pivot + distinct-user counts (exact value-checked; HLL++ "
     "approximate count checked as a ≤15% relative-error PROPERTY) + "
@@ -1248,8 +1257,12 @@ def _orders_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "z-score comparison cross-multiplied into DECIMAL(38,0)/HUGEINT — no "
     "float mean/stddev crosses the engine boundary, no silent BIGINT "
     "wrap) + calendar densification with forward fill (per-type "
-    "sequence-exploded day grid, last-observation-carried value), melted "
-    "long — five operators run and value-check in one entry",
+    "sequence-exploded day grid, last-observation-carried value) + banded "
+    "interval join (all same-user click→purchase pairs within 60 min; "
+    "oracle states the theta-join literally, Spark runs the band-bucketed "
+    "EQUI-join — the range-join rewrite that replaces the nested-loop "
+    "explosion with one shuffle per side), melted long — six operators "
+    "run and value-check in one entry",
 )
 def _events_shapes_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = cat.load_table(spark, sf_dir, "events")
@@ -1315,11 +1328,20 @@ def _events_shapes_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unpivot(["key"], ["n_events", "filled_value_cents"], "metric", "value")
         .select(F.lit("densify").alias("src"), "key", "metric", "value")
     )
+    band = windows.band_join_pairs(events).select(
+        F.lit("band").alias("src"),
+        F.concat_ws(
+            "/", F.col("left_id").cast("string"), F.col("right_id").cast("string")
+        ).alias("key"),
+        F.lit("dt_us").alias("metric"),
+        F.col("dt_us").cast("bigint").alias("value"),
+    )
     return (
         pv.unionByName(d)
         .unionByName(roll)
         .unionByName(an)
         .unionByName(dense)
+        .unionByName(band)
         .orderBy("src", "key", "metric")
     )
 

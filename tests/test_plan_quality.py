@@ -513,6 +513,55 @@ def test_excess_supply_suppliers_one_fact_scan_semi_join(spark):
     assert rep.cartesian_products == 0, rep.text
 
 
+def test_band_join_is_equi_join_not_nested_loop(spark):
+    from data_warehouse_spark.operators import windows as W
+
+    df = W.band_join_pairs(cat.load_table(spark, SF_DIR, "events"))
+    rep = plan_report(df)
+    # the band-bucket rewrite must plan as an equi-join on (user, bucket)
+    # — never the nested-loop a raw theta-join would produce
+    assert "BroadcastNestedLoopJoin" not in rep.text, rep.text
+    assert rep.cartesian_products == 0, rep.text
+    assert (
+        rep.sortmerge_joins + rep.shuffle_hash_joins + rep.broadcast_joins >= 1
+    ), rep.text
+    # type filters reach both scans
+    assert any("event_type" in f for f in rep.pushed_filters), rep.text
+
+
+def test_band_join_matches_naive_theta_join(spark):
+    """The bucketed equi-join must equal the literal theta-join — every
+    pair exactly once, including pairs whose endpoints straddle a bucket
+    boundary."""
+    from data_warehouse_spark.operators import windows as W
+
+    events = cat.load_table(spark, SF_DIR, "events")
+    fast = W.band_join_pairs(events, band_minutes=60)
+    l = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("left_id"), F.col("ts").alias("t_l")
+    )
+    r = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("r_user"),
+        F.col("event_id").alias("right_id"),
+        F.col("ts").alias("t_r"),
+    )
+    naive = (
+        l.join(
+            r,
+            (F.col("user_id") == F.col("r_user"))
+            & (F.col("t_r") > F.col("t_l"))
+            & (F.col("t_r") <= F.col("t_l") + F.expr("INTERVAL 60 MINUTES")),
+        )
+        .select(
+            "user_id",
+            "left_id",
+            "right_id",
+            (F.unix_micros("t_r") - F.unix_micros("t_l")).alias("dt_us"),
+        )
+    )
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, naive.collect()))
+
+
 def test_rolling_and_densify_window_over_daily_grain_only(spark):
     """Both calendar operators scan the fact exactly once. Rolling windows
     directly over its daily aggregate; densify materializes the daily
