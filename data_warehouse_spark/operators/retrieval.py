@@ -1,0 +1,156 @@
+"""Inverted-index text retrieval: postings, document frequency, BM25 top-k.
+
+The operator family a corpus-scale keyword search needs, as declarative
+DataFrame plans:
+
+- ``build_postings`` — the (term, doc, tf) inverted index. When a term
+  allowlist is given the IN-filter lands UPSTREAM of the tf aggregation,
+  so a k-term query explodes the corpus but aggregates only matching
+  tokens — at 100 TB the explode is map-side and the single shuffle
+  carries ~k × |matching docs| rows, not the corpus vocabulary.
+- ``corpus_stats`` — (n_docs, total_tokens) as a 1-row broadcast; avgdl
+  never materializes as a float — ``dl/avgdl`` is computed as
+  ``(dl·n_docs)/total_tokens`` with an exact BIGINT numerator.
+- ``bm25_topk`` — Okapi BM25 ranking for a literal query set.
+
+Cross-engine float discipline (same contract as the ANN operators in
+``similarity.py``): the score is float64, but every binary operation has
+the SAME operands in the SAME order in Spark and the DuckDB twin
+(``oracle_twins.bm25_sql`` is generated from these constants), and the
+per-document term-score sum is a SEQUENTIAL LEFT FOLD over term-sorted
+scores — never an unordered SUM, whose accumulation order Spark does not
+define. IEEE-754 binary ops are correctly rounded, so identical
+expression trees produce bit-identical doubles and the (rank, doc_id)
+output hash-matches exactly.
+
+IDF uses the rational surrogate ``(N − df + 0.5) / (df + 0.5)`` — the
+argument of BM25's log, without the log. The log is monotone, so per-term
+ranking is unchanged; for multi-term sums the weighting differs from
+textbook BM25 (documented deviation), in exchange for a score built
+entirely from correctly-rounded +,−,×,/ with no transcendental whose last
+ulp may differ between libm implementations.
+
+The reference has no text search at all (its only text ops are the
+filename/line parsers, ``PrimaryPersistence.scala:131-275``); this module
+is part of the driver-mandated 100 TB extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+
+# fixed evaluation queries (terms drawn from the synthetic corpus vocab);
+# literals shared with the SQL twin
+BM25_QUERIES: dict[int, list[str]] = {
+    0: ["spark", "join"],
+    1: ["vector", "window", "scan"],
+    2: ["slow", "query", "merge"],
+}
+# k1/b as exact integer constants; the float literals both engines use are
+# derived from these via round-trip-safe repr()
+K1_X10 = 12
+B_X100 = 75
+BM25_K = 10
+
+
+def bm25_constants() -> tuple[float, float, float]:
+    """(k1, b, k1+1) as the exact doubles BOTH engines evaluate with."""
+    k1 = K1_X10 / 10.0
+    b = B_X100 / 100.0
+    return k1, b, k1 + 1.0
+
+
+def build_postings(
+    documents: DataFrame,
+    terms: list[str] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Inverted index rows (doc_id, dl, term, tf); ``dl`` is the doc's
+    total token count (all terms, independent of the allowlist)."""
+    tok = documents.select(
+        F.col(id_col).alias("doc_id"),
+        T.token_count(text_col).alias("dl"),
+        F.explode(T.tokens(text_col)).alias("term"),
+    ).filter(F.col("term") != "")
+    if terms is not None:
+        tok = tok.filter(F.col("term").isin(list(terms)))
+    # dl is functionally dependent on doc_id — carrying it as a group key
+    # costs nothing and avoids a join back to the document grain
+    return tok.groupBy("doc_id", "dl", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+
+
+def corpus_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """1-row (n_docs, total_tokens) — the broadcastable corpus constants."""
+    return documents.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(T.token_count(text_col)).alias("total_tokens"),
+    )
+
+
+def bm25_topk(
+    documents: DataFrame,
+    queries: dict[int, list[str]] | None = None,
+    k: int = BM25_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per query: top-k documents by BM25, output (query_id, doc_id, rank).
+
+    Plan: ONE corpus pass builds query-term postings (IN-filter before the
+    tf agg), a second map-only pass the 1-row stats; document frequency
+    re-aggregates the tiny postings table. df, stats, and the literal
+    (query_id, term) map all join back as broadcasts, so the only wide
+    shuffles are the postings aggregation and the per-query top-k window
+    over matched docs.
+    """
+    queries = BM25_QUERIES if queries is None else queries
+    k1, b, k1p1 = bm25_constants()
+    qterms = sorted({t for ts in queries.values() for t in ts})
+    qmap = documents.sparkSession.createDataFrame(
+        [(qid, t) for qid, ts in sorted(queries.items()) for t in ts],
+        "query_id bigint, term string",
+    )
+    post = build_postings(documents, terms=qterms, id_col=id_col, text_col=text_col)
+    dfreq = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = corpus_stats(documents, text_col=text_col)
+
+    # every float op mirrors oracle_twins.bm25_sql textually: correctly
+    # rounded IEEE ops over identical operands in identical order
+    idf = ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5)) / (
+        F.col("df").cast("double") + F.lit(0.5)
+    )
+    ratio = (F.col("dl") * F.col("n_docs")).cast("double") / F.col(
+        "total_tokens"
+    ).cast("double")
+    denom = F.col("tf").cast("double") + (
+        F.lit(k1) * ((F.lit(1.0) - F.lit(b)) + (F.lit(b) * ratio))
+    )
+    s = idf * ((F.col("tf").cast("double") * F.lit(k1p1)) / denom)
+
+    scored = (
+        post.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(qmap), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "doc_id", "term", s.alias("s"))
+    )
+    # sequential left fold in term order — the defined-order sum
+    folded = scored.groupBy("query_id", "doc_id").agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("term", "s"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["s"],
+        ).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
+    return (
+        folded.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rank")
+        .orderBy("query_id", "rank")
+    )

@@ -931,3 +931,54 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {k}
 ORDER BY query_id, rank"""
+
+
+def bm25_sql(
+    queries: dict[int, list[str]], k: int, k1: float, b: float, k1p1: float
+) -> str:
+    """BM25 top-k twin; float literals arrive as round-trip-safe repr()s of
+    the exact doubles the Spark side uses, every float op mirrors
+    operators/retrieval.py operand-for-operand, and the per-doc sum is the
+    same term-ordered sequential left fold."""
+    qterms = sorted({t for ts in queries.values() for t in ts})
+    term_list = _in_list(qterms)
+    qmap_rows = ", ".join(
+        f"({qid}, '{t}')" for qid, ts in sorted(queries.items()) for t in ts
+    )
+    ntok = "CASE WHEN length(norm) = 0 THEN 0 ELSE len(toks) END"
+    return f"""
+WITH base AS (
+  SELECT doc_id, {_norm()} AS norm, {_toks()} AS toks FROM documents),
+docs AS (
+  SELECT doc_id, CAST({ntok} AS BIGINT) AS dl, toks FROM base),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS total_tokens FROM docs),
+post AS (
+  SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM docs)
+  WHERE term IN ({term_list})
+  GROUP BY doc_id, dl, term),
+dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term),
+qmap(query_id, term) AS (VALUES {qmap_rows}),
+scored AS (
+  SELECT CAST(qmap.query_id AS BIGINT) AS query_id, post.doc_id, post.term,
+         ((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+         * ((CAST(tf AS DOUBLE) * {k1p1!r}) /
+            (CAST(tf AS DOUBLE) + ({k1!r} * ((1.0 - {b!r}) +
+             ({b!r} * (CAST(dl * n_docs AS DOUBLE)
+                       / CAST(total_tokens AS DOUBLE))))))) AS s
+  FROM post JOIN dfreq USING (term) JOIN qmap USING (term), stats),
+folded AS (
+  SELECT query_id, doc_id,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(s ORDER BY term)),
+                     (acc, x) -> acc + x) AS score
+  FROM scored GROUP BY query_id, doc_id),
+ranked AS (
+  SELECT query_id, doc_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+  FROM folded)
+SELECT query_id, doc_id, rank FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank"""

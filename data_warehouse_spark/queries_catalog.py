@@ -43,6 +43,7 @@ from .operators import (
     dedup,
     multimodal,
     queries as wh,
+    retrieval,
     similarity,
     skew,
     stats,
@@ -51,6 +52,9 @@ from .operators import (
 )
 
 MAX_REGISTERED = 50  # the driver's correctness-check window
+
+# the exact doubles both BM25 engines evaluate with (k1, b, k1+1)
+_BM25_CONSTS = retrieval.bm25_constants()
 
 
 @dataclass(frozen=True)
@@ -2125,13 +2129,42 @@ def _doc_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "doc_top_ngrams",
-    tw.top_ngrams_sql(n=2, k=20),
-    "corpus-wide 2-gram document frequency, global top-20 "
-    "(explode → partial agg → single shuffle → TakeOrdered)",
+    "text_index_suite",
+    f"""
+SELECT * FROM (
+  SELECT 'ngram_df' AS src, ngram AS key, 'doc_freq' AS metric,
+         doc_freq AS value
+  FROM ({tw.top_ngrams_sql(n=2, k=20)})
+  UNION ALL
+  SELECT 'bm25', CAST(query_id AS VARCHAR) || '/' || CAST(doc_id AS VARCHAR),
+         'rank', rank
+  FROM ({tw.bm25_sql(retrieval.BM25_QUERIES, retrieval.BM25_K,
+                     *_BM25_CONSTS)})
+) ORDER BY src, key, metric""",
+    "text indexing + retrieval, melted long: corpus-wide 2-gram document "
+    "frequency top-20 (explode → partial agg → single shuffle → "
+    "TakeOrdered) + Okapi BM25 top-10 over an inverted index (query-term "
+    "IN-filter upstream of the tf agg; df/stats/query-map broadcast; "
+    "rational-idf surrogate and term-ordered sequential-fold scoring keep "
+    "the float64 score bit-identical across engines)",
 )
-def _doc_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text_analysis.top_ngrams(cat.load_table(spark, sf_dir, "documents"))
+def _text_index_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = cat.load_table(spark, sf_dir, "documents")
+    ng = text_analysis.top_ngrams(docs).select(
+        F.lit("ngram_df").alias("src"),
+        F.col("ngram").alias("key"),
+        F.lit("doc_freq").alias("metric"),
+        F.col("doc_freq").cast("bigint").alias("value"),
+    )
+    bm = retrieval.bm25_topk(docs).select(
+        F.lit("bm25").alias("src"),
+        F.concat_ws(
+            "/", F.col("query_id").cast("string"), F.col("doc_id").cast("string")
+        ).alias("key"),
+        F.lit("rank").alias("metric"),
+        F.col("rank").cast("bigint").alias("value"),
+    )
+    return ng.unionByName(bm).orderBy("src", "key", "metric")
 
 
 @register(

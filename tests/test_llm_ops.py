@@ -1040,3 +1040,63 @@ def test_ivfpq_equals_pq_restricted_to_ivf_candidates(spark):
         for i, n in enumerate(ns[:5])
     ]
     assert sorted(got) == sorted(want)
+
+
+def test_bm25_matches_pure_python_reference(spark):
+    """bm25_topk must equal an independent row-at-a-time Python BM25 over
+    the same corpus (same rational-idf surrogate, same constants)."""
+    import math
+    import re as _re
+
+    from data_warehouse_spark import catalog as cat
+    from data_warehouse_spark.operators import retrieval
+
+    docs = cat.load_table(spark, SF_DIR, "documents")
+    rows = docs.select("doc_id", "text").collect()
+    corpus = {}
+    for r in rows:
+        norm = _re.sub(r"[^a-z0-9]+", " ", r.text.lower()).strip()
+        corpus[r.doc_id] = norm.split(" ") if norm else []
+    n_docs = len(corpus)
+    total_tokens = sum(len(t) for t in corpus.values())
+    k1, b, k1p1 = retrieval.bm25_constants()
+
+    def topk(terms, k):
+        dfq = {
+            t: sum(1 for toks in corpus.values() if t in toks) for t in terms
+        }
+        scores = {}
+        for did, toks in corpus.items():
+            s = 0.0
+            for t in sorted(set(terms)):
+                tf = toks.count(t)
+                if tf == 0:
+                    continue
+                idf = ((n_docs - dfq[t]) + 0.5) / (dfq[t] + 0.5)
+                denom = tf + (k1 * ((1.0 - b) + (b * ((len(toks) * n_docs) / total_tokens))))
+                s = s + idf * ((tf * k1p1) / denom)
+            if s > 0.0:
+                scores[did] = s
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        return [(did, i + 1) for i, (did, _) in enumerate(ranked)]
+
+    got = retrieval.bm25_topk(docs).collect()
+    for qid, terms in retrieval.BM25_QUERIES.items():
+        expected = topk(terms, retrieval.BM25_K)
+        actual = [(r.doc_id, r.rank) for r in got if r.query_id == qid]
+        assert actual == expected, (qid, actual[:5], expected[:5])
+
+
+def test_bm25_plan_broadcasts_sides_and_pushes_term_filter(spark):
+    from data_warehouse_spark import catalog as cat
+    from data_warehouse_spark.operators import retrieval
+    from data_warehouse_spark.plans.explain import plan_report
+
+    df = retrieval.bm25_topk(cat.load_table(spark, SF_DIR, "documents"))
+    rep = plan_report(df)
+    # df / query-map / stats all join back as broadcasts; no shuffle join
+    assert rep.broadcast_joins >= 2, rep.text
+    assert rep.sortmerge_joins == 0, rep.text
+    # the postings build prunes documents to (doc_id, text)
+    cols = rep.scans_column_count("documents")
+    assert cols is not None and cols <= 2, rep.text
