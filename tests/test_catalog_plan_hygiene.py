@@ -1,0 +1,47 @@
+"""Catalog-wide physical-plan hygiene gate.
+
+Every registered catalog query — all of them, not just the individually
+plan-pinned ones — must be free of the two silent scale-killers:
+
+- ``CartesianProduct`` — an unconditional cross join of two real
+  relations (the 1-row scalar-broadcast BroadcastNestedLoopJoin shape is
+  allowed, but only for the queries that document it);
+- ``BatchEvalPython`` — a row-at-a-time Python UDF in the plan (the only
+  sanctioned Python boundaries are Arrow-batched: mapInPandas in the
+  media codec layer, applyInPandasWithState in streaming).
+
+A new catalog entry that accidentally plans a cartesian or drops into a
+row-at-a-time UDF fails HERE even if nobody wrote it a dedicated plan
+test.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from data_warehouse_spark.plans.explain import plan_report
+from data_warehouse_spark.queries_catalog import QUERIES
+
+from .conftest import SF_DIR
+
+# queries whose plan legitimately contains a BroadcastNestedLoopJoin —
+# every one a broadcast of a 1-row scalar or a ≤|queries|-row literal set,
+# never a data×data cross product
+BNLJ_ALLOWED = {
+    "tpch_subquery_suite",  # Q11/Q22 1-row total/average broadcast
+    "ann_recall",  # brute-force baseline: ≤5 query vectors broadcast
+    "ann_topk_methods",  # same brute-force arm
+    "doc_dedup_baselines",  # documented O(n²) jaccard recall baseline
+    "text_index_suite",  # BM25 1-row corpus-stats broadcast
+}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_catalog_plan_hygiene(spark, name):
+    rep = plan_report(QUERIES[name].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in rep.text, f"{name}: cartesian product\n{rep.text}"
+    assert "BatchEvalPython" not in rep.text, f"{name}: row-at-a-time Python UDF\n{rep.text}"
+    if name not in BNLJ_ALLOWED:
+        assert "BroadcastNestedLoopJoin" not in rep.text, (
+            f"{name}: undocumented nested-loop join\n{rep.text}"
+        )

@@ -276,3 +276,92 @@ def test_tablestore_merge_verbs_match_dict_model(spark, tmp_path_factory, ops):
         (r["tenant"], r["name"]): r["v"] for r in store.read("t").collect()
     } if store.exists("t") else {}
     assert got == model
+
+
+_IVM_OPS = st.lists(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["A", "B", "C"]),           # tenant (group key)
+            st.integers(min_value=-50, max_value=99),   # amount_cents
+            st.booleans(),                              # try-delete flag
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@given(ops=_IVM_OPS)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_ivm_maintenance_matches_multiset_model(spark, ops):
+    """Any sequence of valid CDC batches (inserts plus deletes of rows that
+    exist), applied step-by-step with ivm.maintain_rollup, must land the
+    rollup exactly where recomputing over the surviving multiset lands it.
+    Delete images are derived from the model so every batch is valid CDC
+    (the contract diff_previous provides)."""
+    from collections import Counter
+
+    from pyspark.sql import types as T
+
+    from data_warehouse_spark.operators import ivm
+
+    schema = T.StructType(
+        [
+            T.StructField(ivm.CHANGE_COL, T.StringType(), False),
+            T.StructField("tenant", T.StringType(), False),
+            T.StructField("amount_cents", T.LongType(), False),
+        ]
+    )
+    base_schema = T.StructType(schema.fields[1:])
+    multiset: Counter = Counter()
+    rollup = spark.createDataFrame([], base_schema)
+    rollup = ivm.compute_rollup(rollup, ["tenant"], ["amount_cents"])
+
+    for batch_ops in ops:
+        images = []
+        for tenant, amount, try_delete in batch_ops:
+            existing = sorted(k for k, n in multiset.items() if n > 0 and k[0] == tenant)
+            if try_delete and existing:
+                victim = existing[0]
+                multiset[victim] -= 1
+                images.append(("delete", victim[0], victim[1]))
+            else:
+                multiset[(tenant, amount)] += 1
+                images.append(("insert", tenant, amount))
+        cdc = spark.createDataFrame(images, schema)
+        rollup = ivm.maintain_rollup(rollup, cdc, ["tenant"], ["amount_cents"])
+        # materialize each step (the stored-view contract; also keeps the
+        # lineage from compounding across iterations)
+        rows = [(r["tenant"], r["n_rows"], r["sum_amount_cents"]) for r in rollup.collect()]
+        rollup = spark.createDataFrame(
+            rows,
+            T.StructType(
+                [
+                    T.StructField("tenant", T.StringType(), False),
+                    T.StructField("n_rows", T.LongType(), False),
+                    T.StructField("sum_amount_cents", T.LongType(), False),
+                ]
+            ),
+        )
+
+    surviving = [
+        (t, a) for (t, a), n in multiset.items() for _ in range(n)
+    ]
+    expected_df = ivm.compute_rollup(
+        spark.createDataFrame(surviving, base_schema)
+        if surviving
+        else spark.createDataFrame([], base_schema),
+        ["tenant"],
+        ["amount_cents"],
+    )
+    expected = {
+        r["tenant"]: (r["n_rows"], r["sum_amount_cents"]) for r in expected_df.collect()
+    }
+    got = {r["tenant"]: (r["n_rows"], r["sum_amount_cents"]) for r in rollup.collect()}
+    assert got == expected
