@@ -154,3 +154,48 @@ def bm25_topk(
         .select("query_id", "doc_id", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+# fixed evaluation phrase (distinct words → occurrences cannot overlap);
+# shared with the SQL twin
+PHRASE = ["batch", "merge"]
+
+
+def phrase_match(
+    documents: DataFrame,
+    phrase: list[str] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact consecutive-token phrase search via a POSITIONAL index:
+    (doc_id, term, position) postings filtered to the phrase's words (the
+    IN-filter pushes below the explode's consumer), then word i joins word
+    0 at ``pos + i`` — one equi-join per additional phrase word, each on
+    (doc_id, pos) over the tiny filtered postings, never a scan of
+    unmatched tokens downstream. Output: (doc_id, n_matches) per matching
+    document — the phrase-query feature a substring LIKE cannot express
+    over a tokenized index (and the index path answers it without
+    re-reading text).
+    """
+    phrase = PHRASE if phrase is None else phrase
+    ptok = (
+        documents.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(T.tokens(text_col)).alias("pos", "w"),
+        )
+        .filter(F.col("w").isin(list(set(phrase))))
+    )
+    out = ptok.filter(F.col("w") == phrase[0]).select("doc_id", "pos")
+    for i, word in enumerate(phrase[1:], start=1):
+        nxt = ptok.filter(F.col("w") == word).select(
+            F.col("doc_id").alias("n_doc"), F.col("pos").alias("n_pos")
+        )
+        out = out.join(
+            nxt,
+            (F.col("doc_id") == F.col("n_doc")) & (F.col("n_pos") == F.col("pos") + i),
+        ).select("doc_id", "pos")
+    return (
+        out.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+        .orderBy("doc_id")
+    )

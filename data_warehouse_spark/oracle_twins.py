@@ -982,3 +982,27 @@ ranked AS (
   FROM folded)
 SELECT query_id, doc_id, rank FROM ranked WHERE rank <= {k}
 ORDER BY query_id, rank"""
+
+
+def phrase_match_sql(phrase: list[str]) -> str:
+    """Positional-index phrase match twin (generate_subscripts is 1-based
+    where Spark's posexplode is 0-based — only relative offsets appear in
+    the join, so the base cancels)."""
+    words = _in_list(sorted(set(phrase)))
+    joins = "\n".join(
+        f"JOIN ptok p{i} ON p{i}.doc_id = p0.doc_id AND p{i}.w = '{w}'"
+        f" AND p{i}.pos = p0.pos + {i}"
+        for i, w in enumerate(phrase[1:], start=1)
+    )
+    return f"""
+WITH base AS (SELECT doc_id, {_toks()} AS toks FROM documents),
+ptok AS (
+  SELECT * FROM (
+    SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS pos
+    FROM base)
+  WHERE w IN ({words})),
+p0 AS (SELECT doc_id, pos FROM ptok WHERE w = '{phrase[0]}')
+SELECT p0.doc_id, CAST(count(*) AS BIGINT) AS n_matches
+FROM p0
+{joins}
+GROUP BY p0.doc_id ORDER BY p0.doc_id"""

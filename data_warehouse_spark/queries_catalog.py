@@ -2140,13 +2140,19 @@ SELECT * FROM (
          'rank', rank
   FROM ({tw.bm25_sql(retrieval.BM25_QUERIES, retrieval.BM25_K,
                      *_BM25_CONSTS)})
+  UNION ALL
+  SELECT 'phrase', CAST(doc_id AS VARCHAR), 'n_matches', n_matches
+  FROM ({tw.phrase_match_sql(retrieval.PHRASE)})
 ) ORDER BY src, key, metric""",
     "text indexing + retrieval, melted long: corpus-wide 2-gram document "
     "frequency top-20 (explode → partial agg → single shuffle → "
     "TakeOrdered) + Okapi BM25 top-10 over an inverted index (query-term "
     "IN-filter upstream of the tf agg; df/stats/query-map broadcast; "
     "rational-idf surrogate and term-ordered sequential-fold scoring keep "
-    "the float64 score bit-identical across engines)",
+    "the float64 score bit-identical across engines) + positional-index "
+    "exact phrase match (word i joins word 0 at pos+i over IN-filtered "
+    "postings — the consecutive-token query a bag-of-words index cannot "
+    "answer)",
 )
 def _text_index_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = cat.load_table(spark, sf_dir, "documents")
@@ -2164,7 +2170,13 @@ def _text_index_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("rank").alias("metric"),
         F.col("rank").cast("bigint").alias("value"),
     )
-    return ng.unionByName(bm).orderBy("src", "key", "metric")
+    ph = retrieval.phrase_match(docs).select(
+        F.lit("phrase").alias("src"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.lit("n_matches").alias("metric"),
+        F.col("n_matches").cast("bigint").alias("value"),
+    )
+    return ng.unionByName(bm).unionByName(ph).orderBy("src", "key", "metric")
 
 
 @register(

@@ -1100,3 +1100,30 @@ def test_bm25_plan_broadcasts_sides_and_pushes_term_filter(spark):
     # the postings build prunes documents to (doc_id, text)
     cols = rep.scans_column_count("documents")
     assert cols is not None and cols <= 2, rep.text
+
+
+def test_phrase_match_equals_naive_token_scan(spark):
+    """Positional-index phrase match must equal a per-doc Python scan over
+    the token list (every start position counted, overlaps included)."""
+    import re as _re
+
+    from data_warehouse_spark import catalog as cat
+    from data_warehouse_spark.operators import retrieval
+
+    docs = cat.load_table(spark, SF_DIR, "documents")
+    phrase = retrieval.PHRASE
+    expected = {}
+    for r in docs.select("doc_id", "text").collect():
+        norm = _re.sub(r"[^a-z0-9]+", " ", r.text.lower()).strip()
+        toks = norm.split(" ") if norm else []
+        n = sum(
+            1
+            for i in range(len(toks) - len(phrase) + 1)
+            if toks[i : i + len(phrase)] == phrase
+        )
+        if n:
+            expected[r.doc_id] = n
+    got = {
+        r.doc_id: r.n_matches for r in retrieval.phrase_match(docs).collect()
+    }
+    assert got == expected
