@@ -365,3 +365,67 @@ def test_ivm_maintenance_matches_multiset_model(spark, ops):
     }
     got = {r["tenant"]: (r["n_rows"], r["sum_amount_cents"]) for r in rollup.collect()}
     assert got == expected
+
+
+_BAND_EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),          # user_id
+        st.sampled_from(["click", "purchase"]),         # event_type
+        # timestamps in whole seconds around bucket boundaries: the band is
+        # 60 min, so multiples of 3600 s sit EXACTLY on bucket edges — the
+        # off-by-one surface of the bucket rewrite
+        st.integers(min_value=0, max_value=4 * 3600),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(evs=_BAND_EVENTS)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_band_join_equals_naive_model(spark, evs):
+    """The bucketed band join must equal the quadratic Python model on any
+    event set, including pairs whose timestamps straddle or sit exactly on
+    bucket boundaries and same-instant pairs (dt=0 excluded by > 0)."""
+    import datetime as _dt
+
+    from pyspark.sql import types as T
+
+    from data_warehouse_spark.operators import windows as W
+
+    base = _dt.datetime(2020, 1, 1)
+    rows = [
+        (i, base + _dt.timedelta(seconds=sec), uid, typ, 0.0, "{}")
+        for i, (uid, typ, sec) in enumerate(evs)
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), False),
+            T.StructField("ts", T.TimestampType(), False),
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("event_type", T.StringType(), False),
+            T.StructField("value", T.DoubleType(), False),
+            T.StructField("props", T.StringType(), False),
+        ]
+    )
+    events = spark.createDataFrame(rows, schema)
+    got = {
+        (r["left_id"], r["right_id"], r["dt_us"])
+        for r in W.band_join_pairs(events, band_minutes=60).collect()
+    }
+    band_us = 3600 * 1_000_000
+    expected = set()
+    for li, (lu, lt, ls) in enumerate(evs):
+        if lt != "click":
+            continue
+        for ri, (ru, rt, rs) in enumerate(evs):
+            if rt != "purchase" or ru != lu:
+                continue
+            dt_us = (rs - ls) * 1_000_000
+            if 0 < dt_us <= band_us:
+                expected.add((li, ri, dt_us))
+    assert got == expected
