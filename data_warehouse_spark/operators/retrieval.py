@@ -102,12 +102,18 @@ def bm25_topk(
 ) -> DataFrame:
     """Per query: top-k documents by BM25, output (query_id, doc_id, rank).
 
-    Plan: ONE corpus pass builds query-term postings (IN-filter before the
-    tf agg), a second map-only pass the 1-row stats; document frequency
-    re-aggregates the tiny postings table. df, stats, and the literal
-    (query_id, term) map all join back as broadcasts, so the only wide
-    shuffles are the postings aggregation and the per-query top-k window
-    over matched docs.
+    Plan: ONE corpus pass builds query-term postings (IN-filter before
+    the tf agg); ONE more map-only pass computes the 1-row stats (n_docs
+    and total_tokens genuinely need every document — in a standing
+    deployment they are a maintained table, here the pass is projection-
+    pruned to nothing but the text column). Document frequency is a
+    window count over the postings themselves — post is unique per
+    (doc, term), so ``count(*) over (partition by term)`` IS df, and the
+    corpus is never re-tokenized for it (scan count pinned in
+    tests/test_llm_ops.py). stats and the literal (query_id, term) map
+    join back as broadcasts; the wide shuffles are the postings
+    aggregation (which the df window reuses — same key) and the
+    per-query top-k window over matched docs.
     """
     queries = BM25_QUERIES if queries is None else queries
     k1, b, k1p1 = bm25_constants()
@@ -116,8 +122,9 @@ def bm25_topk(
         [(qid, t) for qid, ts in sorted(queries.items()) for t in ts],
         "query_id bigint, term string",
     )
-    post = build_postings(documents, terms=qterms, id_col=id_col, text_col=text_col)
-    dfreq = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    post = build_postings(
+        documents, terms=qterms, id_col=id_col, text_col=text_col
+    ).withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
     stats = corpus_stats(documents, text_col=text_col)
 
     # every float op mirrors oracle_twins.bm25_sql textually: correctly
@@ -134,8 +141,7 @@ def bm25_topk(
     s = idf * ((F.col("tf").cast("double") * F.lit(k1p1)) / denom)
 
     scored = (
-        post.join(F.broadcast(dfreq), "term")
-        .join(F.broadcast(qmap), "term")
+        post.join(F.broadcast(qmap), "term")
         .crossJoin(F.broadcast(stats))
         .select("query_id", "doc_id", "term", s.alias("s"))
     )
@@ -169,33 +175,42 @@ def phrase_match(
 ) -> DataFrame:
     """Exact consecutive-token phrase search via a POSITIONAL index:
     (doc_id, term, position) postings filtered to the phrase's words (the
-    IN-filter pushes below the explode's consumer), then word i joins word
-    0 at ``pos + i`` — one equi-join per additional phrase word, each on
-    (doc_id, pos) over the tiny filtered postings, never a scan of
-    unmatched tokens downstream. Output: (doc_id, n_matches) per matching
-    document — the phrase-query feature a substring LIKE cannot express
-    over a tokenized index (and the index path answers it without
-    re-reading text).
+    IN-filter pushes below the explode's consumer), grouped ONCE per
+    document, then the match count is computed JVM-side on the collected
+    position arrays — a start position of word 0 counts iff word i's
+    position set contains ``pos + i`` for every later phrase word. ONE
+    corpus scan and ONE shuffle on doc_id regardless of phrase length
+    (a join-per-word formulation would re-tokenize the corpus per word —
+    the scan count is pinned in tests/test_llm_ops.py). All start
+    positions count, overlaps included. Output: (doc_id, n_matches) —
+    the phrase-query feature a bag-of-words index cannot answer.
     """
     phrase = PHRASE if phrase is None else phrase
-    ptok = (
-        documents.select(
-            F.col(id_col).alias("doc_id"),
-            F.posexplode(T.tokens(text_col)).alias("pos", "w"),
-        )
-        .filter(F.col("w").isin(list(set(phrase))))
+    ptok = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(T.tokens(text_col)).alias("pos", "w"),
+    ).filter(F.col("w").isin(list(set(phrase))))
+    per_doc = ptok.groupBy("doc_id").agg(
+        F.collect_list(F.struct("w", "pos")).alias("wp")
     )
-    out = ptok.filter(F.col("w") == phrase[0]).select("doc_id", "pos")
-    for i, word in enumerate(phrase[1:], start=1):
-        nxt = ptok.filter(F.col("w") == word).select(
-            F.col("doc_id").alias("n_doc"), F.col("pos").alias("n_pos")
+    positions_of = {
+        w: F.transform(
+            F.filter(F.col("wp"), lambda x: x["w"] == F.lit(w)),
+            lambda x: x["pos"],
         )
-        out = out.join(
-            nxt,
-            (F.col("doc_id") == F.col("n_doc")) & (F.col("n_pos") == F.col("pos") + i),
-        ).select("doc_id", "pos")
+        for w in dict.fromkeys(phrase)  # insertion-ordered unique words
+    }
+    starts = positions_of[phrase[0]]
+
+    def hit(p: F.Column) -> F.Column:
+        cond = F.lit(True)
+        for i, word in enumerate(phrase[1:], start=1):
+            cond = cond & F.array_contains(positions_of[word], p + i)
+        return cond
+
+    n_matches = F.size(F.filter(starts, hit))
     return (
-        out.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_matches"))
+        per_doc.select("doc_id", n_matches.cast("bigint").alias("n_matches"))
+        .filter(F.col("n_matches") > 0)
         .orderBy("doc_id")
     )

@@ -36,10 +36,11 @@ from pyspark.sql import types as T
 
 from ..operators import sketches
 from ..sources.tables import TableStore
+from . import epochs
 
 CMS_EPOCHS_TABLE = "cms_epochs"
 CMS_META_TABLE = "cms_meta"
-BASE_EPOCH = -1  # reserved: the fold target of compacted epochs
+BASE_EPOCH = epochs.BASE_EPOCH
 
 _EPOCHS_SCHEMA = T.StructType(
     [
@@ -49,28 +50,11 @@ _EPOCHS_SCHEMA = T.StructType(
         T.StructField("cnt", T.LongType(), False),
     ]
 )
-_META_SCHEMA = T.StructType(
-    [
-        T.StructField("k", T.StringType(), False),
-        T.StructField("v", T.LongType(), False),
-    ]
-)
-
-
 def sketch_store(spark: SparkSession, root: str) -> TableStore:
     """A TableStore wired for :class:`SketchSink`."""
     return TableStore(
-        spark, root, {CMS_EPOCHS_TABLE: _EPOCHS_SCHEMA, CMS_META_TABLE: _META_SCHEMA}
+        spark, root, {CMS_EPOCHS_TABLE: _EPOCHS_SCHEMA, CMS_META_TABLE: epochs.META_SCHEMA}
     )
-
-
-def _compacted_watermark(store: TableStore) -> int:
-    if not store.exists(CMS_META_TABLE):
-        return BASE_EPOCH
-    rows = (
-        store.read(CMS_META_TABLE).filter(F.col("k") == "compacted_through").collect()
-    )
-    return rows[0]["v"] if rows else BASE_EPOCH
 
 
 class SketchSink:
@@ -96,18 +80,15 @@ class SketchSink:
         self.depth = depth
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> int:
-        if epoch_id <= _compacted_watermark(self.store):
-            return 0  # stale replay of an epoch already folded into the base
         cells = sketches.count_min_sketch(
             batch_df, self.key_col, width=self.width, depth=self.depth
         ).select(
-            F.lit(int(epoch_id)).cast("long").alias("epoch"),
             F.col("d").cast("int").alias("d"),
             F.col("bucket").cast("int").alias("bucket"),
             F.col("cnt").cast("long").alias("cnt"),
         )
-        return self.store.merge_insert_missing(
-            CMS_EPOCHS_TABLE, cells, ["epoch", "d", "bucket"]
+        return epochs.insert_epoch(
+            self.store, CMS_EPOCHS_TABLE, CMS_META_TABLE, epoch_id, cells, ["d", "bucket"]
         )
 
 
@@ -146,26 +127,9 @@ def compact_epochs(store: TableStore) -> int:
     Run periodically from the maintenance path (like ``TableStore.compact``
     for part files): the store shrinks from depth×width×epochs rows back to
     ≤ depth×width, and serving cost stops growing with stream age.
+    Watermark-first crash safety and the single-writer assumption are
+    documented once, in ``epochs.py``.
     """
-    if not store.exists(CMS_EPOCHS_TABLE):
-        return 0
-    cells = store.read(CMS_EPOCHS_TABLE)
-    epochs = [r["epoch"] for r in cells.select("epoch").distinct().collect()]
-    folded = [e for e in epochs if e != BASE_EPOCH]
-    if not folded:
-        return 0
-    # watermark FIRST, fold second — safe in both crash orders: a crash
-    # after the watermark but before the fold leaves the epochs in place
-    # (serving still sums them; replays of those epochs are skipped, which
-    # is correct because their cells are still counted; the next compaction
-    # re-runs the fold). The reverse order would open a window where a
-    # folded epoch's replay re-inserts and double-counts.
-    meta = store.spark.createDataFrame(
-        [("compacted_through", int(max(folded)))], schema=_META_SCHEMA
+    return epochs.compact_additive(
+        store, CMS_EPOCHS_TABLE, CMS_META_TABLE, ["d", "bucket"], ["cnt"]
     )
-    store.overwrite(CMS_META_TABLE, meta)
-    base = cells.groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt")).select(
-        F.lit(BASE_EPOCH).cast("long").alias("epoch"), "d", "bucket", "cnt"
-    )
-    store.overwrite(CMS_EPOCHS_TABLE, base)
-    return len(folded)

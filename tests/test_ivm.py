@@ -24,7 +24,8 @@ ROLLUP_SCHEMA = T.StructType(
     [
         T.StructField("tenant", T.StringType(), False),
         T.StructField("n_rows", T.LongType(), False),
-        T.StructField("sum_amount_cents", T.LongType(), False),
+        T.StructField("nn_amount_cents", T.LongType(), False),
+        T.StructField("sum_amount_cents", T.LongType(), True),
     ]
 )
 
@@ -129,3 +130,53 @@ def test_duplicate_rows_maintained_exactly(spark):
     assert [(r["tenant"], r["n_rows"], r["sum_amount_cents"]) for r in out] == [
         ("A", 2, 15)
     ]
+
+
+def test_null_group_keys_merge_null_safely(spark):
+    """A NULL group key is ONE group: deltas must merge into it (eqNullSafe
+    join), not duplicate or strand it."""
+    nullable = T.StructType(
+        [
+            T.StructField("tenant", T.StringType(), True),
+            T.StructField("name", T.StringType(), False),
+            T.StructField("amount_cents", T.LongType(), False),
+        ]
+    )
+    base = spark.createDataFrame([(None, "x", 10), (None, "y", 20)], nullable)
+    rollup = ivm.compute_rollup(base, GROUP, SUMS)
+    cdc = spark.createDataFrame(
+        [("delete", None, "x", 10), ("insert", None, "z", 5)],
+        T.StructType([T.StructField("_change", T.StringType(), False)] + nullable.fields),
+    )
+    out = ivm.maintain_rollup(rollup, cdc, GROUP, SUMS).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["tenant"] is None and r["n_rows"] == 2 and r["sum_amount_cents"] == 25
+
+
+def test_all_null_sum_serves_null_after_deletes(spark):
+    """Deleting a group's last non-null measure must serve sum=NULL (what a
+    recompute says), not a stale 0 — the nn_ counter's whole job."""
+    nullable = T.StructType(
+        [
+            T.StructField("tenant", T.StringType(), False),
+            T.StructField("name", T.StringType(), False),
+            T.StructField("amount_cents", T.LongType(), True),
+        ]
+    )
+    base = spark.createDataFrame([("A", "x", None), ("A", "y", 5)], nullable)
+    rollup = ivm.compute_rollup(base, GROUP, SUMS)
+    cdc = spark.createDataFrame(
+        [("delete", "A", "y", 5)],
+        T.StructType([T.StructField("_change", T.StringType(), False)] + nullable.fields),
+    )
+    out = ivm.maintain_rollup(rollup, cdc, GROUP, SUMS).collect()
+    assert len(out) == 1
+    assert out[0]["n_rows"] == 1 and out[0]["sum_amount_cents"] is None
+    # and it matches the recompute over the surviving base exactly
+    recomputed = ivm.compute_rollup(
+        spark.createDataFrame([("A", "x", None)], nullable), GROUP, SUMS
+    ).collect()[0]
+    assert (out[0]["n_rows"], out[0]["nn_amount_cents"], out[0]["sum_amount_cents"]) == (
+        recomputed["n_rows"], recomputed["nn_amount_cents"], recomputed["sum_amount_cents"]
+    )

@@ -1094,12 +1094,33 @@ def test_bm25_plan_broadcasts_sides_and_pushes_term_filter(spark):
 
     df = retrieval.bm25_topk(cat.load_table(spark, SF_DIR, "documents"))
     rep = plan_report(df)
-    # df / query-map / stats all join back as broadcasts; no shuffle join
-    assert rep.broadcast_joins >= 2, rep.text
+    # query-map / stats join back as broadcasts; no shuffle join
+    assert rep.broadcast_joins >= 1, rep.text
     assert rep.sortmerge_joins == 0, rep.text
     # the postings build prunes documents to (doc_id, text)
     cols = rep.scans_column_count("documents")
     assert cols is not None and cols <= 2, rep.text
+    # exactly TWO corpus scans: postings + the 1-row stats pass (df comes
+    # from a window over the postings, never a third tokenize pass)
+    import re
+
+    n_scans = len(re.findall(r"(?m)^\(\d+\) Scan parquet", rep.text))
+    assert n_scans == 2, rep.text
+
+
+def test_phrase_match_is_single_scan(spark):
+    from data_warehouse_spark import catalog as cat
+    from data_warehouse_spark.operators import retrieval
+    from data_warehouse_spark.plans.explain import plan_report
+
+    df = retrieval.phrase_match(cat.load_table(spark, SF_DIR, "documents"))
+    rep = plan_report(df)
+    # ONE corpus scan and ONE doc_id shuffle regardless of phrase length
+    import re
+
+    n_scans = len(re.findall(r"(?m)^\(\d+\) Scan parquet", rep.text))
+    assert n_scans == 1, rep.text
+    assert "Join" not in rep.text, rep.text
 
 
 def test_phrase_match_equals_naive_token_scan(spark):

@@ -463,8 +463,6 @@ def test_nation_pair_volume_broadcast_dims_single_fact_join(spark):
 
 
 def test_important_part_values_single_fact_scan_broadcast_total(spark):
-    import re
-
     df = analytics.important_part_values(cat.load_table(spark, SF_DIR, "lineitem"))
     # the final AQE plan is the one that matters: both consumers of the
     # per-part aggregate prune identical columns, so AQE's exchange reuse

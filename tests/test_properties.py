@@ -338,14 +338,18 @@ def test_ivm_maintenance_matches_multiset_model(spark, ops):
         rollup = ivm.maintain_rollup(rollup, cdc, ["tenant"], ["amount_cents"])
         # materialize each step (the stored-view contract; also keeps the
         # lineage from compounding across iterations)
-        rows = [(r["tenant"], r["n_rows"], r["sum_amount_cents"]) for r in rollup.collect()]
+        rows = [
+            (r["tenant"], r["n_rows"], r["nn_amount_cents"], r["sum_amount_cents"])
+            for r in rollup.collect()
+        ]
         rollup = spark.createDataFrame(
             rows,
             T.StructType(
                 [
                     T.StructField("tenant", T.StringType(), False),
                     T.StructField("n_rows", T.LongType(), False),
-                    T.StructField("sum_amount_cents", T.LongType(), False),
+                    T.StructField("nn_amount_cents", T.LongType(), False),
+                    T.StructField("sum_amount_cents", T.LongType(), True),
                 ]
             ),
         )
