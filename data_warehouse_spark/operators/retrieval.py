@@ -162,6 +162,53 @@ def bm25_topk(
     )
 
 
+VOCAB_K = 25
+
+
+def vocab_with_oov(
+    documents: DataFrame,
+    k: int = VOCAB_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k token vocabulary by corpus frequency plus the out-of-vocab
+    rate that vocabulary leaves — the tokenizer-design statistic (how much
+    of the stream would fall to <unk> under a k-entry word vocab).
+
+    ONE corpus tokenize pass aggregates to the (token, freq) table;
+    everything else derives from that small table: the vocab is a top-k
+    (TakeOrderedAndProject over |vocab| rows, never the corpus), and the
+    OOV count is ``total − Σ top-k freqs`` — arithmetic on two tiny
+    aggregates, NOT an anti-join back against the corpus stream. Output,
+    melted: k (token, 'n_occurrences', freq) rows + one
+    ('<oov>', 'oov_permille', div(1000·oov_tokens, total)) row.
+    Ties break by token so the cut is deterministic cross-engine.
+    """
+    freq = (
+        documents.select(F.explode(T.tokens(text_col)).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top = freq.orderBy(F.desc("freq"), "token").limit(k)
+    total = freq.agg(F.sum("freq").alias("total"))
+    kept = top.agg(F.sum("freq").alias("kept"))
+    oov = (
+        total.crossJoin(F.broadcast(kept))
+        .select(
+            F.lit("<oov>").alias("token"),
+            F.lit("oov_permille").alias("metric"),
+            F.expr("div(1000 * (total - kept), total)").cast("bigint").alias("value"),
+        )
+    )
+    vocab = top.select(
+        "token",
+        F.lit("n_occurrences").alias("metric"),
+        F.col("freq").cast("bigint").alias("value"),
+    )
+    return vocab.unionByName(oov).orderBy("token", "metric")
+
+
 # fixed evaluation phrase (distinct words → occurrences cannot overlap);
 # shared with the SQL twin
 PHRASE = ["batch", "merge"]

@@ -1006,3 +1006,22 @@ SELECT p0.doc_id, CAST(count(*) AS BIGINT) AS n_matches
 FROM p0
 {joins}
 GROUP BY p0.doc_id ORDER BY p0.doc_id"""
+
+
+def vocab_oov_sql(k: int) -> str:
+    """Top-k vocabulary + OOV permille twin (ties cut by token, both
+    integer permille via floor-div on positives)."""
+    return f"""
+WITH freq AS (
+  SELECT w AS token, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest({_toks()}) AS w FROM documents)
+  WHERE w <> '' GROUP BY w),
+top AS (SELECT token, freq FROM freq ORDER BY freq DESC, token LIMIT {k}),
+t AS (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM freq),
+kp AS (SELECT CAST(SUM(freq) AS BIGINT) AS kept FROM top)
+SELECT * FROM (
+  SELECT token, 'n_occurrences' AS metric, freq AS value FROM top
+  UNION ALL
+  SELECT '<oov>', 'oov_permille',
+         CAST((1000 * (total - kept)) // total AS BIGINT) FROM t, kp
+) ORDER BY token, metric"""

@@ -2143,6 +2143,9 @@ SELECT * FROM (
   UNION ALL
   SELECT 'phrase', CAST(doc_id AS VARCHAR), 'n_matches', n_matches
   FROM ({tw.phrase_match_sql(retrieval.PHRASE)})
+  UNION ALL
+  SELECT 'vocab', token, metric, value
+  FROM ({tw.vocab_oov_sql(retrieval.VOCAB_K)})
 ) ORDER BY src, key, metric""",
     "text indexing + retrieval, melted long: corpus-wide 2-gram document "
     "frequency top-20 (explode → partial agg → single shuffle → "
@@ -2150,9 +2153,11 @@ SELECT * FROM (
     "IN-filter upstream of the tf agg; df/stats/query-map broadcast; "
     "rational-idf surrogate and term-ordered sequential-fold scoring keep "
     "the float64 score bit-identical across engines) + positional-index "
-    "exact phrase match (word i joins word 0 at pos+i over IN-filtered "
-    "postings — the consecutive-token query a bag-of-words index cannot "
-    "answer)",
+    "exact phrase match (single-pass per-doc position arrays, JVM HOF "
+    "matching — the consecutive-token query a bag-of-words index cannot "
+    "answer) + top-k vocabulary with OOV permille (the <unk> rate a "
+    "k-entry vocab leaves — derived from the one aggregated frequency "
+    "table, never an anti-join back against the corpus)",
 )
 def _text_index_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = cat.load_table(spark, sf_dir, "documents")
@@ -2176,7 +2181,18 @@ def _text_index_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("n_matches").alias("metric"),
         F.col("n_matches").cast("bigint").alias("value"),
     )
-    return ng.unionByName(bm).unionByName(ph).orderBy("src", "key", "metric")
+    vo = retrieval.vocab_with_oov(docs).select(
+        F.lit("vocab").alias("src"),
+        F.col("token").alias("key"),
+        "metric",
+        F.col("value").cast("bigint").alias("value"),
+    )
+    return (
+        ng.unionByName(bm)
+        .unionByName(ph)
+        .unionByName(vo)
+        .orderBy("src", "key", "metric")
+    )
 
 
 @register(

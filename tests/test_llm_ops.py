@@ -1148,3 +1148,34 @@ def test_phrase_match_equals_naive_token_scan(spark):
         r.doc_id: r.n_matches for r in retrieval.phrase_match(docs).collect()
     }
     assert got == expected
+
+
+def test_vocab_with_oov_single_scan_and_model(spark):
+    """Top-k vocab + OOV permille: matches a Python model, and the AQE
+    final plan scans the corpus ONCE (total and kept derive from the
+    aggregated frequency table via exchange reuse)."""
+    import re as _re
+    from collections import Counter
+
+    from data_warehouse_spark import catalog as cat
+    from data_warehouse_spark.operators import retrieval
+    from data_warehouse_spark.plans.explain import plan_report
+
+    docs = cat.load_table(spark, SF_DIR, "documents")
+    freq = Counter()
+    for r in docs.select("text").collect():
+        norm = _re.sub(r"[^a-z0-9]+", " ", r.text.lower()).strip()
+        freq.update(w for w in norm.split(" ") if w)
+    top = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[: retrieval.VOCAB_K]
+    total = sum(freq.values())
+    kept = sum(f for _, f in top)
+    expected = {(t, "n_occurrences", f) for t, f in top}
+    expected.add(("<oov>", "oov_permille", 1000 * (total - kept) // total))
+
+    df = retrieval.vocab_with_oov(docs)
+    got = {(r.token, r.metric, r.value) for r in df.collect()}
+    assert got == expected
+
+    rep = plan_report(df, run_first=True)
+    final = rep.text.split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1, rep.text
