@@ -1025,3 +1025,84 @@ SELECT * FROM (
   SELECT '<oov>', 'oov_permille',
          CAST((1000 * (total - kept)) // total AS BIGINT) FROM t, kp
 ) ORDER BY token, metric"""
+
+
+def ann_ivfpq_sql(
+    query_ids: list[int],
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    kc: int = 16,
+    m: int = 8,
+    sub: int = 8,
+    dim: int = 64,
+) -> str:
+    """Composed IVF+PQ twin: the candidate set is EXACTLY ann_ivf_sql's
+    (same assignment prefix, same probe ranking, un-normalized space) and
+    the scoring is EXACTLY ann_pq_sql's ADC chain restricted to those
+    candidates (normalized space) — mirroring similarity.ivfpq_topk."""
+    ids = ", ".join(str(i) for i in query_ids)
+    cw_hash = H60.format(s="CAST(vec_id AS VARCHAR) || '|pq'")
+    cw_joins = "\n  ".join(
+        f"JOIN cw cw{j} ON cw{j}.c = kd.codes[{j + 1}]" for j in range(m)
+    )
+    adist = " + ".join(
+        f"({_l2sq_sub_sql('q.qv', f'cw{j}.w', j, sub)})" for j in range(m)
+    )
+    return f"""
+WITH {_ivf_assigned_cte(n_cells, dim)},
+qc AS (
+  SELECT q.vec_id AS query_id, c.cell_id,
+         {_cos('q.v', 'c.cv', dim)} AS cos
+  FROM e q, c WHERE q.vec_id IN ({ids})
+),
+probed AS (
+  SELECT query_id, cell_id FROM (
+    SELECT query_id, cell_id,
+           row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, cell_id DESC) AS rn
+    FROM qc) WHERE rn <= {nprobe}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM assigned a JOIN probed p ON a.cell_id = p.cell_id
+  WHERE a.vec_id <> p.query_id
+),
+n AS (
+  SELECT vec_id,
+         list_transform(v, x -> x / sqrt({_dot('v', 'v', dim)})) AS v
+  FROM e
+),
+cw AS (
+  SELECT row_number() OVER (ORDER BY {cw_hash}, vec_id) - 1 AS c, v AS w
+  FROM n ORDER BY {cw_hash}, vec_id LIMIT {kc}
+),
+sub AS (
+  SELECT n.vec_id, cw.c, j.j,
+         {_l2sq_sub_sql('n.v', 'cw.w', 'j.j', sub)} AS d2
+  FROM n, cw, (SELECT unnest(range(0, {m})) AS j) j
+),
+kd AS (
+  SELECT vec_id, list(c ORDER BY j) AS codes FROM (
+    SELECT vec_id, j, c,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS rn
+    FROM sub) WHERE rn = 1
+  GROUP BY vec_id
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM n WHERE vec_id IN ({ids})),
+scored AS (
+  SELECT q.query_id, kd.vec_id AS neighbor_id,
+         {adist} AS adist
+  FROM q
+  JOIN cand ON cand.query_id = q.query_id
+  JOIN kd ON kd.vec_id = cand.neighbor_id
+  {cw_joins}
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY adist, neighbor_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank"""

@@ -886,6 +886,9 @@ def _ann_recall_oracle() -> str:
         "lsh": tw.ann_lsh_sql(planes, _ANN_QUERY_IDS, k=k),
         "lsh_mp": tw.ann_lsh_sql(planes, _ANN_QUERY_IDS, k=k, multiprobe=True),
         "pq": tw.ann_pq_sql(_ANN_QUERY_IDS, k=k),
+        "ivfpq": tw.ann_ivfpq_sql(
+            _ANN_QUERY_IDS, k=k, n_cells=similarity.N_CELLS, nprobe=similarity.N_PROBE
+        ),
     }
     ctes = ",\n".join(
         f"m_{name} AS (SELECT query_id, neighbor_id FROM ({sql}) t)"
@@ -912,9 +915,9 @@ SELECT * FROM (
     "ann_recall",
     _ann_recall_oracle(),
     "recall@k of every approximate ANN path (IVF, single-probe LSH, "
-    "multi-probe LSH, product quantization) against exact brute force — "
-    "integer permille, so the quality/cost tradeoff is itself "
-    "regression-pinned",
+    "multi-probe LSH, product quantization, and the composed IVF+PQ "
+    "serving path) against exact brute force — integer permille, so the "
+    "quality/cost tradeoff is itself regression-pinned",
 )
 def _ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .materialize import storage_checkpoint
@@ -930,6 +933,7 @@ def _ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("lsh", similarity.lsh_topk(emb, _ANN_QUERY_IDS, k=_ANN_K)),
         ("lsh_mp", similarity.lsh_topk(emb, _ANN_QUERY_IDS, k=_ANN_K, multiprobe=True)),
         ("pq", similarity.pq_topk(emb, _ANN_QUERY_IDS, k=_ANN_K, index_cache_key=sf_dir)),
+        ("ivfpq", similarity.ivfpq_topk(emb, _ANN_QUERY_IDS, k=_ANN_K, index_cache_key=sf_dir)),
     ):
         r = similarity.recall_vs_exact(df, bf, k=_ANN_K).select(
             F.lit(method).alias("method"), "query_id", "recall_x1000"
