@@ -1533,10 +1533,22 @@ def _wh_transfers_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
          LEFT JOIN account_balance_change_v b
            ON a.tenant = b.tenant AND a.name = b.name
          GROUP BY a.tenant, a.name
+         UNION ALL
+         SELECT 'maintained' AS src, a.tenant, a.name,
+                CAST(COALESCE(SUM(CAST(b.amount * 100 AS BIGINT)), 0) AS BIGINT)
+                    AS balance_cents
+         FROM account_v a
+         LEFT JOIN account_balance_change_v b
+           ON a.tenant = b.tenant AND a.name = b.name
+         GROUP BY a.tenant, a.name
        ) ORDER BY src, tenant, name""",
     "Q6 accountBalance: the single-account SUM (NULL→0) + the batched "
     "grouped aggregate for every account (kills the N+1; zero-activity "
-    "accounts surface balance 0)",
+    "accounts surface balance 0) + the INCREMENTALLY MAINTAINED balance "
+    "(ivm: rollup computed on a hash-split 90% of the changes, the other "
+    "10% applied as CDC insert images) — the oracle states the direct "
+    "full SUM, so hash equality proves the maintenance algebra lands "
+    "exactly where a recompute does",
 )
 def _wh_balances_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = cat.warehouse_views(spark, sf_dir)
@@ -1557,7 +1569,44 @@ def _wh_balances_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "name",
         (F.col("balance") * 100).cast("bigint").alias("balance_cents"),
     )
-    return point.unionByName(grouped).orderBy("src", "tenant", "name")
+    # maintained arm: serve the same balances from an ivm-maintained
+    # rollup — 90% of changes aggregate up front, the rest arrive as CDC
+    # insert images; the oracle's direct SUM pins the maintenance algebra
+    from .functions.text import h60
+    from .operators import ivm
+
+    abc = v["account_balance_change"].select(
+        "tenant", "name", (F.col("amount") * 100).cast("bigint").alias("amount_cents"),
+        h60(
+            F.concat_ws(
+                "|", "tenant", "name", F.col("amount").cast("string"),
+                F.col("value_date").cast("string"),
+            )
+        ).alias("_h"),
+    )
+    initial = abc.filter(F.col("_h") % 10 != 0).drop("_h")
+    late = abc.filter(F.col("_h") % 10 == 0).drop("_h").select(
+        F.lit("insert").alias(ivm.CHANGE_COL), "tenant", "name", "amount_cents"
+    )
+    rollup = ivm.compute_rollup(initial, ["tenant", "name"], ["amount_cents"])
+    served = ivm.maintain_rollup(rollup, late, ["tenant", "name"], ["amount_cents"])
+    maintained = (
+        v["account"].select("tenant", "name")
+        .join(served, ["tenant", "name"], "left")
+        .select(
+            F.lit("maintained").alias("src"),
+            "tenant",
+            "name",
+            F.coalesce(F.col("sum_amount_cents"), F.lit(0))
+            .cast("bigint")
+            .alias("balance_cents"),
+        )
+    )
+    return (
+        point.unionByName(grouped)
+        .unionByName(maintained)
+        .orderBy("src", "tenant", "name")
+    )
 
 
 # ===========================================================================
