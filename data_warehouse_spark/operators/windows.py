@@ -122,6 +122,27 @@ def status_priority_grouping_sets(orders: DataFrame) -> DataFrame:
     )
 
 
+def status_priority_cube(orders: DataFrame) -> DataFrame:
+    """Full CUBE lattice over (status, priority): every subset of the
+    grouping columns in ONE pass — the 2ⁿ-cut completion of ROLLUP's
+    hierarchy and GROUPING SETS' explicit list. ``gid`` disambiguates
+    base cells from each marginal and the grand total (a NULL group value
+    alone cannot — a genuinely NULL column value would collide)."""
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents("o_totalprice")).alias("total_cents"),
+            F.grouping_id().cast("bigint").alias("gid"),
+        )
+        .orderBy(
+            F.col("gid"),
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
 def event_type_pivot(events: DataFrame) -> DataFrame:
     """Pivot: one row per user, one count column per event type. Explicit
     pivot values keep the schema static (required for a 100 TB plan — an

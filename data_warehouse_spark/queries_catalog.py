@@ -1073,7 +1073,13 @@ def _asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                   AS total_cents,
               CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
-       FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority)))
+       FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))),
+       cb AS (SELECT o_orderstatus, o_orderpriority,
+              CAST(count(*) AS BIGINT) AS n_orders,
+              CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                  AS total_cents,
+              CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+       FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority))
        SELECT * FROM (
          SELECT 'rollup' AS src, o_orderstatus, o_orderpriority,
                 'n_orders' AS metric, CAST(n_orders AS DOUBLE) AS value FROM r
@@ -1095,11 +1101,21 @@ def _asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
          UNION ALL
          SELECT 'gsets', o_orderstatus, o_orderpriority,
                 'gid', CAST(gid AS DOUBLE) FROM gs
+         UNION ALL
+         SELECT 'cube', o_orderstatus, o_orderpriority,
+                'n_orders', CAST(n_orders AS DOUBLE) FROM cb
+         UNION ALL
+         SELECT 'cube', o_orderstatus, o_orderpriority,
+                'total_cents', CAST(total_cents AS DOUBLE) FROM cb
+         UNION ALL
+         SELECT 'cube', o_orderstatus, o_orderpriority,
+                'gid', CAST(gid AS DOUBLE) FROM cb
        ) ORDER BY src, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST, metric""",
     "hierarchical ROLLUP subtotals + exact type-7 percentiles + explicit "
     "GROUPING SETS marginals with SQL-standard grouping_id (the "
-    "priority-only cut ROLLUP's hierarchical lattice cannot express), "
-    "melted long — three windows.py operators run and value-check in one "
+    "priority-only cut ROLLUP's hierarchical lattice cannot express) + "
+    "the full CUBE lattice (every subset cut in one pass, gid-tagged), "
+    "melted long — four windows.py operators run and value-check in one "
     "entry",
 )
 def _orders_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1155,9 +1171,33 @@ def _orders_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
         )
     )
+    cb = (
+        windows.status_priority_cube(orders)
+        .select(
+            "o_orderstatus",
+            "o_orderpriority",
+            F.col("n_orders").cast("double").alias("n_orders"),
+            F.col("total_cents").cast("double").alias("total_cents"),
+            F.col("gid").cast("double").alias("gid"),
+        )
+        .unpivot(
+            ["o_orderstatus", "o_orderpriority"],
+            ["n_orders", "total_cents", "gid"],
+            "metric",
+            "value",
+        )
+        .select(
+            F.lit("cube").alias("src"),
+            "o_orderstatus",
+            "o_orderpriority",
+            "metric",
+            "value",
+        )
+    )
     return (
         r.unionByName(p)
         .unionByName(gs)
+        .unionByName(cb)
         .orderBy("src", "o_orderstatus", "o_orderpriority", "metric")
     )
 
