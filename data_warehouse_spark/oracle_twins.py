@@ -870,31 +870,26 @@ def _l2sq_sub_sql(a: str, b: str, j, sub: int = 8) -> str:
     )
 
 
-def ann_pq_sql(
-    query_ids: list[int],
-    k: int = 5,
-    kc: int = 16,
-    m: int = 8,
-    sub: int = 8,
-    dim: int = 64,
-) -> str:
-    """Product-quantization twin: PQ-salted hash-selected codewords over
-    L2-NORMALIZED vectors, per-subspace argmin encoding (ties → smaller
-    codeword id), ADC scoring as a FIXED j=0..m-1 addition chain (one join
-    per subspace — grouped SUM would have engine-dependent float order),
-    rank ascending approximate distance with neighbor-id ties."""
+def _pq_ctes(
+    query_ids: list[int], kc: int, m: int, sub: int, dim: int
+) -> tuple[str, str, str]:
+    """The ONE copy of the PQ twin machinery, shared by ``ann_pq_sql`` and
+    ``ann_ivfpq_sql`` (the pattern ``_ivf_assigned_cte`` establishes for
+    the IVF half). Returns (ctes, cw_joins, adist): CTEs ``n`` (L2-
+    normalized vectors over a caller-provided ``e``), ``cw`` (PQ-salted
+    hash-selected codewords), ``sub``/``kd`` (per-subspace argmin codes,
+    ties → smaller codeword id), ``q`` (normalized query vectors); the
+    per-subspace codeword joins; and the ADC distance as a FIXED j=0..m-1
+    addition chain (grouped SUM would have engine-dependent float order)."""
     ids = ", ".join(str(i) for i in query_ids)
     cw_hash = H60.format(s="CAST(vec_id AS VARCHAR) || '|pq'")
     cw_joins = "\n  ".join(
         f"JOIN cw cw{j} ON cw{j}.c = kd.codes[{j + 1}]" for j in range(m)
     )
-    adist = " + ".join(f"({_l2sq_sub_sql('q.qv', f'cw{j}.w', j, sub)})" for j in range(m))
-    return f"""
-WITH e AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-  FROM embeddings
-),
-n AS (
+    adist = " + ".join(
+        f"({_l2sq_sub_sql('q.qv', f'cw{j}.w', j, sub)})" for j in range(m)
+    )
+    ctes = f"""n AS (
   SELECT vec_id,
          list_transform(v, x -> x / sqrt({_dot('v', 'v', dim)})) AS v
   FROM e
@@ -915,7 +910,29 @@ kd AS (
     FROM sub) WHERE rn = 1
   GROUP BY vec_id
 ),
-q AS (SELECT vec_id AS query_id, v AS qv FROM n WHERE vec_id IN ({ids})),
+q AS (SELECT vec_id AS query_id, v AS qv FROM n WHERE vec_id IN ({ids}))"""
+    return ctes, cw_joins, adist
+
+
+def ann_pq_sql(
+    query_ids: list[int],
+    k: int = 5,
+    kc: int = 16,
+    m: int = 8,
+    sub: int = 8,
+    dim: int = 64,
+) -> str:
+    """Product-quantization twin: PQ-salted hash-selected codewords over
+    L2-NORMALIZED vectors, per-subspace argmin encoding, ADC scoring
+    (machinery shared with ``ann_ivfpq_sql`` via :func:`_pq_ctes`), rank
+    ascending approximate distance with neighbor-id ties."""
+    pq_ctes, cw_joins, adist = _pq_ctes(query_ids, kc, m, sub, dim)
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+{pq_ctes},
 scored AS (
   SELECT q.query_id, kd.vec_id AS neighbor_id,
          {adist} AS adist
@@ -1038,17 +1055,13 @@ def ann_ivfpq_sql(
     dim: int = 64,
 ) -> str:
     """Composed IVF+PQ twin: the candidate set is EXACTLY ann_ivf_sql's
-    (same assignment prefix, same probe ranking, un-normalized space) and
-    the scoring is EXACTLY ann_pq_sql's ADC chain restricted to those
-    candidates (normalized space) — mirroring similarity.ivfpq_topk."""
+    (same assignment prefix via _ivf_assigned_cte, same probe ranking,
+    un-normalized space) and the scoring is EXACTLY ann_pq_sql's ADC chain
+    (same machinery via _pq_ctes, normalized space) restricted to those
+    candidates — mirroring similarity.ivfpq_topk structurally, not by
+    copy."""
     ids = ", ".join(str(i) for i in query_ids)
-    cw_hash = H60.format(s="CAST(vec_id AS VARCHAR) || '|pq'")
-    cw_joins = "\n  ".join(
-        f"JOIN cw cw{j} ON cw{j}.c = kd.codes[{j + 1}]" for j in range(m)
-    )
-    adist = " + ".join(
-        f"({_l2sq_sub_sql('q.qv', f'cw{j}.w', j, sub)})" for j in range(m)
-    )
+    pq_ctes, cw_joins, adist = _pq_ctes(query_ids, kc, m, sub, dim)
     return f"""
 WITH {_ivf_assigned_cte(n_cells, dim)},
 qc AS (
@@ -1068,28 +1081,7 @@ cand AS (
   FROM assigned a JOIN probed p ON a.cell_id = p.cell_id
   WHERE a.vec_id <> p.query_id
 ),
-n AS (
-  SELECT vec_id,
-         list_transform(v, x -> x / sqrt({_dot('v', 'v', dim)})) AS v
-  FROM e
-),
-cw AS (
-  SELECT row_number() OVER (ORDER BY {cw_hash}, vec_id) - 1 AS c, v AS w
-  FROM n ORDER BY {cw_hash}, vec_id LIMIT {kc}
-),
-sub AS (
-  SELECT n.vec_id, cw.c, j.j,
-         {_l2sq_sub_sql('n.v', 'cw.w', 'j.j', sub)} AS d2
-  FROM n, cw, (SELECT unnest(range(0, {m})) AS j) j
-),
-kd AS (
-  SELECT vec_id, list(c ORDER BY j) AS codes FROM (
-    SELECT vec_id, j, c,
-           row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS rn
-    FROM sub) WHERE rn = 1
-  GROUP BY vec_id
-),
-q AS (SELECT vec_id AS query_id, v AS qv FROM n WHERE vec_id IN ({ids})),
+{pq_ctes},
 scored AS (
   SELECT q.query_id, kd.vec_id AS neighbor_id,
          {adist} AS adist

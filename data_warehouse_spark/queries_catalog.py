@@ -923,9 +923,9 @@ def _ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .materialize import storage_checkpoint
 
     emb = cat.load_table(spark, sf_dir, "embeddings")
-    # the exact result feeds all three recall joins below — materialize the
-    # (k × |queries|)-row answer once instead of re-running the full
-    # distance scan inside each union branch
+    # the exact result feeds every recall join below (one per approximate
+    # method) — materialize the (k × |queries|)-row answer once instead of
+    # re-running the full distance scan inside each union branch
     bf = storage_checkpoint(similarity.brute_force_topk(emb, _ANN_QUERY_IDS, k=_ANN_K))
     out = None
     for method, df in (
