@@ -62,11 +62,14 @@ def shipping_priority(
     cutoff: str = "1998-01-01",
     k: int = 10,
 ) -> DataFrame:
-    """Dim-filter → broadcast semi-ish join → fact-fact join → agg → top-k.
+    """Dim-filter → semi join → fact-fact join → agg → top-k.
 
-    customer is small relative to lineitem at every SF → broadcast; the
-    lineitem↔orders join shuffles on orderkey only after both sides are
-    filtered (Catalyst pushes the date predicates into the scans).
+    The segment-filtered customer slice carries no broadcast hint: customer
+    grows with SF (a 1/5 slice of a 100 TB-scale dim is still huge), so the
+    join strategy is left to AQE, which promotes it to a broadcast from
+    observed size whenever it actually fits. The lineitem↔orders join
+    shuffles on orderkey only after both sides are filtered (Catalyst
+    pushes the date predicates into the scans).
     """
     rev = cents("l_extendedprice") * (100 - cents("l_discount"))
     cust = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
@@ -78,7 +81,7 @@ def shipping_priority(
     )
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.sum("rev_x10k").alias("revenue_x10k"))
         .orderBy(F.desc("revenue_x10k"), "l_orderkey")
@@ -92,10 +95,15 @@ def revenue_by_nation(
     date_from: str = "1996-01-01",
     date_to: str = "1997-01-01",
 ) -> DataFrame:
-    """Five-way join; every dim side broadcast, one shuffle for the agg.
+    """Five-way join; fixed-size dims broadcast, one shuffle for the agg.
 
-    Classic TPC-H Q5 additionally requires customer and supplier to share a
-    nation; we keep that predicate (join on both nationkeys).
+    Only nation and region carry broadcast hints — their cardinality is a
+    constant at every SF. customer and supplier GROW with SF; forcing them
+    into broadcasts would OOM the driver/executors at 100 TB, so their join
+    strategy is AQE's call (it promotes to broadcast from observed sizes
+    while they fit, and degrades gracefully to shuffle joins when they
+    don't). Classic TPC-H Q5 additionally requires customer and supplier
+    to share a nation; we keep that predicate (join on both nationkeys).
     """
     rev = cents("l_extendedprice") * (100 - cents("l_discount"))
     o = tables["orders"].filter(
@@ -105,8 +113,8 @@ def revenue_by_nation(
     return (
         tables["lineitem"]
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(tables["customer"]), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(tables["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(tables["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(tables["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(tables["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(tables["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
@@ -119,13 +127,14 @@ def revenue_by_nation(
 # --- top-k customers by spend -------------------------------------------------
 def top_customers(customer: DataFrame, orders: DataFrame, k: int = 25) -> DataFrame:
     """Agg-then-join: aggregate the fact first (shrinks to ≤ |customer| rows),
-    then broadcast-join the dim — never join-then-agg at scale."""
+    then join the dim — never join-then-agg at scale. No broadcast hint on
+    customer (it grows with SF); AQE broadcasts it while it fits."""
     spend = orders.groupBy("o_custkey").agg(
         F.sum(cents("o_totalprice")).alias("spend_cents"),
         F.count(F.lit(1)).alias("n_orders"),
     )
     return (
-        spend.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        spend.join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .select("c_custkey", "c_name", "c_mktsegment", "spend_cents", "n_orders")
         .orderBy(F.desc("spend_cents"), "c_custkey")
         .limit(k)
@@ -253,13 +262,15 @@ def promo_revenue_by_month(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     """Per-month promo vs total revenue (integer fixed point; the Q14 ratio
     is left to the client — dividing here would reintroduce float drift).
 
-    part is always the broadcast side; the conditional SUM is a map-side
-    partial agg, one shuffle on the month key.
+    part is pruned to two columns pre-join but carries no broadcast hint —
+    it grows with SF, so AQE picks the strategy (broadcast while it fits);
+    the conditional SUM is a map-side partial agg, one shuffle on the month
+    key.
     """
     rev = cents("l_extendedprice") * (100 - cents("l_discount"))
     return (
         lineitem.join(
-            F.broadcast(part.select("p_partkey", "p_type")),
+            part.select("p_partkey", "p_type"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
@@ -306,13 +317,15 @@ def small_quantity_revenue(
     The correlated subquery ``qty < 0.5 * avg(qty) OVER part`` decorrelates
     into agg-then-self-join, and the predicate is kept INTEGER-exact:
     ``qty < sum/(2·cnt)  ⇔  2·qty·cnt < sum`` — no float average crosses an
-    engine boundary. Only brand lines survive the broadcast semi-join
-    before either shuffle.
+    engine boundary. Only brand lines survive the semi-join before either
+    shuffle; the brand slice is unhinted (part grows with SF — a 1/25
+    slice of a 100 TB dim is not broadcastable), AQE promotes it while it
+    fits.
     """
     qty_c = cents("l_quantity")
     brand_keys = part.filter(F.col("p_brand") == brand).select("p_partkey")
     li = lineitem.join(
-        F.broadcast(brand_keys),
+        brand_keys,
         F.col("l_partkey") == F.col("p_partkey"),
         "left_semi",
     ).select("l_partkey", qty_c.alias("qty_c"), cents("l_extendedprice").alias("price_c"))
@@ -683,7 +696,9 @@ def market_share(
     parts = tables["part"].filter(F.col("p_type") == part_type).select("p_partkey")
     return (
         tables["lineitem"]
-        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        # parts is a type-filtered slice of an SF-growing dim — no forced
+        # broadcast; AQE promotes the semi-join build side while it fits
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .join(tables["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust_region, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
         .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
@@ -712,9 +727,11 @@ def nation_profit(tables: dict[str, DataFrame], name_substr: str = "red") -> Dat
 
     Cost uses the part's retail price (the repo has no partsupp):
     ``cost_x10k = retail_cents · qty · 100`` aligns the scale with
-    ``rev_x10k`` so profit subtracts exactly. The part filter is a
-    broadcast inner join carrying retail_cents; the only fact-fact shuffle
-    is lineitem↔orders on orderkey.
+    ``rev_x10k`` so profit subtracts exactly. The part filter is an inner
+    join carrying retail_cents; the only fact-fact shuffle is
+    lineitem↔orders on orderkey. Only the fixed-size nation dim carries a
+    broadcast hint — part and supplier grow with SF, so their join
+    strategy is AQE's call.
     """
     rev = cents("l_extendedprice") * (100 - cents("l_discount"))
     parts = tables["part"].filter(F.col("p_name").contains(name_substr)).select(
@@ -728,8 +745,8 @@ def nation_profit(tables: dict[str, DataFrame], name_substr: str = "red") -> Dat
     profit = rev - F.col("retail_c") * F.col("l_quantity").cast("bigint") * 100
     return (
         tables["lineitem"]
-        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(tables["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
         .select("n_name", F.year("o_orderdate").cast("bigint").alias("o_year"), profit.alias("p"))
         .groupBy("n_name", "o_year")
@@ -753,8 +770,10 @@ def supplier_counts_by_part(
     The part↔supplier relation comes from the fact projected to its two
     key columns; COUNT(DISTINCT) runs as Spark's two-phase distinct
     aggregate (partial distinct map-side → final). Exclusions: dim filters
-    before the broadcast join + a broadcast left-anti on the bad-supplier
-    keys (NOT IN with a guaranteed non-null key set).
+    before the join + a left-anti on the bad-supplier keys (NOT IN with a
+    guaranteed non-null key set). Neither exclusion side is hint-forced
+    into a broadcast — part and supplier grow with SF; AQE promotes them
+    while they fit.
     """
     ps = lineitem.select("l_partkey", "l_suppkey")
     good_parts = part.filter(
@@ -762,8 +781,8 @@ def supplier_counts_by_part(
     ).select("p_partkey", "p_brand", "p_type", "p_size")
     bad_supp = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
-        ps.join(F.broadcast(good_parts), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        ps.join(good_parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(bad_supp, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("n_suppliers"))
         .orderBy(F.desc("n_suppliers"), "p_brand", "p_type", "p_size")
@@ -776,8 +795,9 @@ def disjunctive_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     """Revenue matched by an OR of three conjunctive (brand, size, qty)
     clauses — the shape that exercises disjunctive predicate handling.
 
-    The part-side conjuncts (brand, size) ride the broadcast join; the OR
-    collapses to per-row CASE logic after the join, and the common
+    The part-side conjuncts (brand, size) ride the dim join (unhinted —
+    part grows with SF, AQE broadcasts the filtered slice while it fits);
+    the OR collapses to per-row CASE logic after the join, and the common
     superset predicates (size ≥ 1, qty bounds) are pushed to the scans as
     the disjunction's envelope. Single aggregate output.
     """
@@ -795,7 +815,7 @@ def disjunctive_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     ).select("p_partkey", "p_brand", "p_size")
     return (
         lineitem.filter(qty.between(1, 30))
-        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"))
         .filter(clauses)
         .agg(
             F.sum(rev).alias("revenue_x10k"),
@@ -988,11 +1008,13 @@ def nation_pair_volume(
     """Revenue flowing between two nations (both directions), by supplier
     nation → customer nation → ship year.
 
-    Both nation lookups ride broadcast joins (supplier and customer each
-    pre-joined to the 2-row filtered nation dim, so the fact only meets
-    already-small sides); the single fact-fact shuffle is lineitem↔orders
-    on orderkey. The cross-pair predicate (a→b or b→a) collapses to a
-    post-join filter on two tiny string columns.
+    Only the 2-row filtered nation dim carries broadcast hints (a constant
+    at every SF); the nation-filtered supplier/customer slices stay
+    unhinted — they are 2/25 of SF-growing dims, so AQE promotes them to
+    broadcasts from observed sizes while they fit. The single fact-fact
+    shuffle is lineitem↔orders on orderkey. The cross-pair predicate
+    (a→b or b→a) collapses to a post-join filter on two tiny string
+    columns.
     """
     rev = cents("l_extendedprice") * (100 - cents("l_discount"))
     pair = tables["nation"].filter(F.col("n_name").isin(nation_a, nation_b))
@@ -1023,9 +1045,9 @@ def nation_pair_volume(
         & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
     )
     return (
-        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(tables["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .select(
             "supp_nation",
@@ -1126,8 +1148,9 @@ def excess_supply_suppliers(
     """Suppliers who shipped more than ``frac`` of some matching part's
     year volume — the nested-IN shape (supplier IN (… part IN (…))).
 
-    Decorrelated bottom-up: the fact (filtered to the year and, via a
-    broadcast semi-join, to matching parts) aggregates ONCE to the
+    Decorrelated bottom-up: the fact (filtered to the year and, via an
+    AQE-sized semi-join on the name-matched part slice, to matching
+    parts) aggregates ONCE to the
     (part, supplier) grain; the per-part total is a window sum over that
     small aggregated table — NOT a re-aggregate-and-join-back, which
     would materialize the ``ps`` subtree twice (its two consumers prune
@@ -1143,7 +1166,7 @@ def excess_supply_suppliers(
         & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
     )
     ps = (
-        li.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        li.join(parts, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("qty_ps"))
     )

@@ -29,11 +29,56 @@ def test_pricing_summary_pushdown_and_pruning(spark):
 def test_revenue_by_nation_broadcasts_all_dims(spark):
     df = analytics.revenue_by_nation(cat.load_all(spark, SF_DIR))
     rep = plan_report(df)
-    # customer, supplier, nation, region are broadcast; only the
+    # at this SF every dim side (customer, supplier, nation, region) ends up
+    # broadcast — nation/region by hint, customer/supplier promoted by the
+    # optimizer from observed size (no hint: they grow with SF); only the
     # lineitem↔orders fact join may shuffle
     assert rep.broadcast_joins >= 4, rep.text
     assert rep.cartesian_products == 0, rep.text
     assert any("o_orderdate" in f for f in rep.pushed_filters), rep.text
+
+
+def test_analytics_hints_only_on_fixed_size_dims(spark):
+    """The broadcast-hint audit for the TPC-H operator family: with
+    auto-broadcast disabled (so hinted exchanges are the only ones left),
+    each operator's hinted-broadcast count must equal the number of
+    provably BOUNDED sides it joins — nation/region projections (25/5 rows
+    forever) and 1-row scalar aggregates. customer/supplier/part and every
+    filtered slice of them grow with SF; forcing those into broadcasts
+    OOMs at 100 TB, so they must carry no hint (AQE promotes them from
+    observed sizes while they fit)."""
+    t = cat.load_all(spark, SF_DIR)
+    expected = [
+        # (label, df, hinted broadcasts = fixed-size sides only)
+        ("revenue_by_nation", analytics.revenue_by_nation(t), 2),  # nation+region
+        ("shipping_priority",
+         analytics.shipping_priority(t["customer"], t["orders"], t["lineitem"]), 0),
+        ("top_customers", analytics.top_customers(t["customer"], t["orders"]), 0),
+        ("promo_revenue_by_month",
+         analytics.promo_revenue_by_month(t["lineitem"], t["part"]), 0),
+        ("small_quantity_revenue",
+         analytics.small_quantity_revenue(t["lineitem"], t["part"]), 0),
+        ("supplier_counts_by_part",
+         analytics.supplier_counts_by_part(t["part"], t["supplier"], t["lineitem"]), 0),
+        ("disjunctive_revenue",
+         analytics.disjunctive_revenue(t["lineitem"], t["part"]), 0),
+        ("nation_profit", analytics.nation_profit(t), 1),  # nation
+        ("market_share", analytics.market_share(t), 3),  # nation×2 + region
+        ("nation_pair_volume", analytics.nation_pair_volume(t), 2),  # 2-row pair×2
+        ("excess_supply_suppliers", analytics.excess_supply_suppliers(t), 0),
+    ]
+    auto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    aqe_auto = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        for label, df, want in expected:
+            rep = plan_report(df)
+            assert rep.broadcast_joins == want, f"{label}: {rep.text}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", auto)
+        if aqe_auto is not None:
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", aqe_auto)
 
 
 def test_shipping_priority_semi_join_broadcast(spark):
