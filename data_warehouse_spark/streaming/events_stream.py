@@ -12,7 +12,7 @@ is expected to have, as readStream-composable transformations:
                      the custom-stateful-operator template (timeout handling,
                      state schema, Arrow batches)
   dedup_stream       exactly-once key dedup with watermark-bounded state
-  enrich_stream      stream-static broadcast enrichment join
+  enrich_stream      stream-static enrichment join (AQE-sized per batch)
 
 All take a DataFrame that may be batch or streaming: transformations are
 identical (Spark's unified model); tests drive them with a file stream +
@@ -88,12 +88,15 @@ def dedup_stream(
 
 
 def enrich_stream(events: DataFrame, user_dim: DataFrame) -> DataFrame:
-    """Stream-static enrichment join: each micro-batch joins the (small,
-    slowly-changing) dimension — broadcast per batch, no stream state at
-    all (the static side is re-resolved every trigger, so dim updates are
-    picked up without restarting the query)."""
+    """Stream-static enrichment join: each micro-batch joins the
+    slowly-changing dimension with no stream state at all (the static side
+    is re-resolved every trigger, so dim updates are picked up without
+    restarting the query). No broadcast hint: a user dimension grows with
+    the corpus, so the per-batch join strategy is the planner's call — it
+    broadcasts the dim while it fits and falls back to a shuffled join
+    when it doesn't."""
     return events.join(
-        F.broadcast(user_dim), events["user_id"] == user_dim["uid"], "left"
+        user_dim, events["user_id"] == user_dim["uid"], "left"
     ).drop("uid")
 
 
