@@ -54,6 +54,28 @@ BENCH_QUERIES = [
     "tpch_join_suite",
     "sketch_suite",
     "events_lifecycle_suite",
+    "wh_tenants_suite",
+    "wh_accounts_suite",
+    "orders_stats_suite",
+    "events_shapes_suite",
+    "asof_purchase_click",
+    "doc_quality_gate",
+    "doc_neardup_clusters",
+    "doc_signatures",
+    "doc_simhash_neardup_pairs",
+    "doc_corpus_report",
+    "doc_clean_corpus",
+    "text_index_suite",
+    "doc_repetition",
+    "doc_contamination",
+    "doc_pack_sequences",
+    "emb_neardup_pairs",
+    "dormant_customers",
+    "small_quantity_revenue",
+    "acctbal_extremes_union",
+    # wh_running_balance is NOT benched: its result is one row per transfer
+    # (~400k at sf0.1), so the timing measures driver-side row serialization,
+    # not the window operator (which the correctness gate exercises)
 ]
 
 
