@@ -219,6 +219,42 @@ def test_ann_ivf_structure_and_recall(spark):
     assert sorted(map(key, exhaustive)) == sorted(map(key, exact))
 
 
+def test_ann_recall_floors_at_default_knobs(spark):
+    """Pin the recall@k each approximate path delivers at its DEFAULT knobs
+    so future knob-tuning can't silently trash quality. Every input is
+    deterministic (hash-selected centroids, fixed hyperplanes, fixed codes),
+    so these are exact regression values with headroom, not flaky bounds.
+    Absolute levels are modest BY CONSTRUCTION: the synthetic embeddings
+    are near-uniform random vectors with no cluster structure, the regime
+    where cell/bucket pruning genuinely cannot concentrate true neighbors
+    — measured means at sf0.01 are ivf 400 / lsh 80 / lsh_mp 220 / pq 280
+    / ivfpq 200 permille. The structural guarantees (exhaustive-probe IVF
+    == brute force; LSH recalls all high-Jaccard pairs) live in the tests
+    above; this one guards the quality/cost operating point."""
+    from .conftest import SF_DIR_MED
+
+    emb = spark.read.parquet(f"{SF_DIR_MED}/embeddings.parquet")
+    qids, k = [0, 1, 2, 3, 4], 10
+    bf = similarity.brute_force_topk(emb, qids, k=k)
+
+    def mean_recall(df) -> float:
+        rows = similarity.recall_vs_exact(df, bf, k=k).collect()
+        return sum(r["recall_x1000"] for r in rows) / len(rows)
+
+    ivf = mean_recall(similarity.ivf_topk(emb, qids, k=k))
+    lsh = mean_recall(similarity.lsh_topk(emb, qids, k=k))
+    lsh_mp = mean_recall(similarity.lsh_topk(emb, qids, k=k, multiprobe=True))
+    pq = mean_recall(similarity.pq_topk(emb, qids, k=k))
+    ivfpq = mean_recall(similarity.ivfpq_topk(emb, qids, k=k))
+    assert ivf >= 350, ivf
+    assert lsh_mp >= 180, lsh_mp
+    assert pq >= 230, pq
+    assert ivfpq >= 150, ivfpq
+    # multi-probe must actually lift recall over single-probe at the same
+    # plane count — the point of probing Hamming-1 buckets
+    assert lsh_mp > lsh, (lsh_mp, lsh)
+
+
 def test_neardup_clusters_match_union_find(spark):
     """Label propagation must produce EXACTLY the components a reference
     union-find computes on the same pairs (min-id as cluster id)."""
