@@ -12,7 +12,11 @@ is expected to have, as readStream-composable transformations:
                      the custom-stateful-operator template (timeout handling,
                      state schema, Arrow batches)
   dedup_stream       exactly-once key dedup with watermark-bounded state
-  enrich_stream      stream-static enrichment join (AQE-sized per batch)
+  enrich_stream      stream-static enrichment join — the static side is
+                     broadcast while it fits per the planner's static file
+                     size estimate vs autoBroadcastJoinThreshold (Spark
+                     disables AQE for streaming queries, so no runtime
+                     re-plan happens on this path)
 
 All take a DataFrame that may be batch or streaming: transformations are
 identical (Spark's unified model); tests drive them with a file stream +

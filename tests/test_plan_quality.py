@@ -66,6 +66,14 @@ def test_analytics_hints_only_on_fixed_size_dims(spark):
         ("market_share", analytics.market_share(t), 3),  # nation×2 + region
         ("nation_pair_volume", analytics.nation_pair_volume(t), 2),  # 2-row pair×2
         ("excess_supply_suppliers", analytics.excess_supply_suppliers(t), 0),
+        # remaining hinted operators: every hint is on a bounded side
+        # (nation/region projections or 1-row / per-event-type scalar aggs)
+        ("min_cost_supplier", analytics.min_cost_supplier(t), 4),  # nation+region ×2 uses
+        ("top_revenue_suppliers",
+         analytics.top_revenue_suppliers(t["supplier"], t["lineitem"]), 1),  # 1-row max
+        ("returned_item_revenue", analytics.returned_item_revenue(t), 1),  # nation
+        ("anomalous_hours",
+         analytics.anomalous_hours(t["events"]), 1),  # per-event-type moments
     ]
     auto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     aqe_auto = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
@@ -75,10 +83,18 @@ def test_analytics_hints_only_on_fixed_size_dims(spark):
         for label, df, want in expected:
             rep = plan_report(df)
             assert rep.broadcast_joins == want, f"{label}: {rep.text}"
+        # important_part_values's only hint is the 1-row scalar total, which
+        # plans as a BroadcastNestedLoopJoin, not a BroadcastHashJoin — its
+        # shape is pinned by test_important_part_values_single_fact_scan_
+        # broadcast_total instead.
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", auto)
         if aqe_auto is not None:
             spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", aqe_auto)
+        else:
+            # unset, not set-to-default: leaving '-1' pinned would silently
+            # disable AQE broadcast promotion for every later test
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
 
 
 def test_shipping_priority_semi_join_broadcast(spark):
@@ -149,6 +165,8 @@ def test_transfer_view_forces_broadcast_only_on_fixed_dims(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", auto)
         if aqe_auto is not None:
             spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", aqe_auto)
+        else:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
 
 
 def test_exact_dedup_single_exchange(spark):
