@@ -13,8 +13,37 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+# Deterministic k-means knobs shared by the Spark trainer
+# (operators/similarity.py) and the SQL twins (oracle_twins.py): Lloyd's
+# with a FIXED iteration count over a FIXED hash-selected sample, so both
+# engines can replay the training bit-for-bit. At real scale the sample
+# cap is the training-cost knob (classic practice: train the quantizer on
+# a sample, assign the full corpus map-side).
+KMEANS_ITERS = 4
+KMEANS_TRAIN = 256
+
+
 def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
+
+
+def dot_py(a: list[float], b: list[float]) -> float:
+    """Driver-side twin of :func:`dot`: 0.0-init sequential left fold in
+    double precision — the exact IEEE operation sequence of both the Spark
+    ``F.aggregate`` expression and the DuckDB ``list_reduce`` twin, so
+    values computed here can be baked into plans/SQL as literals without
+    drift."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def cos_py(a: list[float], b: list[float]) -> float:
+    """Driver-side twin of :func:`cosine` (same op order: dot / (sqrt·sqrt))."""
+    import math
+
+    return dot_py(a, b) / (math.sqrt(dot_py(a, a)) * math.sqrt(dot_py(b, b)))
 
 
 def to_double(vec: Column | str) -> Column:

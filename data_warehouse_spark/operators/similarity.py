@@ -20,8 +20,9 @@ Three paths:
                      driven, so recall degrades gracefully with nprobe.
 
 Hyperplanes are deterministic literals (seeded numpy, fixed), and IVF
-centroids are hash-selected corpus vectors, so results are reproducible and
-SQL-twin-able.
+centroids are k-means-trained from a hash-selected init + sample with a
+fixed iteration count and exact cross-engine fold orders
+(:func:`kmeans_refine`), so results are reproducible and SQL-twin-able.
 """
 
 from __future__ import annotations
@@ -145,22 +146,75 @@ def lsh_topk(
     )
 
 
+def kmeans_refine(
+    sample: list[tuple[int, list[float]]],
+    init: list[tuple[int, list[float]]],
+    iters: int = V.KMEANS_ITERS,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic Lloyd's refinement, replayable bit-for-bit by the SQL
+    twin (oracle_twins._ivf_assigned_cte unrolls the same fixed iterations):
+
+      assignment  max cosine to current centroids, ties → larger cell id
+                  (the same rule every IVF consumer here uses), cosine via
+                  the exact cross-engine fold (:func:`~..functions.vectors.cos_py`);
+      update      element-wise mean over members ordered by vec_id
+                  ascending, 0.0-init sequential sum then one divide —
+                  the twin's ``list_reduce(list_prepend(0.0, ...)) / len``;
+      empty cell  keeps its previous centroid (twin: LEFT JOIN + coalesce).
+
+    Cell ids stay the INIT vectors' ids throughout, so probe tie-breaking
+    (``cell_id DESC``) is identical before and after training. Runs on the
+    driver over the tiny hash-selected sample — at 100 TB quantizer
+    training is a driver-side task over a bounded sample by design (the
+    full corpus is only ever assigned map-side)."""
+    cents = [(cid, [float(x) for x in cv]) for cid, cv in init]
+    for _ in range(iters):
+        members: dict[int, list[tuple[int, list[float]]]] = {c: [] for c, _ in cents}
+        for vid, v in sample:
+            _best_cos, best_cid = max(
+                (V.cos_py(v, cv), cid) for cid, cv in cents
+            )
+            members[best_cid].append((vid, v))
+        nxt = []
+        for cid, cv in cents:
+            mem = sorted(members[cid], key=lambda t: t[0])
+            if not mem:
+                nxt.append((cid, cv))
+                continue
+            n = len(mem)
+            mean = []
+            for i in range(len(cv)):
+                acc = 0.0
+                for _vid, mv in mem:
+                    acc = acc + mv[i]
+                mean.append(acc / n)
+            nxt.append((cid, mean))
+        cents = nxt
+    return cents
+
+
 def ivf_centroids(
     embeddings: DataFrame,
     n_cells: int = N_CELLS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_iters: int = V.KMEANS_ITERS,
+    n_train: int = V.KMEANS_TRAIN,
 ) -> list[tuple[int, list[float], float]]:
-    """Deterministic coarse quantizer: the ``n_cells`` corpus vectors whose
-    ids hash lowest under the cross-engine h60 primitive (a seeded sample
-    any engine can reproduce — no k-means state to ship). Returns
-    ``(cell_id, vector, norm)`` rows; tiny (n_cells ≪ corpus), collected
-    once per index build and broadcast as literals thereafter.
+    """Deterministic coarse quantizer: k-means-TRAINED centroids seeded from
+    the ``n_cells`` corpus vectors whose ids hash lowest under the
+    cross-engine h60 primitive, refined by :func:`kmeans_refine` over the
+    ``n_train`` hash-lowest vectors (one ordering serves both: the init set
+    is the sample's prefix). ``train_iters=0`` degrades to the round-3
+    hash-selected baseline. Returns ``(cell_id, vector, norm)`` rows; tiny
+    (n_cells ≪ corpus), collected once per index build and broadcast as
+    literals thereafter.
 
-    The norm is folded sequentially in double precision — the exact IEEE
-    operation sequence of the SQL twin's ``sqrt(list_reduce(...))`` — so
-    baking it in as a literal cannot drift from the oracle.
+    Everything — sample selection, assignment ties, mean fold order, the
+    baked-in norm — replays the exact IEEE operation sequence of the SQL
+    twin, so trained centroids cannot drift from the oracle.
     """
+    take = max(n_cells, n_train if train_iters else 0)
     rows = (
         embeddings.select(
             F.col(id_col).alias("cell_id"),
@@ -168,17 +222,20 @@ def ivf_centroids(
             TXT.h60(F.col(id_col).cast("string")).alias("hh"),
         )
         .orderBy("hh", "cell_id")
-        .limit(n_cells)
+        .limit(take)
         .select("cell_id", "cv")
         .collect()
     )
+    picked = [(int(r["cell_id"]), [float(x) for x in r["cv"]]) for r in rows]
+    cents = picked[:n_cells]
+    if train_iters:
+        cents = kmeans_refine(picked, cents, train_iters)
     out = []
-    for r in rows:
-        v = [float(x) for x in r["cv"]]
+    for cid, v in cents:
         acc = 0.0
         for x in v:
             acc = acc + x * x
-        out.append((int(r["cell_id"]), v, math.sqrt(acc)))
+        out.append((cid, v, math.sqrt(acc)))
     return out
 
 
@@ -263,6 +320,7 @@ def ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cache_key: str | None = None,
+    train_iters: int = V.KMEANS_ITERS,
 ):
     """Build (or fetch) the IVF index: the centroid list plus the corpus
     with its assigned cell — map-only (``array_max`` over literal-centroid
@@ -279,11 +337,12 @@ def ivf_index(
             n_cells,
             id_col,
             vec_col,
+            train_iters,
         )
         hit = _IVF_INDEX_CACHE.get(key)
         if hit is not None:
             return hit
-    centroids = ivf_centroids(embeddings, n_cells, id_col, vec_col)
+    centroids = ivf_centroids(embeddings, n_cells, id_col, vec_col, train_iters)
     corpus = _assign_cells(embeddings, centroids, id_col, vec_col)
     # centroid table for the probe side: ranking 16 rows via a broadcast
     # join keeps the probe PLAN small — embedding the centroids as literal
@@ -309,6 +368,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     index_cache_key: str | None = None,
+    train_iters: int = V.KMEANS_ITERS,
 ) -> DataFrame:
     """IVF-flat approximate top-k.
 
@@ -321,7 +381,8 @@ def ivf_topk(
       3. exact cosine + per-query top-k window over candidates only.
     """
     _centroids, cdf, corpus = ivf_index(
-        embeddings, n_cells, id_col, vec_col, cache_key=index_cache_key
+        embeddings, n_cells, id_col, vec_col, cache_key=index_cache_key,
+        train_iters=train_iters,
     )
     queries = embeddings.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"),
@@ -627,11 +688,13 @@ def semantic_dedup(
 # don't, which is the whole point.
 #
 # Everything is deterministic and cross-engine (the repo discipline):
-# codewords are the PQ_KC corpus vectors whose ids hash lowest under a
-# PQ-salted h60 (no k-means state), vectors are L2-normalized first (then
-# squared-L2 ordering ≡ cosine ordering, so PQ ranks live in the same
-# geometry as every other ANN path here), and every float fold runs in the
-# same sequential order as the SQL twin.
+# codewords are k-means-trained per subspace from a PQ-salted hash-selected
+# init + sample with a FIXED iteration count (the SQL twin unrolls the same
+# iterations — no opaque k-means state, the training is replayable),
+# vectors are L2-normalized first (then squared-L2 ordering ≡ cosine
+# ordering, so PQ ranks live in the same geometry as every other ANN path
+# here), and every float fold runs in the same sequential order as the SQL
+# twin.
 
 PQ_M = 8        # subspaces
 PQ_SUB = 8      # dims per subspace (M × SUB = 64)
@@ -654,11 +717,27 @@ def pq_codewords(
     kc: int = PQ_KC,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    m: int = PQ_M,
+    sub: int = PQ_SUB,
+    train_iters: int = V.KMEANS_ITERS,
+    n_train: int = V.KMEANS_TRAIN,
 ) -> list[list[float]]:
-    """The shared codeword source: ``kc`` corpus vectors with the lowest
-    PQ-salted h60 over the id, L2-normalized. Codeword ``c`` of subspace
-    ``j`` is the j-th slice of chosen vector ``c`` — one tiny collect
-    serves every subspace."""
+    """The shared codeword source: per-subspace k-means-trained codewords,
+    initialized from the ``kc`` corpus vectors with the lowest PQ-salted
+    h60 over the id (L2-normalized; codeword ``c`` of subspace ``j``
+    starts as the j-th slice of chosen vector ``c``) and refined by
+    ``train_iters`` fixed Lloyd iterations over the ``n_train``
+    hash-lowest normalized sample — per subspace: argmin squared-L2
+    assignment (ties → smaller codeword id, the encode rule), element-wise
+    0.0-init sequential-fold mean over members ordered by vec_id, empty
+    codewords keep their previous slice. Trained slices are STITCHED back
+    into full-dim vectors (slice ``j`` of returned codeword ``c`` is the
+    trained (j, c) codeword), so encode/ADC indexing is untouched.
+    ``train_iters=0`` is the round-3 hash-selected baseline. The SQL twin
+    (oracle_twins._pq_ctes) unrolls the identical iterations. One tiny
+    collect (driver-side training over a bounded sample — the 100 TB
+    shape) serves every subspace."""
+    take = max(kc, n_train if train_iters else 0)
     rows = (
         embeddings.select(
             F.col(id_col).alias("cid"),
@@ -666,10 +745,42 @@ def pq_codewords(
             TXT.h60(F.concat(F.col(id_col).cast("string"), F.lit("|pq"))).alias("hh"),
         )
         .orderBy("hh", "cid")
-        .limit(kc)
+        .limit(take)
         .collect()
     )
-    return [_pq_normalize_py(r["cv"]) for r in rows]
+    sample = [(int(r["cid"]), _pq_normalize_py(r["cv"])) for r in rows]
+    words = [list(v) for _cid, v in sample[:kc]]
+    if not train_iters:
+        return words
+    # mean folds run over members ordered by vec_id ASCENDING (the twin's
+    # ``list(v ORDER BY vec_id)``), not sample-hash order
+    ordered = sorted(sample, key=lambda t: t[0])
+    for _ in range(train_iters):
+        # assignment: per (sample vector s, subspace j) → nearest codeword
+        # (0.0-init sequential fold of (x−y)², ties → smaller codeword id)
+        members: dict[tuple[int, int], list[list[float]]] = {}
+        for _vid, v in ordered:
+            for j in range(m):
+                best = None
+                for c, w in enumerate(words):
+                    acc = 0.0
+                    for i in range(sub):
+                        d = v[j * sub + i] - w[j * sub + i]
+                        acc = acc + d * d
+                    if best is None or acc < best[0]:
+                        best = (acc, c)
+                members.setdefault((j, best[1]), []).append(v)
+        # update: per (j, c) slice mean; empty (j, c) keeps its previous slice
+        nxt = [list(w) for w in words]
+        for (j, c), mems in members.items():
+            n = len(mems)
+            for i in range(sub):
+                acc = 0.0
+                for mv in mems:
+                    acc = acc + mv[j * sub + i]
+                nxt[c][j * sub + i] = acc / n
+        words = nxt
+    return words
 
 
 def _pq_normalized_col(vec_col) -> F.Column:
@@ -757,6 +868,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     index_cache_key: str | None = None,
+    train_iters: int = V.KMEANS_ITERS,
 ) -> DataFrame:
     """Approximate top-k by ADC over PQ codes: encode the corpus once,
     precompute each query's (m × kc) distance table driver-side (queries
@@ -774,13 +886,13 @@ def pq_topk(
         cache_k = (
             spark.sparkContext.applicationId,
             index_cache_key,
-            (m, sub, kc, id_col, vec_col),
+            (m, sub, kc, id_col, vec_col, train_iters),
         )
     hit = _PQ_CODES_CACHE.get(cache_k) if cache_k is not None else None
     if hit is not None:
         codewords, encoded = hit
     else:
-        codewords = pq_codewords(embeddings, kc, id_col, vec_col)
+        codewords = pq_codewords(embeddings, kc, id_col, vec_col, m, sub, train_iters)
         # the codes table IS the stored artifact in a PQ deployment — write
         # it once; every query branch below reads codes, never re-encodes
         encoded = storage_checkpoint(
@@ -843,6 +955,7 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     index_cache_key: str | None = None,
+    train_iters: int = V.KMEANS_ITERS,
 ) -> DataFrame:
     """The full FAISS recipe, composed from the two stored artifacts this
     module already maintains: IVF restricts WHICH candidates are scored
@@ -861,7 +974,8 @@ def ivfpq_topk(
 
     # --- IVF half: probed candidate ids per query (cells from the index)
     _centroids, cdf, corpus = ivf_index(
-        embeddings, n_cells, id_col, vec_col, cache_key=index_cache_key
+        embeddings, n_cells, id_col, vec_col, cache_key=index_cache_key,
+        train_iters=train_iters,
     )
     queries = embeddings.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"),
@@ -891,13 +1005,13 @@ def ivfpq_topk(
         cache_k = (
             embeddings.sparkSession.sparkContext.applicationId,
             index_cache_key,
-            (m, sub, kc, id_col, vec_col),
+            (m, sub, kc, id_col, vec_col, train_iters),
         )
     hit = _PQ_CODES_CACHE.get(cache_k) if cache_k is not None else None
     if hit is not None:
         codewords, encoded = hit
     else:
-        codewords = pq_codewords(embeddings, kc, id_col, vec_col)
+        codewords = pq_codewords(embeddings, kc, id_col, vec_col, m, sub, train_iters)
         encoded = storage_checkpoint(
             pq_encode(embeddings, codewords, m, sub, id_col, vec_col)
         )

@@ -13,6 +13,7 @@ cannot drift. Shared primitives (documented in functions/text.py):
 from __future__ import annotations
 
 from .functions.text import LANG_STOPWORDS, MERSENNE31, MINHASH_PARAMS
+from .functions.vectors import KMEANS_ITERS, KMEANS_TRAIN
 
 P = MERSENNE31
 
@@ -536,20 +537,65 @@ SELECT doc_id, shard, n_tokens,
 FROM packed"""
 
 
-def _ivf_assigned_cte(n_cells: int = 16, dim: int = 64) -> str:
-    """Shared IVF prefix: hash-selected centroids (h60 over the id, same
-    primitive as the Spark side) and per-vector cell assignment = max cos
-    with ties to the larger cell id (mirrors Spark ``array_max`` over
-    struct<cos,cell>). Yields CTEs ``e`` (double-cast vectors), ``c``
-    (centroids) and ``assigned`` (vec_id, v, cell_id)."""
+def _ivf_assigned_cte(
+    n_cells: int = 16,
+    dim: int = 64,
+    train_iters: int = KMEANS_ITERS,
+    n_train: int = KMEANS_TRAIN,
+) -> str:
+    """Shared IVF prefix: k-means-TRAINED centroids (h60-hash-selected init
+    refined by ``train_iters`` unrolled Lloyd iterations over the
+    ``n_train`` hash-lowest sample — the bit-exact twin of
+    ``similarity.kmeans_refine``: same assignment rule (max cos, ties →
+    larger cell id), same element-wise mean (0.0-init sequential fold over
+    members ordered by vec_id, one divide), empty cells keep their previous
+    centroid) and per-vector cell assignment = max cos with ties to the
+    larger cell id (mirrors Spark ``array_max`` over struct<cos,cell>).
+    ``train_iters=0`` is the hash-selected baseline. Yields CTEs ``e``
+    (double-cast vectors), ``c`` (centroids) and ``assigned``
+    (vec_id, v, cell_id)."""
     cell_hash = H60.format(s="CAST(vec_id AS VARCHAR)")
-    return f"""e AS (
+    parts = [
+        f"""e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 ),
-c AS (SELECT vec_id AS cell_id, v AS cv FROM e
-      ORDER BY {cell_hash}, vec_id LIMIT {n_cells}),
-ca AS (
+c0 AS (SELECT vec_id AS cell_id, v AS cv FROM e
+       ORDER BY {cell_hash}, vec_id LIMIT {n_cells})"""
+    ]
+    prev = "c0"
+    if train_iters:
+        parts.append(
+            f"""s0 AS (SELECT vec_id, v FROM e
+       ORDER BY {cell_hash}, vec_id LIMIT {n_train})"""
+        )
+        for t in range(1, train_iters + 1):
+            parts.append(
+                f"""asg{t} AS (
+  SELECT vec_id, v, cell_id FROM (
+    SELECT s.vec_id, s.v, c.cell_id,
+           row_number() OVER (PARTITION BY s.vec_id
+                ORDER BY {_cos('s.v', 'c.cv', dim)} DESC, c.cell_id DESC) AS rn
+    FROM s0 s, {prev} c) WHERE rn = 1
+),
+mean{t} AS (
+  SELECT cell_id,
+         list_transform(range(1, {dim + 1}), i ->
+           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                    list_transform(vs, vv -> vv[i])),
+                       (a, b) -> a + b) / len(vs)) AS cv
+  FROM (SELECT cell_id, list(v ORDER BY vec_id) AS vs
+        FROM asg{t} GROUP BY cell_id)
+),
+c{t} AS (
+  SELECT p.cell_id, coalesce(m.cv, p.cv) AS cv
+  FROM {prev} p LEFT JOIN mean{t} m USING (cell_id)
+)"""
+            )
+            prev = f"c{t}"
+    parts.append(f"c AS (SELECT cell_id, cv FROM {prev})")
+    parts.append(
+        f"""ca AS (
   SELECT e.vec_id, e.v, c.cell_id, {_cos('e.v', 'c.cv', dim)} AS cos
   FROM e, c
 ),
@@ -560,6 +606,8 @@ assigned AS (
                 ORDER BY cos DESC, cell_id DESC) AS rn
     FROM ca) WHERE rn = 1
 )"""
+    )
+    return ",\n".join(parts)
 
 
 def ann_ivf_sql(
@@ -871,13 +919,26 @@ def _l2sq_sub_sql(a: str, b: str, j, sub: int = 8) -> str:
 
 
 def _pq_ctes(
-    query_ids: list[int], kc: int, m: int, sub: int, dim: int
+    query_ids: list[int],
+    kc: int,
+    m: int,
+    sub: int,
+    dim: int,
+    train_iters: int = KMEANS_ITERS,
+    n_train: int = KMEANS_TRAIN,
 ) -> tuple[str, str, str]:
     """The ONE copy of the PQ twin machinery, shared by ``ann_pq_sql`` and
     ``ann_ivfpq_sql`` (the pattern ``_ivf_assigned_cte`` establishes for
     the IVF half). Returns (ctes, cw_joins, adist): CTEs ``n`` (L2-
-    normalized vectors over a caller-provided ``e``), ``cw`` (PQ-salted
-    hash-selected codewords), ``sub``/``kd`` (per-subspace argmin codes,
+    normalized vectors over a caller-provided ``e``), ``cw`` (per-subspace
+    k-means-TRAINED codewords — PQ-salted hash-selected init refined by
+    ``train_iters`` unrolled Lloyd iterations over the ``n_train``
+    hash-lowest normalized sample, the bit-exact twin of
+    ``similarity.pq_codewords``: argmin-l2sq assignment with ties to the
+    smaller codeword id, 0.0-init sequential-fold slice means over members
+    ordered by vec_id, empty (j, c) keeps its previous slice, trained
+    slices stitched back into full-dim vectors; ``train_iters=0`` is the
+    hash-selected baseline), ``sub``/``kd`` (per-subspace argmin codes,
     ties → smaller codeword id), ``q`` (normalized query vectors); the
     per-subspace codeword joins; and the ADC distance as a FIXED j=0..m-1
     addition chain (grouped SUM would have engine-dependent float order)."""
@@ -889,15 +950,54 @@ def _pq_ctes(
     adist = " + ".join(
         f"({_l2sq_sub_sql('q.qv', f'cw{j}.w', j, sub)})" for j in range(m)
     )
+    train_parts = []
+    prev = "cw0"
+    if train_iters:
+        train_parts.append(
+            f"""ps AS (SELECT vec_id, v FROM n
+      ORDER BY {cw_hash}, vec_id LIMIT {n_train})"""
+        )
+        for t in range(1, train_iters + 1):
+            train_parts.append(
+                f"""pa{t} AS (
+  SELECT vec_id, j, c FROM (
+    SELECT s.vec_id, jj.j, w.c,
+           row_number() OVER (PARTITION BY s.vec_id, jj.j
+                ORDER BY {_l2sq_sub_sql('s.v', 'w.w', 'jj.j', sub)}, w.c) AS rn
+    FROM ps s, {prev} w, (SELECT unnest(range(0, {m})) AS j) jj) WHERE rn = 1
+),
+pm{t} AS (
+  SELECT j, c,
+         list_transform(range(1, {sub + 1}), i ->
+           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                       list_transform(vs, vv -> vv[{sub} * j + i])),
+                       (a, b) -> a + b) / len(vs)) AS w8
+  FROM (SELECT a.j, a.c, list(s.v ORDER BY s.vec_id) AS vs
+        FROM pa{t} a JOIN ps s USING (vec_id) GROUP BY a.j, a.c)
+),
+cw{t} AS (
+  SELECT p.c,
+         flatten(list(coalesce(m.w8,
+           list_slice(p.w, {sub} * jj.j + 1, {sub} * jj.j + {sub}))
+           ORDER BY jj.j)) AS w
+  FROM {prev} p
+  CROSS JOIN (SELECT unnest(range(0, {m})) AS j) jj
+  LEFT JOIN pm{t} m ON m.j = jj.j AND m.c = p.c
+  GROUP BY p.c
+)"""
+            )
+            prev = f"cw{t}"
+    training = (",\n".join(train_parts) + ",\n") if train_parts else ""
     ctes = f"""n AS (
   SELECT vec_id,
          list_transform(v, x -> x / sqrt({_dot('v', 'v', dim)})) AS v
   FROM e
 ),
-cw AS (
+cw0 AS (
   SELECT row_number() OVER (ORDER BY {cw_hash}, vec_id) - 1 AS c, v AS w
   FROM n ORDER BY {cw_hash}, vec_id LIMIT {kc}
 ),
+{training}cw AS (SELECT c, w FROM {prev}),
 sub AS (
   SELECT n.vec_id, cw.c, j.j,
          {_l2sq_sub_sql('n.v', 'cw.w', 'j.j', sub)} AS d2
