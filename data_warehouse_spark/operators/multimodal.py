@@ -5,9 +5,12 @@ The Spark-side plumbing is real and tested — schemas, Arrow batch transfer,
 ``decode=\"fake\"`` (default) parses deterministic pseudo-headers from the
 payload bytes so pipelines are fully exercisable and oracle-checkable in
 any environment; ``decode=\"real\"`` try-imports the actual codec library
-on the executor (Pillow for images, soundfile for audio, PyAV for video)
-and raises a clear ImportError naming the missing dependency when it is
-not installed — both paths share the identical Arrow/mapInPandas plumbing.
+on the executor (Pillow for images, soundfile for audio, PyAV for video),
+FALLS BACK to the vendored pure-Python PNG/WAV codecs
+(``functions/purecodec.py`` — stdlib zlib/wave) when the library is absent
+but the payload is a PNG/WAV, and raises a clear ImportError naming the
+missing dependency only for formats the vendored codecs cannot read —
+every path shares the identical Arrow/mapInPandas plumbing.
 
 Scale notes: binary payloads ride in their own column so column pruning
 keeps metadata-only queries payload-free (parquet never reads the blob
@@ -49,6 +52,48 @@ def _require(module: str, purpose: str):
             "plumbing"
         )
     return mod
+
+
+def _real_image_decode(raw: bytes) -> tuple[int, int, int, "np.ndarray"]:
+    """Real image decode: Pillow when installed (any format), else the
+    vendored pure-Python PNG decoder for PNG payloads. Returns
+    (width, height, channels, flat uint8 pixel array)."""
+    pil_image = _optional("PIL.Image")
+    if pil_image is not None:
+        import io
+
+        img = pil_image.open(io.BytesIO(raw))
+        w, h = img.size
+        return w, h, len(img.getbands()), np.asarray(img, dtype=np.uint8).ravel()
+    from ..functions import purecodec
+
+    if purecodec.is_png(raw):
+        return purecodec.png_decode(raw)
+    raise ImportError(
+        "decode='real' image decode for non-PNG payloads requires "
+        "`PIL.Image`, which is not installed; the vendored pure-Python "
+        "codec (functions/purecodec.py) handles PNG only"
+    )
+
+
+def _real_audio_decode(raw: bytes) -> tuple[int, int]:
+    """Real audio decode → (sample_rate, n_samples): soundfile when
+    installed (any format), else the stdlib-wave path for WAV payloads."""
+    sf = _optional("soundfile")
+    if sf is not None:
+        import io
+
+        data, rate = sf.read(io.BytesIO(raw))
+        return int(rate), int(data.shape[0])
+    from ..functions import purecodec
+
+    if purecodec.is_wav(raw):
+        return purecodec.wav_decode(raw)
+    raise ImportError(
+        "decode='real' audio decode for non-WAV payloads requires "
+        "`soundfile`, which is not installed; the vendored pure-Python "
+        "codec (functions/purecodec.py) handles RIFF/WAVE only"
+    )
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -155,15 +200,10 @@ def extract_image_features(media: DataFrame, decode: str = "fake") -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         decode_one = _fake_decode
         if decode == "real":
-            pil_image = _require("PIL.Image", "image decode")
-            import io
 
             def decode_one(payload: bytes):
-                img = pil_image.open(io.BytesIO(payload))
-                w, h = img.size
-                channels = len(img.getbands())
-                arr = np.asarray(img, dtype=np.float32).ravel()
-                emb = np.resize(arr, _EMBED_DIM) / 255.0
+                w, h, channels, pixels = _real_image_decode(payload)
+                emb = np.resize(pixels.astype(np.float32), _EMBED_DIM) / 255.0
                 return w, h, channels, emb
 
         for pdf in it:
@@ -268,12 +308,7 @@ def extract_audio_features(media: DataFrame, decode: str = "fake") -> DataFrame:
         decode_one = _fake_audio_header
 
         if decode == "real":
-            sf = _require("soundfile", "audio decode")
-            import io
-
-            def decode_one(raw: bytes) -> tuple[int, int]:
-                data, rate = sf.read(io.BytesIO(raw))
-                return int(rate), int(data.shape[0])
+            decode_one = _real_audio_decode
 
         for pdf in it:
             out = {k.name: [] for k in AUDIO_FEATURES_SCHEMA.fields}
@@ -336,14 +371,27 @@ def resize_images(
             return channels, body
 
         if decode == "real":
-            pil_image = _require("PIL.Image", "image resize")
-            import io
+            pil_image = _optional("PIL.Image")
+            if pil_image is not None:
+                import io
 
-            def resize_one(raw: bytes) -> tuple[int, bytes]:
-                img = pil_image.open(io.BytesIO(raw)).resize((target_w, target_h))
-                buf = io.BytesIO()
-                img.save(buf, format="PNG")
-                return len(img.getbands()), buf.getvalue()
+                def resize_one(raw: bytes) -> tuple[int, bytes]:
+                    img = pil_image.open(io.BytesIO(raw)).resize((target_w, target_h))
+                    buf = io.BytesIO()
+                    img.save(buf, format="PNG")
+                    return len(img.getbands()), buf.getvalue()
+            else:
+
+                def resize_one(raw: bytes) -> tuple[int, bytes]:
+                    from ..functions import purecodec
+
+                    w, h, channels, pixels = _real_image_decode(raw)
+                    resized = purecodec.resize_nearest(
+                        pixels, w, h, channels, target_w, target_h
+                    )
+                    return channels, purecodec.png_encode(
+                        target_w, target_h, channels, resized
+                    )
 
         for pdf in it:
             out = {k.name: [] for k in RESIZED_IMAGE_SCHEMA.fields}
@@ -420,21 +468,17 @@ def extract_media_metadata(
             import io
 
             def image_metrics(raw: bytes) -> list[tuple[str, int]]:
-                pil_image = _require("PIL.Image", "image decode")
-                img = pil_image.open(io.BytesIO(raw))
-                w, h = img.size
+                w, h, channels, _pixels = _real_image_decode(raw)
                 return [
                     ("width", w), ("height", h),
-                    ("channels", len(img.getbands())), ("n_bytes", len(raw)),
+                    ("channels", channels), ("n_bytes", len(raw)),
                 ]
 
             def audio_metrics(raw: bytes) -> list[tuple[str, int]]:
-                sf = _require("soundfile", "audio decode")
-                data, rate = sf.read(io.BytesIO(raw))
-                n = int(data.shape[0])
+                rate, n = _real_audio_decode(raw)
                 return [
-                    ("sample_rate", int(rate)), ("n_samples", n),
-                    ("duration_ms", n * 1000 // int(rate)), ("n_bytes", len(raw)),
+                    ("sample_rate", rate), ("n_samples", n),
+                    ("duration_ms", n * 1000 // rate), ("n_bytes", len(raw)),
                 ]
 
             def video_metrics(raw: bytes) -> list[tuple[str, int]]:

@@ -399,8 +399,9 @@ def _tiny_media(spark, kind, payload):
 
 @pytest.mark.skipif(_HAS_PIL, reason="Pillow installed — real path is active")
 def test_real_image_decode_raises_clear_import_error(spark):
-    """Without Pillow, decode='real' must fail with an error NAMING the
-    missing dependency (not a bare NotImplementedError)."""
+    """Without Pillow, decode='real' on a NON-PNG payload must fail with an
+    error NAMING the missing dependency (not a bare NotImplementedError) —
+    the vendored pure-Python codec covers PNG only."""
     with pytest.raises(Exception, match="PIL.Image"):
         multimodal.extract_image_features(
             _tiny_media(spark, "image", b"x" * 64), decode="real"
@@ -413,34 +414,177 @@ def test_real_image_decode_raises_clear_import_error(spark):
 
 @pytest.mark.skipif(_HAS_SOUNDFILE, reason="soundfile installed")
 def test_real_audio_decode_raises_clear_import_error(spark):
+    """Non-WAV payload without soundfile: same clear-ImportError contract."""
     with pytest.raises(Exception, match="soundfile"):
         multimodal.extract_audio_features(
             _tiny_media(spark, "audio", b"x" * 64), decode="real"
         ).collect()
 
 
-@pytest.mark.skipif(not _HAS_PIL, reason="Pillow not installed in this image")
-def test_real_image_decode_with_pillow(spark):
-    """With Pillow present, decode='real' parses an actual PNG through the
-    same mapInPandas plumbing as the fake codec."""
+def _test_png(w=7, h=5, channels=3) -> tuple[bytes, "object"]:
+    """A deterministic real PNG + its pixel array (via the vendored
+    encoder; Pillow decodes it identically when installed)."""
+    import numpy as np
+
+    from data_warehouse_spark.functions import purecodec
+
+    rng = np.random.RandomState(7)
+    pixels = rng.randint(0, 256, size=w * h * channels, dtype=np.uint8)
+    return purecodec.png_encode(w, h, channels, pixels), pixels
+
+
+def test_real_image_decode_runs_everywhere(spark):
+    """decode='real' parses an ACTUAL PNG through the same mapInPandas
+    plumbing as the fake codec — via Pillow when installed, via the
+    vendored pure-Python PNG decoder otherwise, so the production branch
+    executes in every environment."""
     import io
 
-    from PIL import Image
+    from data_warehouse_spark.functions import purecodec
 
-    buf = io.BytesIO()
-    Image.new("RGB", (7, 5)).save(buf, format="PNG")
+    raw, pixels = _test_png(7, 5, 3)
     feats = multimodal.extract_image_features(
-        _tiny_media(spark, "image", buf.getvalue()), decode="real"
+        _tiny_media(spark, "image", raw), decode="real"
     ).collect()
     assert len(feats) == 1
     r = feats[0]
     assert (r["width"], r["height"], r["channels"]) == (7, 5, 3)
+    assert r["n_bytes"] == len(raw)
+    # the embedding is computed from the REAL decoded pixels
+    import numpy as np
+
+    got = np.array(r["embedding"], dtype=np.float32)
+    assert np.allclose(got, np.resize(pixels.astype(np.float32), 16) / 255.0)
+
     resized = multimodal.resize_images(
-        _tiny_media(spark, "image", buf.getvalue()), 8, 8, decode="real"
+        _tiny_media(spark, "image", raw), 8, 8, decode="real"
     ).collect()
     assert (resized[0]["width"], resized[0]["height"]) == (8, 8)
-    out = Image.open(io.BytesIO(bytes(resized[0]["payload"])))
-    assert out.size == (8, 8)
+    # output payload is a valid PNG of the target geometry on either codec
+    ow, oh, oc, _opix = purecodec.png_decode(bytes(resized[0]["payload"]))
+    assert (ow, oh, oc) == (8, 8, 3)
+
+
+def test_real_audio_decode_runs_everywhere(spark):
+    """decode='real' reads an ACTUAL RIFF/WAVE payload (soundfile when
+    installed, stdlib wave otherwise): rate, sample count and duration all
+    come from the real container header."""
+    from data_warehouse_spark.functions import purecodec
+
+    raw = purecodec.wav_encode(16000, list(range(-500, 500)))  # 1000 frames
+    rows = multimodal.extract_audio_features(
+        _tiny_media(spark, "audio", raw), decode="real"
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["sample_rate"], r["n_samples"]) == (16000, 1000)
+    assert r["duration_ms"] == 1000 * 1000 // 16000
+    assert r["n_bytes"] == len(raw)
+
+
+def test_real_metadata_sweep_runs_everywhere(spark):
+    """The fused metadata sweep's decode='real' arm over a mixed PNG+WAV
+    corpus — the real-decode twin of the catalog's media_suite fake-codec
+    sweep (same operator, same plumbing, real containers)."""
+    from data_warehouse_spark.functions import purecodec
+
+    png, _ = _test_png(9, 4, 1)
+    wav = purecodec.wav_encode(24000, [0] * 600)
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(png), "image/png", None),
+            (2, "audio", bytearray(wav), "audio/wav", None),
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    got = {
+        (r["media_id"], r["metric"]): r["value"]
+        for r in multimodal.extract_media_metadata(media, decode="real").collect()
+    }
+    assert got[(1, "width")] == 9 and got[(1, "height")] == 4
+    assert got[(1, "channels")] == 1 and got[(1, "n_bytes")] == len(png)
+    assert got[(2, "sample_rate")] == 24000 and got[(2, "n_samples")] == 600
+    assert got[(2, "duration_ms")] == 600 * 1000 // 24000
+
+
+def test_purecodec_png_all_filters_and_roundtrip():
+    """The vendored PNG decoder must invert every scanline filter type.
+    Hand-crafted 3×2 grayscale PNGs with a fixed filter per row, expected
+    pixels computed by hand from the PNG spec; plus encode→decode
+    round-trips for 1/3/4-channel buffers and palette expansion."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from data_warehouse_spark.functions import purecodec as pc
+
+    def craft(rows: list[tuple[int, list[int]]], w=3, h=2, color_type=0) -> bytes:
+        scan = bytearray()
+        for ftype, vals in rows:
+            scan.append(ftype)
+            scan.extend(vals)
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+        return (
+            pc.PNG_MAGIC
+            + pc._chunk(b"IHDR", ihdr)
+            + pc._chunk(b"IDAT", zlib.compress(bytes(scan)))
+            + pc._chunk(b"IEND", b"")
+        )
+
+    # Sub: row [10, 5, 5] → [10, 15, 20]; Up adds the row above
+    _, _, _, px = pc.png_decode(craft([(1, [10, 5, 5]), (2, [1, 1, 1])]))
+    assert px.tolist() == [10, 15, 20, 11, 16, 21]
+    # Average: left=0/up=0 for first byte → raw; then (left+up)//2
+    _, _, _, px = pc.png_decode(craft([(0, [4, 8, 12]), (3, [10, 10, 10])]))
+    # row2: b0 = 10 + (0+4)//2 = 12; b1 = 10 + (12+8)//2 = 20; b2 = 10 + (20+12)//2 = 26
+    assert px.tolist() == [4, 8, 12, 12, 20, 26]
+    # Paeth: predictor of (left, up, upleft)
+    _, _, _, px = pc.png_decode(craft([(0, [4, 8, 12]), (4, [10, 10, 10])]))
+    # row2: b0: paeth(0,4,0)=4 → 14; b1: paeth(14,8,4)=14? p=14+8-4=18, pa=4,pb=10,pc=14 → left=14 → 24
+    #       b2: p=24+12-8=28, pa=|28-24|=4, pb=|28-12|=16 → left=24 → 34
+    assert px.tolist() == [4, 8, 12, 14, 24, 34]
+
+    for ch in (1, 3, 4):
+        buf = np.arange(5 * 4 * ch, dtype=np.uint8)
+        w2, h2, c2, out = pc.png_decode(pc.png_encode(5, 4, ch, buf))
+        assert (w2, h2, c2) == (5, 4, ch)
+        assert out.tolist() == buf.tolist()
+
+    # palette (color type 3): indices expand through PLTE to RGB
+    plte = bytes([255, 0, 0, 0, 255, 0])  # 0→red, 1→green
+    idx_scan = bytes([0, 0, 1, 0]) + bytes([0, 1, 0, 1])  # 2 rows, filter 0
+    raw = (
+        pc.PNG_MAGIC
+        + pc._chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0))
+        + pc._chunk(b"PLTE", plte)
+        + pc._chunk(b"IDAT", zlib.compress(idx_scan))
+        + pc._chunk(b"IEND", b"")
+    )
+    w3, h3, c3, px3 = pc.png_decode(raw)
+    assert (w3, h3, c3) == (3, 2, 3)
+    assert px3.tolist() == [255, 0, 0, 0, 255, 0, 255, 0, 0, 0, 255, 0, 255, 0, 0, 0, 255, 0]
+
+
+def test_purecodec_resize_nearest_matches_reference():
+    """Nearest-neighbor resample: independent numpy recompute of the
+    floor(i·src/target) index mapping."""
+    import numpy as np
+
+    from data_warehouse_spark.functions import purecodec as pc
+
+    rng = np.random.RandomState(3)
+    w, h, c = 7, 5, 3
+    buf = rng.randint(0, 256, size=w * h * c, dtype=np.uint8)
+    got = pc.resize_nearest(buf, w, h, c, 4, 6)
+    src = buf.reshape(h, w, c)
+    expect = np.stack(
+        [
+            np.stack([src[(y * h) // 6, (x * w) // 4] for x in range(4)])
+            for y in range(6)
+        ]
+    ).ravel()
+    assert got.tolist() == expect.tolist()
 
 
 def test_minhash_signature_cache_reuse_and_eviction(spark):
