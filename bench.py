@@ -8,6 +8,18 @@ line: ``{"metric": ..., "value": total_sec, "unit": "sec",
 Each query is executed to completion (``collect()`` — results are small
 aggregates/pages by construction). A warm-up action runs first so JVM/codegen
 startup isn't attributed to the first query.
+
+Regression gate: when ``BENCH_REFERENCE.json`` (committed per-round
+timings) matches the bench SF, any query measuring >1.3× its reference is
+RE-TIMED with extra runs (best-of — damps local GC/scheduling noise, which
+historically ran ±2× on sub-second queries) and, if still over, reported
+under ``"regressions"`` in the JSON line — minus queries listed in the
+reference's ``"explained"`` map (a deliberate catalog change, with the
+reason recorded there). The JSON line always prints and the exit code
+stays 0 for the driver; ``--check`` (or SPARK_GRAFT_BENCH_STRICT=1) makes
+unexplained regressions exit 1 — the CI mode. The per-round ritual:
+explain or recover every flagged query, then refresh the reference to the
+new measured timings.
 """
 
 from __future__ import annotations
@@ -73,9 +85,10 @@ BENCH_QUERIES = [
     "dormant_customers",
     "small_quantity_revenue",
     "acctbal_extremes_union",
-    # wh_running_balance is NOT benched: its result is one row per transfer
-    # (~400k at sf0.1), so the timing measures driver-side row serialization,
-    # not the window operator (which the correctness gate exercises)
+    # the running-balance entry serves the bounded per-account summary
+    # (final/peak/max-drawdown) — the full window executes, the output is
+    # |accounts|-sized, so the timing measures the window operator
+    "wh_running_balance",
 ]
 
 
@@ -135,6 +148,36 @@ def main() -> None:
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
 
+    # --- regression gate (see module docstring) ---------------------------
+    regressions: dict[str, dict] = {}
+    ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_REFERENCE.json")
+    if os.path.exists(ref_path):
+        with open(ref_path) as fh:
+            ref = json.load(fh)
+        if ref.get("sf") == sf:
+            explained = ref.get("explained", {})
+            for name, t in list(timings.items()):
+                r = ref.get("queries", {}).get(name)
+                if r is None or t <= 1.3 * r:
+                    continue
+                # re-time before accusing: local best-of-2 is noisy
+                best = t
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    QUERIES[name].fn(spark, sf_dir).collect()
+                    best = min(best, time.perf_counter() - t0)
+                clear_ivf_cache()
+                spark.catalog.clearCache()
+                timings[name] = round(best, 4)
+                if best > 1.3 * r:
+                    entry = {"sec": round(best, 4), "ref": r,
+                             "ratio": round(best / r, 2)}
+                    if name in explained:
+                        entry["explained"] = explained[name]
+                    else:
+                        regressions[name] = entry
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -145,6 +188,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "runs_per_query": runs,
+                "regressions": regressions,
                 "timing": "best-of-n (steady-state; first run pays one-time codegen)",
                 "note": (
                     "single-row-group testdata parquet is rewritten once per "
@@ -157,6 +201,17 @@ def main() -> None:
         )
     )
     spark.stop()
+    strict = "--check" in sys.argv or os.environ.get(
+        "SPARK_GRAFT_BENCH_STRICT"
+    ) == "1"
+    if strict and regressions:
+        print(
+            f"BENCH GATE: {len(regressions)} unexplained regression(s) "
+            f"(>1.3x reference after re-timing): {sorted(regressions)}",
+            file=sys.stderr,
+        )
+        return 1
+    return 0
 
 
 if __name__ == "__main__":

@@ -36,6 +36,66 @@ def running_balance(abc: DataFrame) -> DataFrame:
     )
 
 
+def running_balance_summary(abc: DataFrame) -> DataFrame:
+    """Bounded (|accounts|-sized) serving shape of :func:`running_balance`:
+    per account, the FINAL balance, the PEAK running balance, the MAX
+    DRAWDOWN (largest peak-to-trough drop of the running series), and the
+    change count. The full running window still executes — this is the
+    running-balance operator with a dimension-sized output instead of one
+    row per transfer, so it can be benched without the timing degenerating
+    into driver-side row serialization.
+
+    Plan: the same single shuffle on (tenant, name) as running_balance;
+    the second window pass (running max) and the final aggregate reuse
+    that partitioning — no additional exchange. Ties (identical rows)
+    yield identical (running, runmax) multisets in any processing order,
+    so every output is engine-order-independent; the final balance is
+    picked by row_number with a running_cents tiebreak for the same
+    reason."""
+    amt = (F.col("amount") * 100).cast("bigint")
+    w_run = (
+        Window.partitionBy("tenant", "name")
+        .orderBy("value_date", "amount")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    r = abc.select(
+        "tenant",
+        "name",
+        "value_date",
+        amt.alias("amount_cents"),
+        F.sum(amt).over(w_run).alias("running_cents"),
+    )
+    w_max = (
+        Window.partitionBy("tenant", "name")
+        .orderBy("value_date", "amount_cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_last = Window.partitionBy("tenant", "name").orderBy(
+        F.desc("value_date"), F.desc("amount_cents"), F.desc("running_cents")
+    )
+    r2 = r.select(
+        "tenant",
+        "name",
+        "running_cents",
+        F.max("running_cents").over(w_max).alias("runmax"),
+        F.row_number().over(w_last).alias("rn"),
+    )
+    return (
+        r2.groupBy("tenant", "name")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("running_cents"))).alias(
+                "final_cents"
+            ),
+            F.max("running_cents").alias("peak_cents"),
+            F.max(F.col("runmax") - F.col("running_cents")).alias(
+                "max_drawdown_cents"
+            ),
+            F.count(F.lit(1)).alias("n_changes"),
+        )
+        .orderBy("tenant", "name")
+    )
+
+
 def asof_join_purchase_to_click(events: DataFrame) -> DataFrame:
     """As-of join: each *purchase* event matched to the latest *click* by
     the same user at-or-before its timestamp.

@@ -18,6 +18,31 @@ def test_query_matches_oracle(spark, name):
     assert_matches_oracle(df, qd.oracle, SF_DIR)
 
 
+def test_running_balance_rows_match_oracle(spark):
+    """The PER-TRANSFER running-balance rows, pinned row-for-row against the
+    windowed oracle. The catalog entry serves the bounded per-account
+    summary (benchable output size); this test keeps the full-granularity
+    window proof the entry had before it was bounded."""
+    from data_warehouse_spark import catalog as cat
+    from data_warehouse_spark.catalog import WAREHOUSE_CTE_SQL
+    from data_warehouse_spark.operators import windows
+
+    v = cat.warehouse_views(spark, SF_DIR)
+    df = windows.running_balance(v["account_balance_change"])
+    assert_matches_oracle(
+        df,
+        WAREHOUSE_CTE_SQL
+        + """SELECT tenant, name, value_date,
+                    CAST(amount * 100 AS BIGINT) AS amount_cents,
+                    CAST(SUM(CAST(amount * 100 AS BIGINT)) OVER (
+                         PARTITION BY tenant, name
+                         ORDER BY value_date, amount
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
+             FROM account_balance_change_v""",
+        SF_DIR,
+    )
+
+
 def test_entry_smoke(spark):
     import importlib.util
 
