@@ -145,6 +145,7 @@ class FileStreamIngestion:
     # ------------------------------------------------------------------
     def start(self, processing_time: str = "2 seconds"):
         """Continuous mode: the reference's cadence as a streaming trigger."""
+        self.last_metrics = None
         return (
             self._stream()
             .writeStream.foreachBatch(self._process_batch)
@@ -157,7 +158,9 @@ class FileStreamIngestion:
         """Drain everything currently discoverable (``Trigger.AvailableNow``)
         and return the last batch's metrics — the deterministic test/backfill
         mode; the checkpointed file index carries over, so a later call picks
-        up only files that appeared in between (an incremental "tick")."""
+        up only files that appeared in between (an incremental "tick").
+        Returns ``None`` when nothing new was discoverable (no batch ran)."""
+        self.last_metrics = None
         q = (
             self._stream()
             .writeStream.foreachBatch(self._process_batch)

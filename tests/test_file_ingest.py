@@ -1,0 +1,149 @@
+"""FileStreamIngestion (Structured-Streaming file-source arm) must produce
+IDENTICAL warehouse tables to the batch IngestionPipeline on the bbtest
+golden fixtures, discover incrementally via the checkpointed file index
+(second drain reads only new files), and enforce the same D8 invariant.
+
+One deliberate difference, by construction of a file source: a tenant
+directory containing NO files is invisible until its first file lands
+(the batch crawl sees bare directories). Deliveries, not directories, are
+the stream's unit — every fixture below carries files.
+"""
+
+from __future__ import annotations
+
+import decimal
+import os
+
+import pytest
+
+from data_warehouse_spark.streaming.file_ingest import FileStreamIngestion
+from data_warehouse_spark.streaming.ingest import IngestionPipeline, warehouse_store
+
+from .test_ingest import _write_transfer_fixture, write
+
+TABLES = ("tenant", "account", "transfer", "account_balance_change")
+
+
+def _rows(store, name):
+    return sorted(tuple(r) for r in store.read(name).collect())
+
+
+def _second_transfer(root: str) -> None:
+    t = "t_TENANT_TRN"
+    write(
+        os.path.join(root, t, "transaction", "TRN2"),
+        "committed\nTRX2 TENANT_TRN CREDIT TENANT_TRN DEBIT 2020-02-01T00:00:00Z 5 CZK\n",
+    )
+    write(os.path.join(root, t, "account", "CREDIT", "events", "0000000000", "1_2_TRN2"), "2\n")
+    write(os.path.join(root, t, "account", "DEBIT", "events", "0000000000", "1_-2_TRN2"), "2\n")
+
+
+@pytest.fixture()
+def roots(spark, tmp_path):
+    primary = str(tmp_path / "data")
+    os.makedirs(primary, exist_ok=True)
+    batch_store = warehouse_store(spark, str(tmp_path / "wh_batch"))
+    stream_store = warehouse_store(spark, str(tmp_path / "wh_stream"))
+    stream = FileStreamIngestion(
+        spark, primary, stream_store, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    return primary, IngestionPipeline(spark, primary, batch_store), stream
+
+
+def test_stream_matches_batch_on_golden_fixtures(roots):
+    primary, batch, stream = roots
+    _write_transfer_fixture(primary)
+    write(
+        os.path.join(primary, "t_TENANT_ACC", "account", "A2", "snapshot", "0000000000"),
+        "EUR FORMAT_X\n",
+    )
+    batch.run_once()
+    m = stream.run_available()
+    assert m is not None and m.transfers_discovered == 1
+    for name in TABLES:
+        assert _rows(stream.store, name) == _rows(batch.store, name), name
+
+
+def test_stream_second_drain_is_incremental(roots):
+    """The checkpointed file index is the stream's watermark: a second
+    drain delivers ONLY files that appeared since the first, and the
+    resulting tables still equal a fresh batch crawl of the full tree —
+    the two modes' incremental truths (file index vs account watermarks)
+    converge to the same state."""
+    primary, batch, stream = roots
+    _write_transfer_fixture(primary)
+    first = stream.run_available()
+    assert first is not None and first.transfers_discovered == 1
+
+    _second_transfer(primary)
+    second = stream.run_available()
+    # O(new files): 2 new event files, 1 newly named transaction, 0 meta
+    assert second is not None
+    assert second.extra["files_read"] == {
+        "meta": 0,
+        "events": 2,
+        "transactions": 1,
+    }
+    assert second.transfers_discovered == 1
+
+    batch.run_once()
+    for name in TABLES:
+        assert _rows(stream.store, name) == _rows(batch.store, name), name
+
+    # replay drain: nothing new anywhere — no reads, no discoveries
+    third = stream.run_available()
+    assert third is None or third.extra["files_read"]["events"] == 0
+
+
+def test_stream_balances_match_reference_scenario(roots):
+    """The graphql_api.feature signed-balance golden, served from the
+    stream-ingested store."""
+    from data_warehouse_spark.operators import queries as wh
+
+    primary, _batch, stream = roots
+    _write_transfer_fixture(primary)
+    stream.run_available()
+    abc = stream.store.read("account_balance_change")
+    credit = wh.account_balance(abc, "TENANT_TRN", "CREDIT").collect()[0]["balance"]
+    debit = wh.account_balance(abc, "TENANT_TRN", "DEBIT").collect()[0]["balance"]
+    assert credit == decimal.Decimal("1")
+    assert debit == decimal.Decimal("-1")
+
+
+def test_stream_strict_invariant_violation_fails_query(roots):
+    """D8 in stream mode: a transfer whose status contradicts the
+    discovering event fails the streaming query (supervisor semantics),
+    exactly like the batch pipeline's InvariantViolation."""
+    primary, _batch, stream = roots
+    t = "t_TENANT_BAD"
+    write(os.path.join(primary, t, "account", "A", "snapshot", "0000000000"), "CZK FORMAT_T\n")
+    write(
+        os.path.join(primary, t, "transaction", "TX"),
+        "committed\nTR TENANT_BAD A TENANT_BAD B 2020-01-01T00:00:00Z 1 CZK\n",
+    )
+    # event claims status 2 (rollbacked), file says committed (1)
+    write(os.path.join(primary, t, "account", "A", "events", "0000000000", "2_1_TX"), "1\n")
+    with pytest.raises(Exception, match="status"):
+        stream.run_available()
+
+
+def test_stream_processing_time_trigger_runs(roots):
+    """The continuous mode (Trigger.ProcessingTime — the reference's 2 s
+    cadence) ingests a fixture end-to-end, then stops cleanly."""
+    import time
+
+    primary, _batch, stream = roots
+    _write_transfer_fixture(primary)
+    q = stream.start(processing_time="1 seconds")
+    try:
+        deadline = time.monotonic() + 60
+        while time.monotonic() < deadline:
+            if (
+                stream.last_metrics is not None
+                and stream.store.read("transfer").count() == 1
+            ):
+                break
+            time.sleep(0.5)
+        assert stream.store.read("transfer").count() == 1
+    finally:
+        q.stop()
