@@ -644,14 +644,22 @@ def semantic_dedup(
     survivor). A vector with no smaller-id partner above threshold is not
     a duplicate and emits nothing.
 
-    Reuses the IVF index (hash-selected centroids, map-only assignment,
+    Reuses the IVF index (trained centroids, map-only assignment,
     optionally cached via ``index_cache_key``), so at 100 TB the cluster
     assignment is amortized across dedup + ANN: one stored artifact, two
-    consumers. The pair join shuffles on the cell id only.
+    consumers. The pair join shuffles on the cell id only — via an
+    EXPLICIT ``repartition(n_cells, cell)`` rather than the join's own
+    exchange: AQE sizes shuffle partitions from input BYTES and would
+    coalesce this join to a couple of tasks (the corpus is small on disk),
+    but the join's OUTPUT explodes quadratically per cell and the per-pair
+    cosine is the actual cost — the measured sf1 failure mode was ~12M
+    pairs scored on 2 tasks. A user-specified repartition is exempt from
+    AQE coalescing, so each cell's pair work keeps its own task.
     """
     _centroids, _cdf, corpus = ivf_index(
         embeddings, n_cells, id_col, vec_col, cache_key=index_cache_key
     )
+    corpus = corpus.repartition(n_cells, "cell")
     a = corpus.select(
         "cell",
         F.col("neighbor_id").alias("keep_id"),

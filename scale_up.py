@@ -1,0 +1,111 @@
+"""Derive a larger-SF dataset from driver testdata by key-offset replication.
+
+The driver generates parquet up to sf0.1; the scale story above that rests
+on plan-shape pins. This tool turns those claims into measured evidence:
+it replicates each table ``factor``× with disjoint key ranges (copy 0 is
+the ORIGINAL rows bit-for-bit, so every fixed literal the catalog relies
+on — nation names, ANN query ids, brand filters — still exists), writing
+multi-row-group parquet so Spark can split the scans.
+
+Replication semantics per table (consistency rules):
+  * every BIGINT entity key offsets by ``copy * 10_000_000`` — foreign keys
+    offset together (l_orderkey with o_orderkey, o_custkey with c_custkey,
+    l_partkey/l_suppkey with part/supplier), so join cardinalities scale
+    like real TPC-H SF growth;
+  * c_name / s_name / p_name get a ``_<copy>`` suffix — the warehouse
+    model keys accounts by (nation, customer name), so names must stay
+    unique per copy (suffixing preserves every substring/LIKE filter the
+    catalog uses);
+  * nation/region are FIXED dimensions (25/5 rows at any SF, the broadcast
+    contract) and are copied through;
+  * documents append a ``" v<copy>"`` suffix (texts stay distinct across
+    copies; n_chars recomputed) — replicated docs are deliberate
+    near-duplicates of each other, a legitimate dedup stress shape;
+  * embeddings perturb each copy by +copy·1e-3 per dimension (distinct
+    vectors, preserved neighborhood structure);
+  * timestamps are kept — density per day grows with SF, like TPC-H.
+
+Usage: python scale_up.py [--factor 10] [--src /root/testdata/sf0.1]
+                          [--dst scale_data/sf1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import duckdb
+
+OFFSET = 10_000_000
+ROW_GROUP = 131_072  # rows per parquet row group — Spark's split unit
+
+
+def _copies(factor: int) -> str:
+    return f"(SELECT unnest(range(0, {factor})) AS copy) copies"
+
+
+def scale_table(con, src: str, dst: str, table: str, factor: int) -> int:
+    off = "copy * {o}".format(o=OFFSET)
+    suffix = "CASE WHEN copy = 0 THEN '' ELSE '_' || copy END"
+    doc_suffix = "CASE WHEN copy = 0 THEN '' ELSE ' v' || copy END"
+    exprs = {
+        "region": "r.*",
+        "nation": "r.*",
+        "customer": f"""r.c_custkey + {off} AS c_custkey,
+            r.c_name || {suffix} AS c_name, r.c_nationkey, r.c_acctbal,
+            r.c_mktsegment""",
+        "supplier": f"""r.s_suppkey + {off} AS s_suppkey,
+            r.s_name || {suffix} AS s_name, r.s_nationkey, r.s_acctbal""",
+        "part": f"""r.p_partkey + {off} AS p_partkey,
+            r.p_name || {suffix} AS p_name, r.p_brand, r.p_type, r.p_size,
+            r.p_retailprice""",
+        "orders": f"""r.o_orderkey + {off} AS o_orderkey,
+            r.o_custkey + {off} AS o_custkey, r.o_orderstatus,
+            r.o_totalprice, r.o_orderdate, r.o_orderpriority""",
+        "lineitem": f"""r.l_orderkey + {off} AS l_orderkey,
+            r.l_partkey + {off} AS l_partkey, r.l_suppkey + {off} AS l_suppkey,
+            r.l_linenumber, r.l_quantity, r.l_extendedprice, r.l_discount,
+            r.l_tax, r.l_returnflag, r.l_linestatus, r.l_shipdate""",
+        "events": f"""r.event_id + {off} AS event_id, r.ts,
+            r.user_id + {off} AS user_id, r.event_type, r.value, r.props""",
+        "documents": f"""r.doc_id + {off} AS doc_id,
+            r.text || {doc_suffix} AS text, r.lang, r.source,
+            CAST(length(r.text || {doc_suffix}) AS BIGINT) AS n_chars""",
+        "embeddings": f"""r.vec_id + {off} AS vec_id,
+            list_transform(r.embedding,
+                x -> CAST(x + copy * 0.001 AS FLOAT)) AS embedding,
+            r.label""",
+    }
+    fixed = table in ("region", "nation")
+    frm = f"read_parquet('{src}/{table}.parquet') r" + (
+        "" if fixed else f", {_copies(factor)}"
+    )
+    out = os.path.join(dst, f"{table}.parquet")
+    con.execute(
+        f"COPY (SELECT {exprs[table]} FROM {frm}) TO '{out}' "
+        f"(FORMAT PARQUET, ROW_GROUP_SIZE {ROW_GROUP})"
+    )
+    return con.execute(f"SELECT count(*) FROM read_parquet('{out}')").fetchone()[0]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--dst", default="scale_data/sf1")
+    args = ap.parse_args()
+    os.makedirs(args.dst, exist_ok=True)
+    con = duckdb.connect()
+    t0 = time.time()
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ):
+        n = scale_table(con, args.src, args.dst, t, args.factor)
+        print(f"{t}: {n} rows")
+    print(f"done in {time.time() - t0:.1f}s -> {args.dst}")
+
+
+if __name__ == "__main__":
+    main()
