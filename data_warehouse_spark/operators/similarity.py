@@ -607,8 +607,19 @@ def embedding_near_duplicates(
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via LSH buckets: pairs sharing a
     bucket with cosine ≥ threshold. Output is id pairs (rank-free, exact to
-    compare); cosine itself stays internal."""
-    bucketed = bucketize(embeddings, id_col, vec_col, planes)
+    compare); cosine itself stays internal.
+
+    The bucket join is explicitly co-partitioned on ``bucket`` for the
+    same reason semantic_dedup co-partitions on ``cell``: AQE would
+    coalesce the join's shuffle from input bytes, but the output explodes
+    quadratically per bucket and the per-pair cosine dominates — the
+    explicit repartition keeps each bucket's pair work on its own task."""
+    planes = planes or hyperplanes()
+    # partition count: one per bucket up to a cap (at 16+ planes the bucket
+    # space outgrows any useful task count)
+    bucketed = bucketize(embeddings, id_col, vec_col, planes).repartition(
+        min(2 ** len(planes), 256), "bucket"
+    )
     a = bucketed.select(
         F.col("vec_id").alias("id_a"), F.col("vec").alias("vec_a"), "bucket"
     )
