@@ -125,10 +125,14 @@ def main() -> None:
     # trees), which on a long-lived warehouse amortizes to zero — steady-state
     # execution time is the signal.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # optional subset (comma-separated names) — for scale studies where the
+    # fixed-knob quadratic entries would dominate a 100x run
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    names = [n for n in BENCH_QUERIES if n in set(only.split(","))] if only else BENCH_QUERIES
     timings: dict[str, float] = {}
     from data_warehouse_spark.operators.similarity import clear_ivf_cache
 
-    for name in BENCH_QUERIES:
+    for name in names:
         qd = QUERIES.get(name)
         if qd is None:
             continue
