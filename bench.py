@@ -154,6 +154,7 @@ def main() -> None:
 
     # --- regression gate (see module docstring) ---------------------------
     regressions: dict[str, dict] = {}
+    explained_regressions: dict[str, dict] = {}
     ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "BENCH_REFERENCE.json")
     if os.path.exists(ref_path):
@@ -178,7 +179,9 @@ def main() -> None:
                     entry = {"sec": round(best, 4), "ref": r,
                              "ratio": round(best / r, 2)}
                     if name in explained:
+                        # surfaced for auditability, but not gate-failing
                         entry["explained"] = explained[name]
+                        explained_regressions[name] = entry
                     else:
                         regressions[name] = entry
 
@@ -193,6 +196,7 @@ def main() -> None:
                 "sf": sf,
                 "runs_per_query": runs,
                 "regressions": regressions,
+                "explained_regressions": explained_regressions,
                 "timing": "best-of-n (steady-state; first run pays one-time codegen)",
                 "note": (
                     "single-row-group testdata parquet is rewritten once per "

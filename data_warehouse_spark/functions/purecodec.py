@@ -133,6 +133,24 @@ def png_decode(raw: bytes) -> tuple[int, int, int, np.ndarray]:
     return width, height, channels, arr
 
 
+def png_header(raw: bytes) -> tuple[int, int, int]:
+    """IHDR-only parse → (width, height, channels) without touching pixel
+    data — the metadata-sweep path. Palette images report 3 channels (what
+    :func:`png_decode` yields after PLTE expansion)."""
+    if not is_png(raw):
+        raise ValueError("not a PNG payload (bad signature)")
+    for ctype, data in _chunks(raw):
+        if ctype == b"IHDR":
+            width, height, _depth, color_type, _c, _f, _i = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if color_type not in _CHANNELS_BY_COLOR_TYPE:
+                raise ValueError(f"PNG: unknown color type {color_type}")
+            ch = 3 if color_type == 3 else _CHANNELS_BY_COLOR_TYPE[color_type]
+            return width, height, ch
+    raise ValueError("PNG: missing IHDR")
+
+
 def _chunk(ctype: bytes, data: bytes) -> bytes:
     return (
         struct.pack(">I", len(data))

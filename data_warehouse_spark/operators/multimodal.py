@@ -54,46 +54,94 @@ def _require(module: str, purpose: str):
     return mod
 
 
-def _real_image_decode(raw: bytes) -> tuple[int, int, int, "np.ndarray"]:
-    """Real image decode: Pillow when installed (any format), else the
-    vendored pure-Python PNG decoder for PNG payloads. Returns
-    (width, height, channels, flat uint8 pixel array)."""
+_PNG_ONLY_MSG = (
+    "decode='real' image decode for non-PNG payloads requires "
+    "`PIL.Image`, which is not installed; the vendored pure-Python "
+    "codec (functions/purecodec.py) handles PNG only"
+)
+_WAV_ONLY_MSG = (
+    "decode='real' audio decode for non-WAV payloads requires "
+    "`soundfile`, which is not installed; the vendored pure-Python "
+    "codec (functions/purecodec.py) handles RIFF/WAVE only"
+)
+
+
+def _real_image_decoder():
+    """Resolve the image codec ONCE (per executor batch function) and
+    return a ``raw → (width, height, channels, flat uint8 pixels)``
+    closure: Pillow when installed (palette images converted to RGB — the
+    same expansion the vendored decoder applies, so results are
+    environment-independent), else the pure-Python PNG decoder."""
     pil_image = _optional("PIL.Image")
     if pil_image is not None:
         import io
 
-        img = pil_image.open(io.BytesIO(raw))
-        w, h = img.size
-        return w, h, len(img.getbands()), np.asarray(img, dtype=np.uint8).ravel()
+        def decode(raw: bytes):
+            img = pil_image.open(io.BytesIO(raw))
+            if img.mode == "P":
+                img = img.convert("RGB")
+            w, h = img.size
+            return w, h, len(img.getbands()), np.asarray(
+                img, dtype=np.uint8
+            ).ravel()
+
+        return decode
     from ..functions import purecodec
 
-    if purecodec.is_png(raw):
-        return purecodec.png_decode(raw)
-    raise ImportError(
-        "decode='real' image decode for non-PNG payloads requires "
-        "`PIL.Image`, which is not installed; the vendored pure-Python "
-        "codec (functions/purecodec.py) handles PNG only"
-    )
+    def decode(raw: bytes):
+        if purecodec.is_png(raw):
+            return purecodec.png_decode(raw)
+        raise ImportError(_PNG_ONLY_MSG)
+
+    return decode
 
 
-def _real_audio_decode(raw: bytes) -> tuple[int, int]:
-    """Real audio decode → (sample_rate, n_samples): soundfile when
-    installed (any format), else the stdlib-wave path for WAV payloads."""
+def _real_image_header_reader():
+    """Header-only twin of :func:`_real_image_decoder` for metadata paths:
+    ``raw → (width, height, channels)`` without materializing pixels
+    (Pillow's open is lazy; the pure path parses IHDR only). Palette
+    images report 3 channels — what the full decode yields post-expansion."""
+    pil_image = _optional("PIL.Image")
+    if pil_image is not None:
+        import io
+
+        def header(raw: bytes):
+            img = pil_image.open(io.BytesIO(raw))
+            w, h = img.size
+            ch = 3 if img.mode == "P" else len(img.getbands())
+            return w, h, ch
+
+        return header
+    from ..functions import purecodec
+
+    def header(raw: bytes):
+        if purecodec.is_png(raw):
+            return purecodec.png_header(raw)
+        raise ImportError(_PNG_ONLY_MSG)
+
+    return header
+
+
+def _real_audio_decoder():
+    """Resolve the audio codec ONCE and return a ``raw → (sample_rate,
+    n_samples)`` closure: soundfile when installed, stdlib-wave for WAV."""
     sf = _optional("soundfile")
     if sf is not None:
         import io
 
-        data, rate = sf.read(io.BytesIO(raw))
-        return int(rate), int(data.shape[0])
+        def decode(raw: bytes):
+            data, rate = sf.read(io.BytesIO(raw))
+            return int(rate), int(data.shape[0])
+
+        return decode
     from ..functions import purecodec
 
-    if purecodec.is_wav(raw):
-        return purecodec.wav_decode(raw)
-    raise ImportError(
-        "decode='real' audio decode for non-WAV payloads requires "
-        "`soundfile`, which is not installed; the vendored pure-Python "
-        "codec (functions/purecodec.py) handles RIFF/WAVE only"
-    )
+    def decode(raw: bytes):
+        if purecodec.is_wav(raw):
+            return purecodec.wav_decode(raw)
+        raise ImportError(_WAV_ONLY_MSG)
+
+    return decode
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -200,9 +248,10 @@ def extract_image_features(media: DataFrame, decode: str = "fake") -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         decode_one = _fake_decode
         if decode == "real":
+            real_decode = _real_image_decoder()
 
             def decode_one(payload: bytes):
-                w, h, channels, pixels = _real_image_decode(payload)
+                w, h, channels, pixels = real_decode(payload)
                 emb = np.resize(pixels.astype(np.float32), _EMBED_DIM) / 255.0
                 return w, h, channels, emb
 
@@ -308,7 +357,7 @@ def extract_audio_features(media: DataFrame, decode: str = "fake") -> DataFrame:
         decode_one = _fake_audio_header
 
         if decode == "real":
-            decode_one = _real_audio_decode
+            decode_one = _real_audio_decoder()
 
         for pdf in it:
             out = {k.name: [] for k in AUDIO_FEATURES_SCHEMA.fields}
@@ -376,16 +425,20 @@ def resize_images(
                 import io
 
                 def resize_one(raw: bytes) -> tuple[int, bytes]:
-                    img = pil_image.open(io.BytesIO(raw)).resize((target_w, target_h))
+                    img = pil_image.open(io.BytesIO(raw))
+                    if img.mode == "P":  # match the vendored path's expansion
+                        img = img.convert("RGB")
+                    img = img.resize((target_w, target_h))
                     buf = io.BytesIO()
                     img.save(buf, format="PNG")
                     return len(img.getbands()), buf.getvalue()
             else:
+                from ..functions import purecodec
+
+                real_decode = _real_image_decoder()
 
                 def resize_one(raw: bytes) -> tuple[int, bytes]:
-                    from ..functions import purecodec
-
-                    w, h, channels, pixels = _real_image_decode(raw)
+                    w, h, channels, pixels = real_decode(raw)
                     resized = purecodec.resize_nearest(
                         pixels, w, h, channels, target_w, target_h
                     )
@@ -467,15 +520,19 @@ def extract_media_metadata(
         else:
             import io
 
+            read_header = _real_image_header_reader()
+            audio_decode = _real_audio_decoder()
+
             def image_metrics(raw: bytes) -> list[tuple[str, int]]:
-                w, h, channels, _pixels = _real_image_decode(raw)
+                # header-only: metadata sweeps never materialize pixels
+                w, h, channels = read_header(raw)
                 return [
                     ("width", w), ("height", h),
                     ("channels", channels), ("n_bytes", len(raw)),
                 ]
 
             def audio_metrics(raw: bytes) -> list[tuple[str, int]]:
-                rate, n = _real_audio_decode(raw)
+                rate, n = audio_decode(raw)
                 return [
                     ("sample_rate", rate), ("n_samples", n),
                     ("duration_ms", n * 1000 // rate), ("n_bytes", len(raw)),

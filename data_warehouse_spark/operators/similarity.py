@@ -229,7 +229,10 @@ def ivf_centroids(
     picked = [(int(r["cell_id"]), [float(x) for x in r["cv"]]) for r in rows]
     cents = picked[:n_cells]
     if train_iters:
-        cents = kmeans_refine(picked, cents, train_iters)
+        # the training sample is EXACTLY the n_train hash-lowest vectors —
+        # never the init set when n_cells > n_train (the twin's s0 CTE
+        # LIMITs n_train regardless of n_cells)
+        cents = kmeans_refine(picked[:n_train], cents, train_iters)
     out = []
     for cid, v in cents:
         acc = 0.0
@@ -767,13 +770,15 @@ def pq_codewords(
         .limit(take)
         .collect()
     )
-    sample = [(int(r["cid"]), _pq_normalize_py(r["cv"])) for r in rows]
-    words = [list(v) for _cid, v in sample[:kc]]
+    picked = [(int(r["cid"]), _pq_normalize_py(r["cv"])) for r in rows]
+    words = [list(v) for _cid, v in picked[:kc]]
     if not train_iters:
         return words
-    # mean folds run over members ordered by vec_id ASCENDING (the twin's
+    # the training sample is EXACTLY the n_train hash-lowest vectors (the
+    # twin's ps CTE LIMITs n_train regardless of kc); mean folds run over
+    # members ordered by vec_id ASCENDING (the twin's
     # ``list(v ORDER BY vec_id)``), not sample-hash order
-    ordered = sorted(sample, key=lambda t: t[0])
+    ordered = sorted(picked[:n_train], key=lambda t: t[0])
     for _ in range(train_iters):
         # assignment: per (sample vector s, subspace j) → nearest codeword
         # (0.0-init sequential fold of (x−y)², ties → smaller codeword id)

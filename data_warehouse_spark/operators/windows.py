@@ -50,8 +50,9 @@ def running_balance_summary(abc: DataFrame) -> DataFrame:
     that partitioning — no additional exchange. Ties (identical rows)
     yield identical (running, runmax) multisets in any processing order,
     so every output is engine-order-independent; the final balance is
-    picked by row_number with a running_cents tiebreak for the same
-    reason."""
+    SUM(amount_cents) — by construction equal to the last running value,
+    with no last-row selection needed (a row_number pick with tied
+    (value_date, amount) keys would grab the wrong tied row)."""
     amt = (F.col("amount") * 100).cast("bigint")
     w_run = (
         Window.partitionBy("tenant", "name")
@@ -70,22 +71,17 @@ def running_balance_summary(abc: DataFrame) -> DataFrame:
         .orderBy("value_date", "amount_cents")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    w_last = Window.partitionBy("tenant", "name").orderBy(
-        F.desc("value_date"), F.desc("amount_cents"), F.desc("running_cents")
-    )
     r2 = r.select(
         "tenant",
         "name",
+        "amount_cents",
         "running_cents",
         F.max("running_cents").over(w_max).alias("runmax"),
-        F.row_number().over(w_last).alias("rn"),
     )
     return (
         r2.groupBy("tenant", "name")
         .agg(
-            F.max(F.when(F.col("rn") == 1, F.col("running_cents"))).alias(
-                "final_cents"
-            ),
+            F.sum("amount_cents").alias("final_cents"),
             F.max("running_cents").alias("peak_cents"),
             F.max(F.col("runmax") - F.col("running_cents")).alias(
                 "max_drawdown_cents"

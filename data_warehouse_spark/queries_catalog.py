@@ -1027,18 +1027,15 @@ def _doc_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
   FROM account_balance_change_v
 ),
 r2 AS (
-  SELECT tenant, name, running_cents,
+  SELECT tenant, name, amount_cents, running_cents,
          CAST(MAX(running_cents) OVER (
               PARTITION BY tenant, name
               ORDER BY value_date, amount_cents
-              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS runmax,
-         row_number() OVER (PARTITION BY tenant, name
-              ORDER BY value_date DESC, amount_cents DESC,
-                       running_cents DESC) AS rn
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS runmax
   FROM r
 )
 SELECT tenant, name,
-       CAST(MAX(CASE WHEN rn = 1 THEN running_cents END) AS BIGINT) AS final_cents,
+       CAST(SUM(amount_cents) AS BIGINT) AS final_cents,
        CAST(MAX(running_cents) AS BIGINT) AS peak_cents,
        CAST(MAX(runmax - running_cents) AS BIGINT) AS max_drawdown_cents,
        CAST(COUNT(*) AS BIGINT) AS n_changes

@@ -127,20 +127,61 @@ class FileStreamIngestion:
                 )
 
             # --- events: every delivered event file is new by construction
-            #     (the file index is the watermark) — straight to D6-D10 ---
+            #     (the file index is the watermark) — straight to D6-D10.
+            #     The two sources throttle independently, so an account's
+            #     events can arrive BEFORE its snapshot-0 meta; events whose
+            #     account is not yet known are PARKED in the pending store
+            #     and retried next batch (the batch crawl gets the same
+            #     ordering guarantee from only listing events under known
+            #     accounts). Markers advance monotonically because pending
+            #     replays + late files break arrival order across batches.
             ev_raw = bdf.filter(F.col("path").rlike(r"/events/\d+/[^/]+$"))
             files_read["events"] = ev_raw.count()
-            if not files_read["events"]:
-                return
-            picked = primary.parse_account_events(self.spark, ev_raw).persist()
+            batch_events = primary.parse_account_events(self.spark, ev_raw)
+            candidates = batch_events.unionByName(self._read_pending()).persist()
             try:
                 accounts = store.read("account")
-                self._pipeline._expand_and_merge(m, files_read, picked, accounts)
+                known = accounts.select("tenant", F.col("name").alias("account"))
+                picked = candidates.join(known, ["tenant", "account"], "left_semi")
+                leftover = candidates.join(
+                    known, ["tenant", "account"], "left_anti"
+                )
+                # materialize leftover BEFORE the overwrite below reads it
+                pending_rows = leftover.collect()
+                if not picked.limit(1).count():
+                    self._write_pending(pending_rows)
+                    return
+                self._pipeline._expand_and_merge(
+                    m, files_read, picked, accounts, monotonic_markers=True
+                )
+                self._write_pending(pending_rows)
             finally:
-                picked.unpersist()
+                candidates.unpersist()
         finally:
             bdf.unpersist()
             self.last_metrics = m
+
+    # ------------------------------------------------------------------
+    def _pending_path(self) -> str:
+        return os.path.join(self.checkpoint_dir, "pending_events")
+
+    def _read_pending(self) -> DataFrame:
+        p = self._pending_path()
+        if os.path.isdir(p):
+            try:
+                return self.spark.read.schema(primary.ACCOUNT_EVENT_SCHEMA).parquet(p)
+            except Exception:  # pragma: no cover — wiped mid-read
+                pass
+        return self.spark.createDataFrame([], primary.ACCOUNT_EVENT_SCHEMA)
+
+    def _write_pending(self, rows) -> None:
+        """Overwrite the orphan-event store. Crash between the table merges
+        and this write leaves STALE pending rows; the next batch re-picks
+        them and the keyed merges + monotonic markers make that a no-op —
+        the same replay contract as the batch pipeline's ticks."""
+        self.spark.createDataFrame(rows, primary.ACCOUNT_EVENT_SCHEMA).coalesce(
+            1
+        ).write.mode("overwrite").parquet(self._pending_path())
 
     # ------------------------------------------------------------------
     def start(self, processing_time: str = "2 seconds"):

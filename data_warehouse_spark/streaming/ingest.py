@@ -305,7 +305,12 @@ class IngestionPipeline:
         return m
 
     def _expand_and_merge(
-        self, m: TickMetrics, files_read: dict, picked: DataFrame, accounts: DataFrame
+        self,
+        m: TickMetrics,
+        files_read: dict,
+        picked: DataFrame,
+        accounts: DataFrame,
+        monotonic_markers: bool = False,
     ) -> None:
         spark, root, store = self.spark, self.root, self.store
 
@@ -389,14 +394,29 @@ class IngestionPipeline:
         ev_pos = picked.groupBy("tenant", "account").agg(
             F.max(F.struct("snapshot_version", "version")).alias("pos")
         )
+        # batch mode: assignment semantics (`!=`) — the watermark selection
+        # upstream guarantees picked positions never precede the marker.
+        # stream mode (monotonic_markers): files can arrive out of order
+        # ACROSS micro-batches (late writers, replayed pending events), so
+        # the marker may only move lexicographically FORWARD — a stale
+        # position must never regress it.
+        if monotonic_markers:
+            moved = F.struct(
+                F.col("pos.snapshot_version").cast("int").alias("s"),
+                F.col("pos.version").cast("int").alias("v"),
+            ) > F.struct(
+                F.col("last_syn_snapshot").alias("s"),
+                F.col("last_syn_event").alias("v"),
+            )
+        else:
+            moved = (
+                F.col("pos.snapshot_version") != F.col("last_syn_snapshot")
+            ) | (F.col("pos.version") != F.col("last_syn_event"))
         advanced = (
             accounts.join(
                 ev_pos.withColumnRenamed("account", "name"), ["tenant", "name"]
             )
-            .filter(
-                (F.col("pos.snapshot_version") != F.col("last_syn_snapshot"))
-                | (F.col("pos.version") != F.col("last_syn_event"))
-            )
+            .filter(moved)
             .select(
                 "tenant",
                 "name",

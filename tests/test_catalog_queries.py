@@ -43,6 +43,34 @@ def test_running_balance_rows_match_oracle(spark):
     )
 
 
+def test_running_balance_summary_tied_duplicate_rows(spark):
+    """Regression: an account whose LAST (value_date, amount) group holds
+    duplicate rows. final must be the true total (sum), not a tied running
+    value — a row_number pick ordered by running_cents DESC would report
+    the balance BEFORE the last duplicate for negative amounts."""
+    import datetime
+    import decimal
+
+    from data_warehouse_spark.operators import windows
+
+    d = decimal.Decimal
+    t1 = datetime.datetime(2020, 1, 1)
+    t2 = datetime.datetime(2020, 1, 2)
+    abc = spark.createDataFrame(
+        [
+            ("T", "A", t1, d("10.00")),
+            ("T", "A", t2, d("-5.00")),
+            ("T", "A", t2, d("-5.00")),  # tied duplicate
+        ],
+        "tenant string, name string, value_date timestamp, amount decimal(18,2)",
+    )
+    r = windows.running_balance_summary(abc).collect()[0]
+    assert r["final_cents"] == 0  # 1000 - 500 - 500
+    assert r["peak_cents"] == 1000
+    assert r["max_drawdown_cents"] == 1000  # peak 1000 → trough 0
+    assert r["n_changes"] == 3
+
+
 def test_entry_smoke(spark):
     import importlib.util
 

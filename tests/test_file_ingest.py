@@ -110,6 +110,75 @@ def test_stream_balances_match_reference_scenario(roots):
     assert debit == decimal.Decimal("-1")
 
 
+def test_stream_parks_events_arriving_before_their_account_meta(roots):
+    """The two file sources throttle independently, so an account's events
+    can be delivered in an earlier micro-batch than its snapshot-0 meta.
+    Those events must be PARKED and retried — not dropped (the file index
+    never redelivers) and not half-processed without marker advance."""
+    primary, batch, stream = roots
+    t = "t_TENANT_TRN"
+    # batch 1: events + transaction exist, meta does NOT
+    write(
+        os.path.join(primary, t, "transaction", "TRN"),
+        "committed\nTRX TENANT_TRN CREDIT TENANT_TRN DEBIT 2020-01-01T00:00:00Z 1 CZK\n",
+    )
+    write(os.path.join(primary, t, "account", "CREDIT", "events", "0000000000", "1_1_TRN"), "1\n")
+    write(os.path.join(primary, t, "account", "DEBIT", "events", "0000000000", "1_-1_TRN"), "1\n")
+    first = stream.run_available()
+    assert first is not None and first.transfers_discovered == 0
+    assert stream.store.read("transfer").count() == 0  # parked, not ingested
+
+    # batch 2: the meta files land — parked events must replay
+    write(os.path.join(primary, t, "account", "CREDIT", "snapshot", "0000000000"), "CZK FORMAT_F\n")
+    write(os.path.join(primary, t, "account", "DEBIT", "snapshot", "0000000000"), "CZK FORMAT_F\n")
+    second = stream.run_available()
+    assert second is not None and second.transfers_discovered == 1
+
+    batch.run_once()
+    for name in TABLES:
+        assert _rows(stream.store, name) == _rows(batch.store, name), name
+
+
+def test_stream_markers_never_regress_on_out_of_order_delivery(roots):
+    """Files can appear out of order across micro-batches; a late LOWER
+    event version must still ingest its transfer but must not move the
+    account watermark backwards."""
+    from pyspark.sql import functions as F
+
+    primary, _batch, stream = roots
+    t = "t_TENANT_TRN"
+    write(os.path.join(primary, t, "account", "A", "snapshot", "0000000000"), "CZK FORMAT_F\n")
+    write(
+        os.path.join(primary, t, "transaction", "T2"),
+        "committed\nX2 TENANT_TRN A TENANT_TRN B 2020-01-02T00:00:00Z 2 CZK\n",
+    )
+    write(os.path.join(primary, t, "account", "A", "events", "0000000000", "1_2_T2"), "2\n")
+    stream.run_available()
+
+    def marker():
+        r = (
+            stream.store.read("account")
+            .filter((F.col("tenant") == "TENANT_TRN") & (F.col("name") == "A"))
+            .collect()[0]
+        )
+        return (r["last_syn_snapshot"], r["last_syn_event"])
+
+    assert marker() == (0, 2)
+    # a LATE lower-version event file appears afterwards
+    write(
+        os.path.join(primary, t, "transaction", "T1"),
+        "committed\nX1 TENANT_TRN A TENANT_TRN B 2020-01-01T00:00:00Z 1 CZK\n",
+    )
+    write(os.path.join(primary, t, "account", "A", "events", "0000000000", "1_1_T1"), "1\n")
+    stream.run_available()
+    assert marker() == (0, 2)  # not regressed to (0, 1)
+    got = sorted(
+        r["transaction"]
+        for r in stream.store.read("transfer").select("transaction").collect()
+    )
+    assert got == ["T1", "T2"]  # the late transfer still ingested
+
+
 def test_stream_strict_invariant_violation_fails_query(roots):
     """D8 in stream mode: a transfer whose status contradicts the
     discovering event fails the streaming query (supervisor semantics),

@@ -258,6 +258,41 @@ def test_ann_recall_floors_at_default_knobs(spark):
     assert lsh_mp > lsh, (lsh_mp, lsh)
 
 
+def test_trained_centroids_match_twin_at_adversarial_knobs(spark):
+    """Spark's k-means and the SQL twin must train on the SAME sample even
+    when the init set is larger than the training sample (n_cells >
+    n_train) — regression for the take=max(n_cells, n_train) collect
+    feeding ALL collected rows into the trainer. Evaluates the twin's
+    centroid CTE directly in DuckDB and compares vectors bit-for-bit."""
+    import duckdb
+
+    from data_warehouse_spark.oracle_twins import _ivf_assigned_cte
+
+    n_cells, n_train, iters = 12, 8, 3
+    got = similarity.ivf_centroids(
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet"),
+        n_cells=n_cells,
+        train_iters=iters,
+        n_train=n_train,
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/embeddings.parquet')"
+    )
+    cte = _ivf_assigned_cte(
+        n_cells=n_cells, train_iters=iters, n_train=n_train
+    )
+    want = con.execute(
+        f"WITH {cte} SELECT cell_id, cv FROM c ORDER BY cell_id"
+    ).fetchall()
+    got_sorted = sorted((cid, v) for cid, v, _n in got)
+    assert len(got_sorted) == len(want) == n_cells
+    for (gc, gv), (wc, wv) in zip(got_sorted, want):
+        assert gc == wc
+        assert gv == [float(x) for x in wv]  # bit-exact doubles
+
+
 def test_trained_codebooks_lift_recall(spark):
     """The deterministic k-means refinement must not cost recall versus the
     round-3 hash-selected codebooks it replaced — and on this corpus it
@@ -564,6 +599,10 @@ def test_purecodec_png_all_filters_and_roundtrip():
     w3, h3, c3, px3 = pc.png_decode(raw)
     assert (w3, h3, c3) == (3, 2, 3)
     assert px3.tolist() == [255, 0, 0, 0, 255, 0, 255, 0, 0, 0, 255, 0, 255, 0, 0, 0, 255, 0]
+
+    # header-only parse agrees with the full decode (incl. palette → 3ch)
+    assert pc.png_header(raw) == (3, 2, 3)
+    assert pc.png_header(pc.png_encode(5, 4, 1, np.zeros(20, np.uint8))) == (5, 4, 1)
 
 
 def test_purecodec_resize_nearest_matches_reference():
