@@ -571,14 +571,14 @@ c0 AS (SELECT vec_id AS cell_id, v AS cv FROM e
         )
         for t in range(1, train_iters + 1):
             parts.append(
-                f"""asg{t} AS (
+                f"""asg{t} AS MATERIALIZED (
   SELECT vec_id, v, cell_id FROM (
     SELECT s.vec_id, s.v, c.cell_id,
            row_number() OVER (PARTITION BY s.vec_id
                 ORDER BY {_cos('s.v', 'c.cv', dim)} DESC, c.cell_id DESC) AS rn
     FROM s0 s, {prev} c) WHERE rn = 1
 ),
-mean{t} AS (
+mean{t} AS MATERIALIZED (
   SELECT cell_id,
          list_transform(range(1, {dim + 1}), i ->
            list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -587,7 +587,7 @@ mean{t} AS (
   FROM (SELECT cell_id, list(v ORDER BY vec_id) AS vs
         FROM asg{t} GROUP BY cell_id)
 ),
-c{t} AS (
+c{t} AS MATERIALIZED (
   SELECT p.cell_id, coalesce(m.cv, p.cv) AS cv
   FROM {prev} p LEFT JOIN mean{t} m USING (cell_id)
 )"""
@@ -959,14 +959,14 @@ def _pq_ctes(
         )
         for t in range(1, train_iters + 1):
             train_parts.append(
-                f"""pa{t} AS (
+                f"""pa{t} AS MATERIALIZED (
   SELECT vec_id, j, c FROM (
     SELECT s.vec_id, jj.j, w.c,
            row_number() OVER (PARTITION BY s.vec_id, jj.j
                 ORDER BY {_l2sq_sub_sql('s.v', 'w.w', 'jj.j', sub)}, w.c) AS rn
     FROM ps s, {prev} w, (SELECT unnest(range(0, {m})) AS j) jj) WHERE rn = 1
 ),
-pm{t} AS (
+pm{t} AS MATERIALIZED (
   SELECT j, c,
          list_transform(range(1, {sub + 1}), i ->
            list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -975,7 +975,7 @@ pm{t} AS (
   FROM (SELECT a.j, a.c, list(s.v ORDER BY s.vec_id) AS vs
         FROM pa{t} a JOIN ps s USING (vec_id) GROUP BY a.j, a.c)
 ),
-cw{t} AS (
+cw{t} AS MATERIALIZED (
   SELECT p.c,
          flatten(list(coalesce(m.w8,
            list_slice(p.w, {sub} * jj.j + 1, {sub} * jj.j + {sub}))
