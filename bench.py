@@ -128,7 +128,18 @@ def main() -> None:
     # optional subset (comma-separated names) — for scale studies where the
     # fixed-knob quadratic entries would dominate a 100x run
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
-    names = [n for n in BENCH_QUERIES if n in set(only.split(","))] if only else BENCH_QUERIES
+    if only:
+        wanted = set(only.split(","))
+        names = [n for n in BENCH_QUERIES if n in wanted]
+        unknown = wanted - set(BENCH_QUERIES)
+        if unknown:  # no silent caps: a typo'd name must not vanish quietly
+            print(
+                f"bench: ignoring unknown SPARK_GRAFT_BENCH_ONLY names: "
+                f"{sorted(unknown)}",
+                file=sys.stderr,
+            )
+    else:
+        names = BENCH_QUERIES
     timings: dict[str, float] = {}
     from data_warehouse_spark.operators.similarity import clear_ivf_cache
 

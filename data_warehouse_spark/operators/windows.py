@@ -47,12 +47,20 @@ def running_balance_summary(abc: DataFrame) -> DataFrame:
 
     Plan: the same single shuffle on (tenant, name) as running_balance;
     the second window pass (running max) and the final aggregate reuse
-    that partitioning — no additional exchange. Ties (identical rows)
-    yield identical (running, runmax) multisets in any processing order,
-    so every output is engine-order-independent; the final balance is
+    that partitioning — no additional exchange. The final balance is
     SUM(amount_cents) — by construction equal to the last running value,
     with no last-row selection needed (a row_number pick with tied
-    (value_date, amount) keys would grab the wrong tied row)."""
+    (value_date, amount) keys would grab the wrong tied row).
+
+    Determinism under tied duplicate rows: a group of identical
+    (value_date, amount) rows carries DISTINCT running values whose
+    time-order is fixed (prev+a, prev+2a, …) even though the rows
+    themselves are interchangeable. The running-max pass therefore orders
+    ties by SERIAL POSITION — running ascending for positive amounts,
+    descending for negative — so runmax replays the actual series instead
+    of whatever tie order the engine's sort happened to emit (sorts are
+    not stable under spill, and the oracle's engine is under no obligation
+    to agree)."""
     amt = (F.col("amount") * 100).cast("bigint")
     w_run = (
         Window.partitionBy("tenant", "name")
@@ -66,9 +74,12 @@ def running_balance_summary(abc: DataFrame) -> DataFrame:
         amt.alias("amount_cents"),
         F.sum(amt).over(w_run).alias("running_cents"),
     )
+    serial_pos = F.when(
+        F.col("amount_cents") >= 0, F.col("running_cents")
+    ).otherwise(-F.col("running_cents"))
     w_max = (
         Window.partitionBy("tenant", "name")
-        .orderBy("value_date", "amount_cents")
+        .orderBy("value_date", "amount_cents", serial_pos)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     r2 = r.select(

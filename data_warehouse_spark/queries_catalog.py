@@ -1030,7 +1030,9 @@ r2 AS (
   SELECT tenant, name, amount_cents, running_cents,
          CAST(MAX(running_cents) OVER (
               PARTITION BY tenant, name
-              ORDER BY value_date, amount_cents
+              ORDER BY value_date, amount_cents,
+                       CASE WHEN amount_cents >= 0 THEN running_cents
+                            ELSE -running_cents END
               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS runmax
   FROM r
 )

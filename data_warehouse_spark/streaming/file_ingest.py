@@ -146,8 +146,23 @@ class FileStreamIngestion:
                 leftover = candidates.join(
                     known, ["tenant", "account"], "left_anti"
                 )
-                # materialize leftover BEFORE the overwrite below reads it
+                # materialize leftover BEFORE the overwrite below reads it.
+                # Driver-sized by contract: orphans are the anomaly window
+                # between an event file landing and its account meta, not a
+                # steady-state population — the metric + warning surface a
+                # store that grows instead of draining (writer bug, deleted
+                # account), which otherwise taxes every batch forever.
                 pending_rows = leftover.collect()
+                m.extra["pending_events"] = len(pending_rows)
+                if len(pending_rows) > 10_000:
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "pending-event store holds %d orphans - accounts "
+                        "whose snapshot-0 meta never arrived; investigate "
+                        "the primary writers",
+                        len(pending_rows),
+                    )
                 if not picked.limit(1).count():
                     self._write_pending(pending_rows)
                     return
@@ -168,10 +183,12 @@ class FileStreamIngestion:
     def _read_pending(self) -> DataFrame:
         p = self._pending_path()
         if os.path.isdir(p):
-            try:
-                return self.spark.read.schema(primary.ACCOUNT_EVENT_SCHEMA).parquet(p)
-            except Exception:  # pragma: no cover — wiped mid-read
-                pass
+            # STRICT: a pending store that exists but cannot be read must
+            # fail the batch (streaming restart replays it with the store
+            # intact). Swallowing the error and returning empty would let
+            # _write_pending overwrite the store below — permanently
+            # dropping parked events the file index never redelivers.
+            return self.spark.read.schema(primary.ACCOUNT_EVENT_SCHEMA).parquet(p)
         return self.spark.createDataFrame([], primary.ACCOUNT_EVENT_SCHEMA)
 
     def _write_pending(self, rows) -> None:

@@ -45,7 +45,37 @@ def _copies(factor: int) -> str:
     return f"(SELECT unnest(range(0, {factor})) AS copy) copies"
 
 
+_KEY_COLS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+def _guard_key_range(con, src: str, table: str, factor: int) -> None:
+    """Fail fast if offsetting would collide: every source key must fit
+    below OFFSET (re-running the tool on already-scaled output would
+    otherwise silently produce duplicate primary keys and garbage data)."""
+    for col in _KEY_COLS.get(table, []):
+        mx = con.execute(
+            f"SELECT max({col}) FROM read_parquet('{src}/{table}.parquet')"
+        ).fetchone()[0]
+        if mx is not None and mx >= OFFSET:
+            raise SystemExit(
+                f"{table}.{col} max {mx} >= OFFSET {OFFSET}: source already "
+                "scaled (or keys too large) — offsets would collide. "
+                "Scale from the original testdata with a larger --factor "
+                "instead of chaining runs."
+            )
+
+
 def scale_table(con, src: str, dst: str, table: str, factor: int) -> int:
+    _guard_key_range(con, src, table, factor)
     off = "copy * {o}".format(o=OFFSET)
     suffix = "CASE WHEN copy = 0 THEN '' ELSE '_' || copy END"
     doc_suffix = "CASE WHEN copy = 0 THEN '' ELSE ' v' || copy END"

@@ -70,6 +70,33 @@ def test_running_balance_summary_tied_duplicate_rows(spark):
     assert r["max_drawdown_cents"] == 1000  # peak 1000 → trough 0
     assert r["n_changes"] == 3
 
+    # ties at the START of the series (peak/trough INSIDE the tie group):
+    # serial running for two -5.00 rows is -500 then -1000 — drawdown 500,
+    # whatever tie order the engine's sort emits
+    neg = spark.createDataFrame(
+        [("T", "B", t1, d("-5.00")), ("T", "B", t1, d("-5.00"))],
+        "tenant string, name string, value_date timestamp, amount decimal(18,2)",
+    )
+    r = windows.running_balance_summary(neg).collect()[0]
+    assert r["final_cents"] == -1000
+    assert r["peak_cents"] == -500
+    assert r["max_drawdown_cents"] == 500
+    # positive tie group then a drop: running 500, 1000, 700 — drawdown 300
+    pos = spark.createDataFrame(
+        [
+            ("T", "C", t1, d("5.00")),
+            ("T", "C", t1, d("5.00")),
+            ("T", "C", t2, d("-3.00")),
+        ],
+        "tenant string, name string, value_date timestamp, amount decimal(18,2)",
+    )
+    r = windows.running_balance_summary(pos).collect()[0]
+    assert (r["final_cents"], r["peak_cents"], r["max_drawdown_cents"]) == (
+        700,
+        1000,
+        300,
+    )
+
 
 def test_entry_smoke(spark):
     import importlib.util
