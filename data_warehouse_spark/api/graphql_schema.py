@@ -31,7 +31,6 @@ from graphql import (
     GraphQLArgument,
     GraphQLBoolean,
     GraphQLField,
-    GraphQLFloat,
     GraphQLInt,
     GraphQLList,
     GraphQLNonNull,
@@ -89,24 +88,76 @@ def _decimal_out(v) -> decimal.Decimal:
     return v if isinstance(v, decimal.Decimal) else decimal.Decimal(str(v))
 
 
+def _status_in(value: Any) -> int:
+    """Scalar-level status coercion (the reference coerces at the scalar —
+    GraphQLService.scala:38-59 — so a bad value is a query-analysis error
+    → HTTP 400, never a resolver crash → 500)."""
+    try:
+        return status_code(value)
+    except (ValueError, TypeError) as exc:
+        raise GraphQLError(str(exc)) from exc
+
+
+Status = GraphQLScalarType(
+    name="Status",
+    serialize=lambda v: v,  # input-only scalar (output uses the name string)
+    parse_value=_status_in,
+    parse_literal=lambda node, _vars=None: _status_in(getattr(node, "value", None)),
+)
+
+
+def _datetime_in(value: Any):
+    """DateTime scalar input (reference: GraphQLService.scala:61-76):
+    ISO-8601; a malformed literal is rejected at query analysis instead of
+    becoming a NULL timestamp that silently filters everything out."""
+    import datetime as _dt
+
+    if isinstance(value, _dt.datetime):
+        return value
+    try:
+        return _dt.datetime.fromisoformat(str(value).replace("Z", "+00:00"))
+    except ValueError as exc:
+        raise GraphQLError(f"invalid DateTime literal: {value!r}") from exc
+
+
+DateTime = GraphQLScalarType(
+    name="DateTime",
+    serialize=str,
+    parse_value=_datetime_in,
+    parse_literal=lambda node, _vars=None: _datetime_in(getattr(node, "value", None)),
+)
+
+
 class WarehouseContext:
     """Per-request resolver context: reads warehouse tables, memoizes the
-    batched lookups so each kind runs at most once per request."""
+    batched lookups so each kind runs at most once per request.
+
+    Table reads ARE memoized per request: ``TableStore.read`` resolves the
+    current snapshot directory at call time, so re-reading inside one
+    request under the concurrent 2 s ingestion thread could mix two
+    snapshots in a single response (page from v1, balances from v2 — a
+    torn read). One resolve per table per request pins the snapshot."""
 
     def __init__(self, store):
         self.store = store
+        self._dfs: dict[str, Any] = {}
+
+    def _table(self, name: str):
+        if name not in self._dfs:
+            self._dfs[name] = self.store.read(name)
+        return self._dfs[name]
 
     def tenants_df(self):
-        return self.store.read("tenant")
+        return self._table("tenant")
 
     def accounts_df(self):
-        return self.store.read("account")
+        return self._table("account")
 
     def transfers_df(self):
-        return self.store.read("transfer")
+        return self._table("transfer")
 
     def abc_df(self):
-        return self.store.read("account_balance_change")
+        return self._table("account_balance_change")
 
     # --- batched nested resolution (Q7/Q8/Q9) --------------------------
     def fetch_accounts(self, keys: list[tuple[str, str]]) -> dict[tuple[str, str], dict]:
@@ -201,7 +252,10 @@ def _resolve_accounts(_src, info, tenant: str, currency=None, format=None, limit
         limit=limit, offset=offset,
     ).collect()
     fetched = ctx.fetch_accounts([(r["tenant"], r["name"]) for r in page])
-    return [fetched[(r["tenant"], r["name"])] for r in page]
+    # .get, not [...]: the memoized per-request snapshot makes a miss
+    # impossible today, but a page row without its detail row must degrade
+    # to a null entry, never a KeyError → 500 for the whole field
+    return [fetched.get((r["tenant"], r["name"])) for r in page]
 
 
 def _resolve_account(_src, info, tenant: str, name: str):
@@ -219,7 +273,7 @@ def _resolve_transfers(
     ctx: WarehouseContext = info.context
     page = wh.transfers(
         ctx.transfers_df(), tenant=tenant, currency=currency,
-        status=None if status is None else status_code(status),
+        status=status,  # already coerced by the Status scalar
         amount_lt=amount_lt, amount_lte=amount_lte,
         amount_gt=amount_gt, amount_gte=amount_gte,
         value_date_lt=valueDate_lt, value_date_lte=valueDate_lte,
@@ -281,15 +335,19 @@ QueryType = GraphQLObjectType(
             args={
                 "tenant": GraphQLArgument(GraphQLNonNull(GraphQLString)),
                 "currency": GraphQLArgument(GraphQLString),
-                "status": GraphQLArgument(GraphQLString),
-                "amount_lt": GraphQLArgument(GraphQLFloat),
-                "amount_lte": GraphQLArgument(GraphQLFloat),
-                "amount_gt": GraphQLArgument(GraphQLFloat),
-                "amount_gte": GraphQLArgument(GraphQLFloat),
-                "valueDate_lt": GraphQLArgument(GraphQLString),
-                "valueDate_lte": GraphQLArgument(GraphQLString),
-                "valueDate_gt": GraphQLArgument(GraphQLString),
-                "valueDate_gte": GraphQLArgument(GraphQLString),
+                "status": GraphQLArgument(Status),
+                # money filters are exact decimals end-to-end (the output
+                # side's ExactDecimal discipline, applied to INPUT: a float
+                # arg would promote the DECIMAL column to double in the
+                # comparison and blur cents above 2^53)
+                "amount_lt": GraphQLArgument(ExactDecimal),
+                "amount_lte": GraphQLArgument(ExactDecimal),
+                "amount_gt": GraphQLArgument(ExactDecimal),
+                "amount_gte": GraphQLArgument(ExactDecimal),
+                "valueDate_lt": GraphQLArgument(DateTime),
+                "valueDate_lte": GraphQLArgument(DateTime),
+                "valueDate_gt": GraphQLArgument(DateTime),
+                "valueDate_gte": GraphQLArgument(DateTime),
                 **_page_args(),
             },
             resolve=_resolve_transfers,

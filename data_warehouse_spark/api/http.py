@@ -58,16 +58,12 @@ def graphiql_page(sri: dict[str, str] | None = None) -> str:
         raw = os.environ.get("DATA_WAREHOUSE_GRAPHIQL_SRI")
         sri = json.loads(raw) if raw else None
     a = GRAPHIQL_ASSETS
-    css_attr = (sri or {}).get(a["css"])
-    css_sri = (
-        f' integrity="{css_attr}" crossorigin="anonymous"' if css_attr else ""
-    )
     return f"""<!DOCTYPE html>
 <html>
 <head>
   <title>GraphiQL</title>
   <style>body {{ margin: 0; }} #graphiql {{ height: 100vh; }}</style>
-  <link rel="stylesheet" href="{a['css']}"{css_sri} />
+  <link rel="stylesheet" href="{a['css']}"{_sri_attr(a['css'], sri)} />
 </head>
 <body>
   <div id="graphiql">Loading GraphiQL…</div>
@@ -97,6 +93,12 @@ def build_app(store) -> Flask:
         query = payload.get("query")
         if not isinstance(query, str) or not query.strip():
             return _json({"error": "missing query"}, 400)
+        variables = payload.get("variables")
+        if variables is not None and not isinstance(variables, dict):
+            # graphql-core raises TypeError for non-dict variables BEFORE
+            # execution — validate here so a malformed client request is
+            # the documented JSON 400, not a Flask HTML 500
+            return _json({"error": "variables must be an object"}, 400)
         result = execute(
             store,
             query,
@@ -119,7 +121,12 @@ def build_app(store) -> Flask:
     @app.post("/graphql")
     def graphql_post():
         try:
-            body = request.get_json(force=True)
+            # parse_float=Decimal: JSON numbers in variables reach the
+            # ExactDecimal scalar exactly (float64 would blur cents above
+            # 2^53 — the same discipline the response side already keeps)
+            body = json.loads(
+                request.get_data(as_text=True), parse_float=decimal.Decimal
+            )
         except Exception:
             return _json({"error": "malformed JSON body"}, 400)
         if isinstance(body, list):  # reference accepts array-wrapped requests

@@ -64,8 +64,17 @@ def zorder_key(*ordinals, bits: int = 21):
         raise ValueError("zorder_key takes 1-3 ordinal columns")
     dims = len(ordinals)
     cap = (1 << bits) - 1
+    # cast('bigint') BEFORE shifting: shiftleft on an IntegerType column
+    # uses Java int semantics (shift count mod 32), so interleave positions
+    # ≥32 would silently wrap back onto low bits for int32 ordinals
     cols = [
-        F.least(F.greatest(c if isinstance(c, Column) else F.col(c), F.lit(0)), F.lit(cap))
+        F.least(
+            F.greatest(
+                (c if isinstance(c, Column) else F.col(c)).cast("bigint"),
+                F.lit(0),
+            ),
+            F.lit(cap),
+        )
         for c in ordinals
     ]
     key = F.lit(0)

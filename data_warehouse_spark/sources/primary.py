@@ -216,9 +216,11 @@ def parse_account_events(spark: SparkSession, raw: DataFrame | None) -> DataFram
     return raw.select(
         F.regexp_extract("path", r"/t_([^/]+)/account/", 1).alias("tenant"),
         F.regexp_extract("path", r"/account/([^/]+)/events/", 1).alias("account"),
-        # split('_', limit 3): transaction keeps any embedded underscores
+        # split('_', limit 3): transaction keeps any embedded underscores;
+        # the middle (hint) segment may be EMPTY — "1__txn" must still
+        # yield transaction='txn' exactly like the reference's split
         F.regexp_extract(fname, r"^([^_]+)_", 1).cast("int").alias("status"),
-        F.regexp_extract(fname, r"^[^_]+_[^_]+_(.+)$", 1).alias("transaction"),
+        F.regexp_extract(fname, r"^[^_]+_[^_]*_(.+)$", 1).alias("transaction"),
         F.regexp_extract("path", r"/events/(\d+)/", 1)
         .cast("int")
         .alias("snapshot_version"),
@@ -266,6 +268,45 @@ def parse_transactions(spark: SparkSession, raw: DataFrame | None) -> DataFrame:
         return _empty(spark, TRANSFER_ROW_SCHEMA)
 
     raw = _framed_file(raw, "transaction")
+
+    # STRICT line shape, enforced FILE-WIDE like the frame bound: the
+    # reference's per-field exact parse (BigDecimal.exact, LocalDateTime —
+    # PrimaryPersistence.scala:229-259) fails the read on a malformed line;
+    # silently NULL-casting an amount would instead make the row VANISH
+    # from SUM-based balances. The check wraps the ``value`` column itself,
+    # so ANY downstream consumer (including the relevance filter, which
+    # would otherwise prune the bad row before a per-row guard evaluated)
+    # forces it. A line is acceptable iff empty or ≥8 tokens with a
+    # numeric amount and a parseable timestamp; the predicate never goes
+    # NULL (a false conjunct short-circuits the null rlike).
+    def _line_ok(l):
+        pp = F.split(F.trim(l), " ")
+        return (F.length(F.trim(l)) == 0) | (
+            (F.size(pp) >= 8)
+            & F.get(pp, 6).rlike(r"^[+-]?[0-9]+(\.[0-9]+)?([eE][+-]?[0-9]+)?$")
+            & F.to_timestamp(F.get(pp, 5)).isNotNull()
+        )
+
+    all_lines = F.split(F.col("value"), "\n")
+    body_slice = F.slice(all_lines, 2, F.greatest(F.size(all_lines) - 1, F.lit(0)))
+    first_bad = F.get(F.filter(body_slice, lambda l: ~_line_ok(l)), 0)
+    raw = raw.select(
+        "path",
+        F.when(
+            first_bad.isNotNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit("malformed transfer line in "),
+                    F.col("path"),
+                    F.lit(": "),
+                    F.trim(first_bad),
+                )
+            ).cast("string"),
+        )
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+
     lines = F.split(F.col("value"), "\n")
     header = lines.getItem(0)
     status = (
@@ -282,19 +323,20 @@ def parse_transactions(spark: SparkSession, raw: DataFrame | None) -> DataFrame:
         F.posexplode(lines).alias("line_no", "line"),
     ).filter((F.col("line_no") >= 1) & (F.length(F.trim(F.col("line"))) > 0))
 
-    # frame bound already enforced file-wide by _framed_file above
     p = F.split(F.trim(F.col("line")), " ")
     return body.select(
         "tenant",
         "transaction",
         "status",
         p.getItem(0).alias("transfer"),
-        p.getItem(1).alias("credit_tenant"),
-        p.getItem(2).alias("credit_name"),
-        p.getItem(3).alias("debit_tenant"),
-        p.getItem(4).alias("debit_name"),
+        # F.get (NULL out of bounds) stays defensive even though the
+        # file-level gate guarantees ≥8 tokens for every surviving line
+        F.get(p, 1).alias("credit_tenant"),
+        F.get(p, 2).alias("credit_name"),
+        F.get(p, 3).alias("debit_tenant"),
+        F.get(p, 4).alias("debit_name"),
         # parts(5)=valueDate, parts(6)=amount, parts(7)=currency
-        F.to_timestamp(p.getItem(5)).alias("value_date"),
-        p.getItem(6).cast(AMOUNT).alias("amount"),
-        p.getItem(7).alias("currency"),
+        F.to_timestamp(F.get(p, 5)).alias("value_date"),
+        F.get(p, 6).cast(AMOUNT).alias("amount"),
+        F.get(p, 7).alias("currency"),
     )

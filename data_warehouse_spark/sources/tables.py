@@ -195,14 +195,19 @@ class TableStore:
 
     # ---- writers -------------------------------------------------------
 
-    def _write_version(self, name: str, df: DataFrame) -> str:
-        vdir = self._new_version_dir(name)
+    def _write_table_parquet(self, name: str, df: DataFrame, dest: str) -> None:
+        """The one writer body (schema projection + table partitioning),
+        shared by version writes and staging writes."""
         writer = df.select(*[f.name for f in self.schemas[name].fields]).write.mode(
             "overwrite"
         )
         if self.partitions.get(name):
             writer = writer.partitionBy(*self.partitions[name])
-        writer.parquet(vdir)
+        writer.parquet(dest)
+
+    def _write_version(self, name: str, df: DataFrame) -> str:
+        vdir = self._new_version_dir(name)
+        self._write_table_parquet(name, df, vdir)
         return vdir
 
     def overwrite(self, name: str, df: DataFrame) -> None:
@@ -243,37 +248,38 @@ class TableStore:
         # empty-batch short-circuit: an idle ingestion tick must not touch
         # the table directory at all (no staging write, no adopt, no refresh)
         fresh = fresh.cache()
+        # the staging dir is removed on EVERY exit path (a failed write or
+        # adopt must not leak '<table>.stage-xxxx' directories tick after
+        # tick)
+        staging = f"{self._table_dir(name)}.stage-{uuid.uuid4().hex[:8]}"
         try:
-            if fresh.isEmpty():
-                return 0
-            # materialize to a staging dir FIRST, then move the part files
-            # in: appending from a plan that reads the target dir could
-            # recompute mid-append (cache eviction) and observe its own
-            # output — the classic read-your-own-append duplication hazard
-            staging = f"{self._table_dir(name)}.stage-{uuid.uuid4().hex[:8]}"
-            writer = fresh.select(
-                *[f.name for f in self.schemas[name].fields]
-            ).write.mode("overwrite")
-            if self.partitions.get(name):
-                writer = writer.partitionBy(*self.partitions[name])
-            writer.parquet(staging)
+            try:
+                if fresh.isEmpty():
+                    return 0
+                # materialize to a staging dir FIRST, then move the part
+                # files in: appending from a plan that reads the target dir
+                # could recompute mid-append (cache eviction) and observe
+                # its own output — the classic read-your-own-append
+                # duplication hazard
+                self._write_table_parquet(name, fresh, staging)
+            finally:
+                fresh.unpersist()
+            vdir = self._resolve(name)
+            if vdir is None:
+                vdir = self._new_version_dir(name)
+                n = self._adopt_files(staging, vdir)
+                self._swap(name, vdir)
+            else:
+                n = self._adopt_files(staging, vdir)
+                if n:
+                    self.spark.catalog.refreshByPath(vdir)
+                    # a 2 s append cadence accumulates one part-file set per
+                    # tick; compact over-fragmented partitions before they
+                    # become the classic small-file problem
+                    self.compact(name)
+            return n
         finally:
-            fresh.unpersist()
-        vdir = self._resolve(name)
-        if vdir is None:
-            vdir = self._new_version_dir(name)
-            n = self._adopt_files(staging, vdir)
-            self._swap(name, vdir)
-        else:
-            n = self._adopt_files(staging, vdir)
-            if n:
-                self.spark.catalog.refreshByPath(vdir)
-                # a 2 s append cadence accumulates one part-file set per
-                # tick; compact over-fragmented partitions before they
-                # become the classic small-file problem
-                self.compact(name)
-        shutil.rmtree(staging, ignore_errors=True)
-        return n
+            shutil.rmtree(staging, ignore_errors=True)
 
     def compact(self, name: str, threshold: int | None = None) -> int:
         """Compact over-fragmented partition directories into right-sized

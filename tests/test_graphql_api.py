@@ -217,3 +217,58 @@ def test_dumps_exact_survives_placeholder_shaped_strings():
     body = _json.loads(out.replace("12345678901234567.89", '"X"'))
     assert body["s"] == evil
     assert "12345678901234567.89" in out
+
+
+# --- input-edge hardening (round-4 review findings) --------------------------
+def test_non_dict_variables_is_json_400(client):
+    rv = client.post(
+        "/graphql",
+        json={"query": "query { tenants(limit: 1, offset: 0) { name } }",
+              "variables": "oops"},
+    )
+    assert rv.status_code == 400
+    assert json.loads(rv.data)["error"] == "variables must be an object"
+
+
+def test_bad_status_literal_is_400_not_500(client):
+    """Scalar-level status coercion: a typo'd status is a query-analysis
+    error (400), never a resolver crash (500)."""
+    code, body = gql(
+        client,
+        'query { transfers(tenant: "TENANT_TRN", status: "comitted", '
+        "limit: 10, offset: 0) { transfer } }",
+    )
+    assert code == 400
+    assert body["data"] is None and body["errors"]
+
+
+def test_bad_datetime_literal_is_400_not_silent_empty(client):
+    """A malformed valueDate must be rejected, not become a NULL timestamp
+    that silently filters every row (200 with [])."""
+    code, body = gql(
+        client,
+        'query { transfers(tenant: "TENANT_TRN", valueDate_gte: "not-a-date", '
+        "limit: 10, offset: 0) { transfer } }",
+    )
+    assert code == 400
+    assert body["data"] is None and body["errors"]
+
+
+def test_amount_filter_stays_exact_decimal(client):
+    """Money filters flow as exact decimals: a float-typed argument would
+    promote the DECIMAL column to double in the comparison. The fixture
+    amount is exactly 1; 0.5 via literal AND via JSON variables must both
+    match it, and an exact > 1 filter must exclude it."""
+    code, body = gql(
+        client,
+        'query { transfers(tenant: "TENANT_TRN", amount_gte: 0.5, '
+        "limit: 10, offset: 0) { transfer amount } }",
+    )
+    assert code == 200 and len(body["data"]["transfers"]) == 1
+    code, body = gql(
+        client,
+        "query($a: Decimal) { transfers(tenant: \"TENANT_TRN\", amount_gt: $a, "
+        "limit: 10, offset: 0) { transfer } }",
+        variables={"a": 1.0000000001},
+    )
+    assert code == 200 and body["data"]["transfers"] == []

@@ -268,6 +268,51 @@ def test_transaction_id_with_underscores(pipeline):
     assert tr["transaction"] == "TX_WITH_UNDERSCORES"
 
 
+def test_malformed_transfer_line_fails_the_read(pipeline):
+    """A transfer line with an unparseable amount (or too few fields) must
+    FAIL the read like the reference's exact BigDecimal parse — a silent
+    NULL amount would vanish from SUM-based balances."""
+    import pytest
+
+    pipe, root, store = pipeline
+    t = "t_TEN_BADLINE"
+    write(os.path.join(root, t, "account", "M", "snapshot", "0000000000"), "USD FORMAT_Z\n")
+    write(
+        os.path.join(root, t, "transaction", "TBAD"),
+        "committed\nT1 TEN_BADLINE M TEN_BADLINE M 2021-06-01T12:30:00Z abc USD\n",
+    )
+    write(os.path.join(root, t, "account", "M", "events", "0000000000", "1_1_TBAD"), "1\n")
+    with pytest.raises(Exception, match="malformed transfer line"):
+        pipe.run_once()
+
+    t2 = "t_TEN_SHORTLINE"
+    write(os.path.join(root, t2, "account", "S", "snapshot", "0000000000"), "USD FORMAT_Z\n")
+    write(os.path.join(root, t2, "transaction", "TSHORT"), "committed\nT1 ONLY THREE\n")
+    write(os.path.join(root, t2, "account", "S", "events", "0000000000", "1_1_TSHORT"), "1\n")
+    import shutil
+
+    shutil.rmtree(os.path.join(root, t))  # isolate the second fixture
+    with pytest.raises(Exception, match="malformed transfer line"):
+        pipe.run_once()
+
+
+def test_event_filename_with_empty_hint_segment(pipeline):
+    """split('_', 3) with an EMPTY middle segment: '1__TXN' must still
+    yield transaction='TXN' (the reference's split produces ['1','','TXN'];
+    a regex requiring a non-empty hint would lose the linkage)."""
+    pipe, root, store = pipeline
+    t = "t_TEN_EH"
+    write(os.path.join(root, t, "account", "E", "snapshot", "0000000000"), "USD FORMAT_Z\n")
+    write(
+        os.path.join(root, t, "transaction", "TXN"),
+        "committed\nT1 TEN_EH E TEN_EH E 2021-06-01T12:30:00Z 2.25 USD\n",
+    )
+    write(os.path.join(root, t, "account", "E", "events", "0000000000", "1__TXN"), "1\n")
+    m = pipe.run_once()
+    assert m.transfers_discovered == 1
+    assert store.read("transfer").collect()[0]["transaction"] == "TXN"
+
+
 # --- 256-byte line framing (reference Framing.delimiter(_, 256, true)) --------
 def test_framing_oversize_transfer_line_fails(pipeline):
     """A transfer line longer than 256 bytes must fail the read, exactly as
