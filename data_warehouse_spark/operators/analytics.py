@@ -436,8 +436,11 @@ def funnel(
             for i in range(k)
         ]
     )
+    # step names are caller-supplied strings — escape quotes (SQL doubling)
+    # so an apostrophe in an event type cannot break the stack() expression
     stack_args = ", ".join(
-        f"CAST({i + 1} AS BIGINT), '{s}', n{i}" for i, s in enumerate(steps)
+        f"CAST({i + 1} AS BIGINT), '{s.replace(chr(39), chr(39) * 2)}', n{i}"
+        for i, s in enumerate(steps)
     )
     return counts.select(
         F.expr(f"stack({k}, {stack_args}) AS (step, event_type, n_users)")
@@ -917,9 +920,16 @@ def anomalous_hours(events: DataFrame, z_x100: int = 300) -> DataFrame:
     covers spikes and dips); types with a single observed hour have zero
     variance evidence and are skipped.
     """
-    hr = events.groupBy(
-        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
-    ).agg(F.count(F.lit(1)).alias("c"))
+    from ..materialize import storage_checkpoint
+
+    # checkpoint the hourly grain: its two consumers (the moment rollup
+    # and the final join) prune different columns, defeating exchange
+    # reuse — unmaterialized, the events fact would aggregate twice
+    hr = storage_checkpoint(
+        events.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+        ).agg(F.count(F.lit(1)).alias("c"))
+    )
     st = hr.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("c").alias("s"),

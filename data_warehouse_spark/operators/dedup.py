@@ -18,6 +18,8 @@ volume (8 bands × 2 rows ≈ catches Jaccard ≳ 0.6 with high probability).
 
 from __future__ import annotations
 
+import re as _re
+
 import atexit
 import shutil
 import tempfile
@@ -481,6 +483,17 @@ def neardup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # NEVER return silently inconsistent clusters: a component whose
+        # diameter exceeds max_iter would carry multiple cluster_ids, and
+        # a dedup pass keyed on them would keep multiple "canonical"
+        # copies with no sign anything went wrong
+        raise RuntimeError(
+            f"neardup_clusters did not converge in {max_iter} rounds "
+            f"({changed} labels still changing) — a component's diameter "
+            "exceeds max_iter; raise max_iter (or switch to the "
+            "large-star/small-star variant for extreme graphs)"
+        )
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     ).orderBy("doc_id")
@@ -512,7 +525,9 @@ def paragraph_dedup(
     """
     paras = documents.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+        # literal separator: F.split takes a Java regex, so escape
+        # metacharacters ('|' would split between every character)
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias("pos", "para"),
     )
     keyed = paras.withColumn("pkey", X.h60(X.normalize("para")))
     w = Window.partitionBy("pkey").orderBy("doc_id", "pos")

@@ -60,20 +60,31 @@ def pagerank(
     # edges annotated once with the constant out-degree of their source
     e_deg = e.join(out_deg, "src")
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    prev_cached = None
     for i in range(iterations):
+        # persist before the dangling collect: each iteration consumes
+        # `ranks` twice (contribs join + dangling aggregate) and the next
+        # iteration a third time — unpersisted, the whole lineage since the
+        # last storage checkpoint re-executes per consumer (~quadratic work
+        # inside each checkpoint window)
+        ranks = ranks.persist()
         contribs = (
             e_deg.join(ranks, e_deg["src"] == ranks["node"])
             .select("dst", (F.col("rank") / F.col("out_deg")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
         )
-        # mass sitting on dangling nodes (rank not forwarded by any edge)
+        # mass sitting on dangling nodes (rank not forwarded by any edge);
+        # the collect also materializes the persist above
         dangling = (
             ranks.join(out_deg, ranks["node"] == out_deg["src"], "left_anti")
             .agg(F.sum("rank"))
             .collect()[0][0]
             or 0.0
         )
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = ranks
         base = (1.0 - damping) / n + damping * dangling / n
         ranks = (
             nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
@@ -89,6 +100,11 @@ def pagerank(
             # the latter strands one persisted RDD per truncation until JVM
             # GC — the executor-cache leak the cache-hygiene test pins
             ranks = _storage_checkpoint(ranks)
+    if prev_cached is not None:
+        # break the lineage before releasing the cache the result depends
+        # on — no block-manager state may outlive the call
+        ranks = _storage_checkpoint(ranks)
+        prev_cached.unpersist()
     return ranks.orderBy(F.desc("rank"), "node")
 
 

@@ -184,7 +184,13 @@ def vocab_with_oov(
     ('<oov>', 'oov_permille', div(1000·oov_tokens, total)) row.
     Ties break by token so the cut is deterministic cross-engine.
     """
-    freq = (
+    from ..materialize import storage_checkpoint
+
+    # checkpoint the (token, freq) table: three consumers (top-k, total,
+    # kept) prune different columns, which defeats exchange reuse — without
+    # materialization the corpus tokenize+explode+aggregate would run three
+    # times per call
+    freq = storage_checkpoint(
         documents.select(F.explode(T.tokens(text_col)).alias("token"))
         .filter(F.col("token") != "")
         .groupBy("token")

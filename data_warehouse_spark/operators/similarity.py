@@ -500,6 +500,7 @@ def append_to_ivf_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    scratch_dir: str | None = None,
 ) -> int:
     """Index freshness without a rebuild — the IVF maintenance path every
     serving system needs: assign the new vectors to the STORED centroids
@@ -523,8 +524,12 @@ def append_to_ivf_index(
     # materialize ONCE: the dim guard, the returned count, and the write
     # must all see the same rows (a live/nondeterministic source could
     # otherwise slip a bad row in between guard and write)
+    # scratch_dir: repeated callers (a streaming sink appending every
+    # micro-batch) pass a REUSED location so each batch does not leak a
+    # process-lifetime temp dir holding a full copy of the batch
     assigned = storage_checkpoint(
-        _assign_cells(new_embeddings, centroids, id_col, vec_col)
+        _assign_cells(new_embeddings, centroids, id_col, vec_col),
+        path=scratch_dir,
     )
     if dim:
         bad = assigned.filter(F.size("n_vec") != dim).count()
@@ -927,6 +932,12 @@ def pq_topk(
     q_rows = embeddings.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
     ).collect()
+    if not q_rows:
+        # mirror the other ANN paths: unknown/empty query ids yield an
+        # empty result, never an AttributeError on a never-assigned union
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, rank bigint"
+        )
 
     out = None
     w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
@@ -1045,6 +1056,12 @@ def ivfpq_topk(
     q_rows = embeddings.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
     ).collect()
+    if not q_rows:
+        # mirror the other ANN paths: unknown/empty query ids yield an
+        # empty result, never an AttributeError on a never-assigned union
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, rank bigint"
+        )
     out = None
     w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
     for r in q_rows:

@@ -193,6 +193,13 @@ class EmbeddingIndexSink:
         )
         if fresh.isEmpty():
             return 0
+        # the append's internal checkpoint reuses a per-sink scratch dir
+        # too — without it every batch would leak a process-lifetime temp
+        # dir holding a full copy of the batch
         return similarity.append_to_ivf_index(
-            fresh, self.index_path, id_col=self.id_col, vec_col=self.vec_col
+            fresh,
+            self.index_path,
+            id_col=self.id_col,
+            vec_col=self.vec_col,
+            scratch_dir=f"{self.index_path}/.scratch-append",
         )
