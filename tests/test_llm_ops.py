@@ -1402,9 +1402,10 @@ def test_phrase_match_equals_naive_token_scan(spark):
 
 
 def test_vocab_with_oov_single_scan_and_model(spark):
-    """Top-k vocab + OOV permille: matches a Python model, and the AQE
-    final plan scans the corpus ONCE (total and kept derive from the
-    aggregated frequency table via exchange reuse)."""
+    """Top-k vocab + OOV permille: matches a Python model, and the corpus
+    is tokenized ONCE — the (token, freq) aggregate is checkpointed, so
+    the serving plan's three consumers (top-k, total, kept) read the small
+    scratch table and never touch the documents parquet."""
     import re as _re
     from collections import Counter
 
@@ -1428,5 +1429,10 @@ def test_vocab_with_oov_single_scan_and_model(spark):
     assert got == expected
 
     rep = plan_report(df, run_first=True)
-    final = rep.text.split("== Initial Plan ==")[0]
-    assert final.count("Scan parquet") == 1, rep.text
+    # every scan in the serving plan reads the checkpointed freq table —
+    # zero documents scans (the one corpus tokenize happened at the
+    # checkpoint write)
+    assert rep.read_schemas, rep.text
+    assert all(
+        "documents" not in loc for loc in rep.read_schemas
+    ), rep.text
