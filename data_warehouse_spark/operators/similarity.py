@@ -36,16 +36,62 @@ from pyspark.sql import functions as F
 from ..functions import text as TXT
 from ..functions import vectors as V
 
-# 6 planes → 64 buckets: sized for the synthetic corpus (≈500–50k vectors,
-# near-random directions). At real scale the plane count is THE tuning knob:
-# each plane halves expected candidates (bucket count doubles).
+# PINNED geometry for the sf0.1 synthetic fixture — kept for oracle/recall
+# stability of the catalog's pinned arms. Library DEFAULTS are now
+# corpus-derived (n_cells/planes/nprobe=None → auto_* below): fixed
+# geometry is the measured 100 TB failure mode (within-cell pair work grows
+# quadratically at a fixed cell count — sf1 measured ~75× wall for 10×
+# data at n_cells=16).
 N_PLANES = 6
 _EMBED_DIM = 64
-
-# IVF geometry for the synthetic corpus; at real scale n_cells ~ sqrt(N)
-# (classic IVF sizing) and nprobe is the recall/latency knob.
 N_CELLS = 16
 N_PROBE = 4
+
+# auto_n_cells clamp: 2^18 cells ≈ right-sized for ~7e10 vectors; beyond
+# that a flat coarse quantizer stops being the design anyway.
+AUTO_MAX_CELLS = 1 << 18
+
+
+def auto_n_cells(n: int) -> int:
+    """Corpus-derived IVF cell count: smallest power of two ≥ ⌊√N⌋, clamped
+    to [4, 2^18] — classic IVF sizing (cells ≈ √N keeps the centroid table
+    AND the expected per-cell population both at O(√N), so within-cell
+    quadratic work totals O(N·√N /cells)≈O(N)). Pure integer math (isqrt +
+    bit_length) so the SQL twin's geometry CTE (oracle_twins.geo_cte) can
+    replay it exactly — no float-log boundary hazards; equality is pinned
+    cross-engine by tests/test_llm_ops geometry sweep."""
+    s = math.isqrt(max(1, int(n)))
+    c = 1 << max(0, (s - 1).bit_length())
+    return min(AUTO_MAX_CELLS, max(4, c))
+
+
+def auto_n_planes(n: int) -> int:
+    """LSH plane count whose bucket space (2^planes) equals auto_n_cells(n)
+    — the same √N occupancy target, so bucketed near-dup pair work scales
+    like the cell-scoped paths."""
+    return auto_n_cells(n).bit_length() - 1
+
+
+def auto_nprobe(n_cells: int) -> int:
+    """Probe width ⌊√n_cells⌋ — the standard IVF operating point (recall
+    grows ~linearly in nprobe, cost too; √cells keeps probe cost O(N^(3/4))
+    total). Reproduces the long-pinned 4-of-16 at the fixture geometry."""
+    return max(1, math.isqrt(int(n_cells)))
+
+
+def _resolve_n_cells(embeddings: DataFrame, n_cells: int | None) -> int:
+    """``n_cells=None`` → derive from the corpus count (one column-pruned
+    count job; amortize with an explicit value or ``index_cache_key`` when
+    calling in a loop)."""
+    return int(n_cells) if n_cells is not None else auto_n_cells(embeddings.count())
+
+
+def _resolve_planes(
+    embeddings: DataFrame, planes: list[list[float]] | None, dim: int = _EMBED_DIM
+) -> list[list[float]]:
+    if planes is not None:
+        return planes
+    return hyperplanes(dim=dim, n=auto_n_planes(embeddings.count()))
 
 
 def hyperplanes(dim: int = _EMBED_DIM, n: int = N_PLANES, seed: int = 42) -> list[list[float]]:
@@ -90,7 +136,7 @@ def bucketize(
     vec_col: str = "embedding",
     planes: list[list[float]] | None = None,
 ) -> DataFrame:
-    planes = planes or hyperplanes()
+    planes = _resolve_planes(embeddings, planes)
     return embeddings.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("vec"),
@@ -115,8 +161,12 @@ def lsh_topk(
     buckets so the candidate join stays a broadcast equi-join on ``bucket``
     (each corpus vector has exactly one bucket, so probes never duplicate a
     candidate pair); the corpus side is untouched — at 100 TB the cost is
-    (1 + n_planes)× more broadcast rows, not a corpus re-shuffle."""
-    planes = planes or hyperplanes()
+    (1 + n_planes)× more broadcast rows, not a corpus re-shuffle.
+
+    ``planes=None`` auto-sizes the plane count from the corpus
+    (:func:`auto_n_planes` — bucket space ≈ √N); pass explicit planes to
+    pin geometry (the catalog's oracle arms do)."""
+    planes = _resolve_planes(embeddings, planes)
     bucketed = bucketize(embeddings, id_col, vec_col, planes)
     probe_buckets = F.array(
         F.col("bucket"),
@@ -195,7 +245,7 @@ def kmeans_refine(
 
 def ivf_centroids(
     embeddings: DataFrame,
-    n_cells: int = N_CELLS,
+    n_cells: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_iters: int = V.KMEANS_ITERS,
@@ -213,7 +263,18 @@ def ivf_centroids(
     Everything — sample selection, assignment ties, mean fold order, the
     baked-in norm — replays the exact IEEE operation sequence of the SQL
     twin, so trained centroids cannot drift from the oracle.
+
+    ``n_cells=None`` auto-sizes from the corpus count (√N — see
+    :func:`auto_n_cells`). Training is SKIPPED when ``n_cells >= n_train``:
+    you cannot estimate more centroids than the bounded training sample
+    holds (most cells would keep their init anyway), and the driver-side
+    trainer is O(iters·n_train·n_cells·dim) — at auto geometry on a large
+    corpus that guard is what keeps quantizer construction bounded. The
+    twin generator applies the identical guard.
     """
+    n_cells = _resolve_n_cells(embeddings, n_cells)
+    if train_iters and n_cells >= n_train:
+        train_iters = 0
     take = max(n_cells, n_train if train_iters else 0)
     rows = (
         embeddings.select(
@@ -292,43 +353,87 @@ def clear_ivf_cache(cache_key: str | None = None) -> int:
     return len(doomed)
 
 
+# above this many centroids, assignment switches from literal-embedded
+# centroid expressions to a broadcast join: the literal path's expression
+# tree grows O(n_cells·dim) (Catalyst analysis cost per plan reference),
+# which is fine at the pinned 16 cells but pathological at auto √N geometry
+_LITERAL_ASSIGN_MAX = 32
+
+
 def _assign_cells(
     embeddings: DataFrame, centroids, id_col: str, vec_col: str
 ) -> DataFrame:
-    """(neighbor_id, n_vec, _vn, cell) — map-only assignment of every
-    vector to its nearest centroid (max cos, ties → max cell, mirroring
-    the twin's ``ORDER BY cos DESC, cell_id DESC``). THE shared contract
-    between index build and append: both paths assign through this one
-    expression, so stored and appended vectors can never diverge. The
-    norm is kept so the probe's exact cosine later pays ONE fold (the
-    dot) per candidate instead of three (dot + two norms)."""
+    """(neighbor_id, n_vec, _vn, cell) — assignment of every vector to its
+    nearest centroid (max cos, ties → max cell, mirroring the twin's
+    ``ORDER BY cos DESC, cell_id DESC``). THE shared contract between index
+    build and append: both paths assign through this one expression, so
+    stored and appended vectors can never diverge. The norm is kept so the
+    probe's exact cosine later pays ONE fold (the dot) per candidate
+    instead of three (dot + two norms).
+
+    Two physical shapes, one semantic (both compute the identical IEEE
+    ``dot / (vn · cnorm)`` fold, so results are bit-equal):
+
+      * ≤ :data:`_LITERAL_ASSIGN_MAX` centroids: map-only ``array_max``
+        over literal-centroid cosines — zero extra operators;
+      * larger (auto √N geometry): broadcast the tiny centroid table and
+        take ``max(struct(cos, cell, …))`` per vector — still no corpus
+        shuffle beyond the map-side-combined agg, and the plan stays
+        O(1)-sized however many cells the corpus demands. ``(cos, cell)``
+        is unique per (vector, centroid) pair, so the struct max is the
+        same total order as the twin's window.
+    """
     base = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("n_vec"),
         V.norm2(vec_col).alias("_vn"),
     )
-    return base.select(
+    if len(centroids) <= _LITERAL_ASSIGN_MAX:
+        return base.select(
+            "neighbor_id",
+            "n_vec",
+            "_vn",
+            F.array_max(_centroid_scores(F.col("n_vec"), centroids, F.col("_vn")))
+            .getField("cell")
+            .alias("cell"),
+        )
+    cdf = embeddings.sparkSession.createDataFrame(
+        [(cid, cv, cn) for cid, cv, cn in centroids],
+        "cell_id bigint, cv array<double>, cnorm double",
+    )
+    cos = V.dot("n_vec", "cv") / (F.col("_vn") * F.col("cnorm"))
+    scored = base.crossJoin(F.broadcast(cdf)).select(
         "neighbor_id",
-        "n_vec",
-        "_vn",
-        F.array_max(_centroid_scores(F.col("n_vec"), centroids, F.col("_vn")))
-        .getField("cell")
-        .alias("cell"),
+        F.struct(
+            cos.alias("cos"),
+            F.col("cell_id").alias("cell"),
+            F.col("n_vec").alias("n_vec"),
+            F.col("_vn").alias("_vn"),
+        ).alias("sc"),
+    )
+    best = scored.groupBy("neighbor_id").agg(F.max("sc").alias("sc"))
+    return best.select(
+        "neighbor_id",
+        F.col("sc.n_vec").alias("n_vec"),
+        F.col("sc._vn").alias("_vn"),
+        F.col("sc.cell").alias("cell"),
     )
 
 
 def ivf_index(
     embeddings: DataFrame,
-    n_cells: int = N_CELLS,
+    n_cells: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cache_key: str | None = None,
     train_iters: int = V.KMEANS_ITERS,
 ):
     """Build (or fetch) the IVF index: the centroid list plus the corpus
-    with its assigned cell — map-only (``array_max`` over literal-centroid
-    cosines: max cos, ties → max cell — mirrored by the twin's
-    ``ORDER BY cos DESC, cell_id DESC``)."""
+    with its assigned cell (max cos, ties → max cell — mirrored by the
+    twin's ``ORDER BY cos DESC, cell_id DESC``; see :func:`_assign_cells`
+    for the two physical shapes). ``n_cells=None`` auto-sizes √N from the
+    corpus count."""
+    n_cells = _resolve_n_cells(embeddings, n_cells)
     key = None
     if cache_key is not None:
         # the full geometry + column identity is part of the key — two
@@ -366,8 +471,8 @@ def ivf_topk(
     embeddings: DataFrame,
     query_ids: list[int],
     k: int = 5,
-    n_cells: int = N_CELLS,
-    nprobe: int = N_PROBE,
+    n_cells: int | None = None,
+    nprobe: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     index_cache_key: str | None = None,
@@ -382,7 +487,12 @@ def ivf_topk(
          ``nprobe`` cells (map-only on a tiny side), then broadcast-joins
          the corpus on ``cell``: candidates shrink by ~nprobe/n_cells;
       3. exact cosine + per-query top-k window over candidates only.
+
+    ``n_cells=None`` → √N auto-sizing; ``nprobe=None`` → ⌊√n_cells⌋.
     """
+    n_cells = _resolve_n_cells(embeddings, n_cells)
+    if nprobe is None:
+        nprobe = auto_nprobe(n_cells)
     _centroids, cdf, corpus = ivf_index(
         embeddings, n_cells, id_col, vec_col, cache_key=index_cache_key,
         train_iters=train_iters,
@@ -436,7 +546,7 @@ def stored_index_ids(spark, path: str) -> DataFrame:
 def save_ivf_index(
     embeddings: DataFrame,
     path: str,
-    n_cells: int = N_CELLS,
+    n_cells: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> None:
@@ -454,7 +564,12 @@ def save_ivf_index(
     dynamic partition pruning turns the broadcast probe join into a
     partition filter), so serving cost is ~nprobe/n_cells of the corpus —
     sub-linear scans with zero custom index code.
+
+    ``n_cells=None`` (the default) auto-sizes √N from the corpus count —
+    a stored artifact should be built at corpus-derived geometry unless
+    the caller pins one deliberately.
     """
+    n_cells = _resolve_n_cells(embeddings, n_cells)
     centroids, cdf, corpus = ivf_index(embeddings, n_cells, id_col, vec_col)
     cdf.write.mode("overwrite").parquet(f"{path}/centroids")
     corpus.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/{IVF_CORPUS_SUBDIR}")
@@ -465,14 +580,16 @@ def save_ivf_index(
     ).write.mode("overwrite").parquet(f"{path}/meta")
 
 
-def load_ivf_index(spark, path: str, n_cells: int = N_CELLS):
+def load_ivf_index(spark, path: str, n_cells: int | None = None):
     """Load a :func:`save_ivf_index` artifact → the same (centroids, cdf,
     corpus) triple :func:`ivf_index` returns. The stored geometry is
-    validated: ``n_cells`` against the caller's expectation and the
-    centroid dimensionality against the meta (``id_col``/``vec_col`` in
-    meta are provenance only — the artifact's own column names are fixed)."""
+    validated: ``n_cells`` against the caller's expectation (``None`` =
+    accept whatever geometry the artifact was built at — the normal case
+    now that builds auto-size) and the centroid dimensionality against the
+    meta (``id_col``/``vec_col`` in meta are provenance only — the
+    artifact's own column names are fixed)."""
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
-    if meta["n_cells"] != n_cells:
+    if n_cells is not None and meta["n_cells"] != n_cells:
         raise ValueError(
             f"index at {path} was built with n_cells={meta['n_cells']}, "
             f"caller expects {n_cells}"
@@ -547,15 +664,20 @@ def ivf_topk_stored(
     path: str,
     query_ids: list[int],
     k: int = 5,
-    n_cells: int = N_CELLS,
-    nprobe: int = N_PROBE,
+    n_cells: int | None = None,
+    nprobe: int | None = None,
 ) -> DataFrame:
     """Serve approximate top-k straight from a stored IVF index — no
     original embedding table needed (query vectors are fetched from the
     index corpus by id; external query vectors would join the same way).
     The candidate join keys on ``cell``, which is the artifact's partition
-    column, so the corpus scan prunes to the probed cells."""
+    column, so the corpus scan prunes to the probed cells.
+
+    ``n_cells=None`` accepts the artifact's stored geometry; ``nprobe=None``
+    derives ⌊√n_cells⌋ from it."""
     _centroids, cdf, corpus = load_ivf_index(spark, path, n_cells)
+    if nprobe is None:
+        nprobe = auto_nprobe(len(_centroids) or 1)
     queries = corpus.filter(F.col("neighbor_id").isin(query_ids)).select(
         F.col("neighbor_id").alias("query_id"),
         F.col("n_vec").alias("q_vec"),
@@ -621,8 +743,12 @@ def embedding_near_duplicates(
     same reason semantic_dedup co-partitions on ``cell``: AQE would
     coalesce the join's shuffle from input bytes, but the output explodes
     quadratically per bucket and the per-pair cosine dominates — the
-    explicit repartition keeps each bucket's pair work on its own task."""
-    planes = planes or hyperplanes()
+    explicit repartition keeps each bucket's pair work on its own task.
+
+    ``planes=None`` auto-sizes the plane count so the bucket space tracks
+    √N (:func:`auto_n_planes`) — expected bucket occupancy O(√N), pair work
+    ~linear; a pinned plane count is the measured quadratic failure mode."""
+    planes = _resolve_planes(embeddings, planes)
     # partition count: one per bucket up to a cap (at 16+ planes the bucket
     # space outgrows any useful task count)
     bucketed = bucketize(embeddings, id_col, vec_col, planes).repartition(
@@ -648,10 +774,11 @@ def embedding_near_duplicates(
 def semantic_dedup(
     embeddings: DataFrame,
     threshold: float = 0.4,
-    n_cells: int = N_CELLS,
+    n_cells: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     index_cache_key: str | None = None,
+    train_iters: int = V.KMEANS_ITERS,
 ) -> DataFrame:
     """SemDeDup-shaped semantic deduplication (Abbas et al. 2023): cluster
     the corpus with the coarse quantizer, then look for near-duplicate
@@ -674,11 +801,22 @@ def semantic_dedup(
     cosine is the actual cost — the measured sf1 failure mode was ~12M
     pairs scored on 2 tasks. A user-specified repartition is exempt from
     AQE coalescing, so each cell's pair work keeps its own task.
+
+    ``n_cells=None`` (the default) derives √N geometry from the corpus
+    count (:func:`auto_n_cells`) — THE scale knob: at a fixed cell count
+    the within-cell pair work grows quadratically with the corpus (the
+    measured sf1 regression: ~75× wall for 10× data at n_cells=16), while
+    √N cells keep it ~linear. Pass an explicit ``n_cells`` to pin geometry
+    (the catalog's pinned oracle arm does).
     """
+    n_cells = _resolve_n_cells(embeddings, n_cells)
     _centroids, _cdf, corpus = ivf_index(
-        embeddings, n_cells, id_col, vec_col, cache_key=index_cache_key
+        embeddings, n_cells, id_col, vec_col, cache_key=index_cache_key,
+        train_iters=train_iters,
     )
-    corpus = corpus.repartition(n_cells, "cell")
+    # one task per cell up to a cap (beyond ~1k tasks the per-task overhead
+    # dominates the per-cell pair work that the split exists to spread)
+    corpus = corpus.repartition(min(n_cells, 1024), "cell")
     a = corpus.select(
         "cell",
         F.col("neighbor_id").alias("keep_id"),
@@ -982,8 +1120,8 @@ def ivfpq_topk(
     embeddings: DataFrame,
     query_ids: list[int],
     k: int = 5,
-    n_cells: int = N_CELLS,
-    nprobe: int = N_PROBE,
+    n_cells: int | None = None,
+    nprobe: int | None = None,
     m: int = PQ_M,
     sub: int = PQ_SUB,
     kc: int = PQ_KC,
@@ -1008,6 +1146,9 @@ def ivfpq_topk(
     from ..materialize import storage_checkpoint
 
     # --- IVF half: probed candidate ids per query (cells from the index)
+    n_cells = _resolve_n_cells(embeddings, n_cells)
+    if nprobe is None:
+        nprobe = auto_nprobe(n_cells)
     _centroids, cdf, corpus = ivf_index(
         embeddings, n_cells, id_col, vec_col, cache_key=index_cache_key,
         train_iters=train_iters,

@@ -537,8 +537,48 @@ SELECT doc_id, shard, n_tokens,
 FROM packed"""
 
 
+# Corpus-derived geometry twin of similarity.auto_n_cells / auto_nprobe:
+# exact isqrt (FLOOR(SQRT(double)) with ±1 integer correction — double sqrt
+# is IEEE-correctly-rounded, the correction makes the floor exact), then the
+# smallest power of two ≥ ⌊√N⌋ via an integer VALUES lookup (no float log2
+# anywhere — log-boundary rounding is engine-specific; integers are not),
+# clamped to [4, 2^18]; nprobe = ⌊√n_cells⌋ by the same exact-isqrt trick.
+_POW2_VALUES = ", ".join(f"({1 << e})" for e in range(0, 19))
+
+
+def geo_cte(table: str = "embeddings") -> str:
+    """``_geo`` CTE: one row (n, n_cells, nprobe) derived from the corpus
+    count — the replayable twin of the Python derivation, so auto-sized
+    operator arms stay oracle-checkable at ANY scale factor (the c0/probe
+    consumers reference it via scalar subqueries in LIMIT / rank bounds)."""
+    isq = """CASE WHEN (sa + 1) * (sa + 1) <= {v} THEN sa + 1
+                  WHEN sa * sa > {v} THEN sa - 1 ELSE sa END"""
+    return f"""_geo AS (
+  SELECT n,
+         n_cells,
+         GREATEST(1, CASE WHEN (pa + 1) * (pa + 1) <= n_cells THEN pa + 1
+                          WHEN pa * pa > n_cells THEN pa - 1 ELSE pa END)
+           AS nprobe
+  FROM (
+    SELECT n, n_cells,
+           CAST(FLOOR(SQRT(CAST(n_cells AS DOUBLE))) AS BIGINT) AS pa
+    FROM (
+      SELECT n,
+             LEAST(262144, GREATEST(4, coalesce(
+               (SELECT min(v) FROM (VALUES {_POW2_VALUES}) pw(v)
+                WHERE v >= s), 262144))) AS n_cells
+      FROM (
+        SELECT n, {isq.format(v='gn')} AS s
+        FROM (SELECT n, GREATEST(1, n) AS gn,
+                     CAST(FLOOR(SQRT(CAST(GREATEST(1, n) AS DOUBLE))) AS BIGINT) AS sa
+              FROM (SELECT count(*) AS n FROM {table})))
+    )
+  )
+)"""
+
+
 def _ivf_assigned_cte(
-    n_cells: int = 16,
+    n_cells: int | None = 16,
     dim: int = 64,
     train_iters: int = KMEANS_ITERS,
     n_train: int = KMEANS_TRAIN,
@@ -553,16 +593,32 @@ def _ivf_assigned_cte(
     larger cell id (mirrors Spark ``array_max`` over struct<cos,cell>).
     ``train_iters=0`` is the hash-selected baseline. Yields CTEs ``e``
     (double-cast vectors), ``c`` (centroids) and ``assigned``
-    (vec_id, v, cell_id)."""
+    (vec_id, v, cell_id).
+
+    ``n_cells=None`` = corpus-derived geometry: the prefix gains the
+    ``_geo`` CTE (:func:`geo_cte`) and ``c0`` LIMITs by its scalar
+    subquery — the twin of ``similarity.auto_n_cells``. Training is
+    untrainable at dynamic geometry (the unrolled-iteration structure
+    must be decided at SQL-generation time), so callers pin
+    ``train_iters=0``; and mirroring ``similarity.ivf_centroids``'s
+    guard, a concrete ``n_cells >= n_train`` also disables training."""
+    if n_cells is None:
+        assert train_iters == 0, "auto-geometry twin requires train_iters=0"
+    elif train_iters and n_cells >= n_train:
+        train_iters = 0
+    limit = "(SELECT n_cells FROM _geo)" if n_cells is None else str(n_cells)
     cell_hash = H60.format(s="CAST(vec_id AS VARCHAR)")
-    parts = [
+    parts = []
+    if n_cells is None:
+        parts.append(geo_cte())
+    parts.append(
         f"""e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 ),
 c0 AS (SELECT vec_id AS cell_id, v AS cv FROM e
-       ORDER BY {cell_hash}, vec_id LIMIT {n_cells})"""
-    ]
+       ORDER BY {cell_hash}, vec_id LIMIT {limit})"""
+    )
     prev = "c0"
     if train_iters:
         parts.append(
@@ -613,15 +669,19 @@ assigned AS (
 def ann_ivf_sql(
     query_ids: list[int],
     k: int = 5,
-    n_cells: int = 16,
-    nprobe: int = 4,
+    n_cells: int | None = 16,
+    nprobe: int | None = 4,
     dim: int = 64,
+    train_iters: int = KMEANS_ITERS,
 ) -> str:
     """IVF-flat twin: shared assignment prefix (:func:`_ivf_assigned_cte`),
-    probe the ``nprobe`` best cells, exact cosine among candidates."""
+    probe the ``nprobe`` best cells, exact cosine among candidates.
+    ``n_cells=None``/``nprobe=None`` = corpus-derived geometry via the
+    ``_geo`` CTE (requires ``train_iters=0`` — see the prefix docstring)."""
     ids = ", ".join(str(i) for i in query_ids)
+    probe_bound = "(SELECT nprobe FROM _geo)" if nprobe is None else str(nprobe)
     return f"""
-WITH {_ivf_assigned_cte(n_cells, dim)},
+WITH {_ivf_assigned_cte(n_cells, dim, train_iters)},
 qc AS (
   SELECT q.vec_id AS query_id, q.v AS qv, c.cell_id,
          {_cos('q.v', 'c.cv', dim)} AS cos
@@ -632,7 +692,7 @@ probed AS (
     SELECT query_id, qv, cell_id,
            row_number() OVER (PARTITION BY query_id
                 ORDER BY cos DESC, cell_id DESC) AS rn
-    FROM qc) WHERE rn <= {nprobe}
+    FROM qc) WHERE rn <= {probe_bound}
 ),
 scored AS (
   SELECT p.query_id, a.vec_id AS neighbor_id, {_cos('p.qv', 'a.v', dim)} AS cos
@@ -666,12 +726,18 @@ WHERE {_cos('va', 'vb', dim)} >= {threshold}
 ORDER BY id_a, id_b"""
 
 
-def semantic_dedup_sql(threshold: float = 0.4, n_cells: int = 16, dim: int = 64) -> str:
+def semantic_dedup_sql(
+    threshold: float = 0.4,
+    n_cells: int | None = 16,
+    dim: int = 64,
+    train_iters: int = KMEANS_ITERS,
+) -> str:
     """SemDeDup twin: same IVF cell assignment as ann_ivf_sql, then
     within-cell pairs with cosine ≥ threshold; dup keeps its smallest
-    same-cell partner as the canonical survivor."""
+    same-cell partner as the canonical survivor. ``n_cells=None`` =
+    corpus-derived √N geometry (``_geo`` CTE; requires ``train_iters=0``)."""
     return f"""
-WITH {_ivf_assigned_cte(n_cells, dim)},
+WITH {_ivf_assigned_cte(n_cells, dim, train_iters)},
 pairs AS (
   SELECT b.vec_id AS dup_id, a.vec_id AS keep_id
   FROM assigned a JOIN assigned b

@@ -774,17 +774,37 @@ def _doc_mixture_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "emb_semantic_dedup",
-    tw.semantic_dedup_sql(threshold=0.4, n_cells=similarity.N_CELLS),
+    f"""SELECT 'pinned' AS arm, t.* FROM (
+{tw.semantic_dedup_sql(threshold=0.4, n_cells=similarity.N_CELLS)}) t
+UNION ALL
+SELECT 'auto' AS arm, t.* FROM (
+{tw.semantic_dedup_sql(threshold=0.4, n_cells=None, train_iters=0)}) t
+ORDER BY arm, dup_id""",
     "SemDeDup-shaped semantic dedup: IVF-cell-scoped cosine pairs ≥ 0.4, "
     "canonical survivor = smallest same-cell partner — reuses the cached "
     "IVF index (one stored artifact shared by dedup + ANN), pair join "
-    "shuffles on cell id only, never all-pairs",
+    "shuffles on cell id only, never all-pairs. Two oracle-checked arms: "
+    "'pinned' (the historical 16-cell trained geometry) and 'auto' "
+    "(corpus-derived √N cells — the 100 TB default; its twin re-derives "
+    "the geometry in SQL from count(*), so the derivation itself is "
+    "hash-checked at every scale factor)",
 )
 def _emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.semantic_dedup(
-        cat.load_table(spark, sf_dir, "embeddings"),
+    emb = cat.load_table(spark, sf_dir, "embeddings")
+    pinned = similarity.semantic_dedup(
+        emb, threshold=0.4, n_cells=similarity.N_CELLS, index_cache_key=sf_dir
+    )
+    auto = similarity.semantic_dedup(
+        emb,
         threshold=0.4,
-        index_cache_key=sf_dir,
+        n_cells=None,
+        train_iters=0,
+        index_cache_key=sf_dir + "::auto",
+    )
+    return (
+        pinned.select(F.lit("pinned").alias("arm"), "dup_id", "keep_id")
+        .unionByName(auto.select(F.lit("auto").alias("arm"), "dup_id", "keep_id"))
+        .orderBy("arm", "dup_id")
     )
 
 
@@ -883,6 +903,12 @@ def _ann_recall_oracle() -> str:
         "ivf": tw.ann_ivf_sql(
             _ANN_QUERY_IDS, k=k, n_cells=similarity.N_CELLS, nprobe=similarity.N_PROBE
         ),
+        # corpus-derived geometry (√N cells, √cells probes, untrained
+        # quantizer) — the twin re-derives the geometry in SQL, so the
+        # auto-sizing path is recall- AND hash-checked at every sf
+        "ivf_auto": tw.ann_ivf_sql(
+            _ANN_QUERY_IDS, k=k, n_cells=None, nprobe=None, train_iters=0
+        ),
         "lsh": tw.ann_lsh_sql(planes, _ANN_QUERY_IDS, k=k),
         "lsh_mp": tw.ann_lsh_sql(planes, _ANN_QUERY_IDS, k=k, multiprobe=True),
         "pq": tw.ann_pq_sql(_ANN_QUERY_IDS, k=k),
@@ -928,12 +954,24 @@ def _ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-running the full distance scan inside each union branch
     bf = storage_checkpoint(similarity.brute_force_topk(emb, _ANN_QUERY_IDS, k=_ANN_K))
     out = None
+    pinned_planes = similarity.hyperplanes()
     for method, df in (
-        ("ivf", similarity.ivf_topk(emb, _ANN_QUERY_IDS, k=_ANN_K, index_cache_key=sf_dir)),
-        ("lsh", similarity.lsh_topk(emb, _ANN_QUERY_IDS, k=_ANN_K)),
-        ("lsh_mp", similarity.lsh_topk(emb, _ANN_QUERY_IDS, k=_ANN_K, multiprobe=True)),
+        ("ivf", similarity.ivf_topk(
+            emb, _ANN_QUERY_IDS, k=_ANN_K,
+            n_cells=similarity.N_CELLS, nprobe=similarity.N_PROBE,
+            index_cache_key=sf_dir)),
+        ("ivf_auto", similarity.ivf_topk(
+            emb, _ANN_QUERY_IDS, k=_ANN_K, n_cells=None, nprobe=None,
+            train_iters=0, index_cache_key=sf_dir + "::auto")),
+        ("lsh", similarity.lsh_topk(
+            emb, _ANN_QUERY_IDS, k=_ANN_K, planes=pinned_planes)),
+        ("lsh_mp", similarity.lsh_topk(
+            emb, _ANN_QUERY_IDS, k=_ANN_K, planes=pinned_planes, multiprobe=True)),
         ("pq", similarity.pq_topk(emb, _ANN_QUERY_IDS, k=_ANN_K, index_cache_key=sf_dir)),
-        ("ivfpq", similarity.ivfpq_topk(emb, _ANN_QUERY_IDS, k=_ANN_K, index_cache_key=sf_dir)),
+        ("ivfpq", similarity.ivfpq_topk(
+            emb, _ANN_QUERY_IDS, k=_ANN_K,
+            n_cells=similarity.N_CELLS, nprobe=similarity.N_PROBE,
+            index_cache_key=sf_dir)),
     ):
         r = similarity.recall_vs_exact(df, bf, k=_ANN_K).select(
             F.lit(method).alias("method"), "query_id", "recall_x1000"
@@ -971,9 +1009,13 @@ def _ann_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("exact").alias("method"), "query_id", "neighbor_id", "rank"
     )
     ivf = similarity.ivf_topk(
-        emb, _ANN_QUERY_IDS, k=_ANN_K, index_cache_key=sf_dir
+        emb, _ANN_QUERY_IDS, k=_ANN_K,
+        n_cells=similarity.N_CELLS, nprobe=similarity.N_PROBE,
+        index_cache_key=sf_dir,
     ).select(F.lit("ivf").alias("method"), "query_id", "neighbor_id", "rank")
-    lsh = similarity.lsh_topk(emb, _ANN_QUERY_IDS, k=_ANN_K).select(
+    lsh = similarity.lsh_topk(
+        emb, _ANN_QUERY_IDS, k=_ANN_K, planes=similarity.hyperplanes()
+    ).select(
         F.lit("lsh").alias("method"), "query_id", "neighbor_id", "rank"
     )
     pq = similarity.pq_topk(
@@ -2353,7 +2395,9 @@ def _doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def _emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_duplicates(
-        cat.load_table(spark, sf_dir, "embeddings"), threshold=0.4
+        cat.load_table(spark, sf_dir, "embeddings"),
+        threshold=0.4,
+        planes=similarity.hyperplanes(),
     )
 
 

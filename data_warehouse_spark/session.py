@@ -62,6 +62,11 @@ def get_spark(
         # ---- local-mode hygiene ----
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # long-lived sessions (the 330-test suite, a serving daemon) leak
+        # heap through out-of-scope broadcasts/shuffles until the cleaner's
+        # periodic GC fires — default 30min is longer than many runs; 5min
+        # keeps the driver JVM trimmed (the round-4 flake was heap-shaped)
+        .config("spark.cleaner.periodicGC.interval", "5min")
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -146,30 +146,32 @@ class FileStreamIngestion:
                 leftover = candidates.join(
                     known, ["tenant", "account"], "left_anti"
                 )
-                # materialize leftover BEFORE the overwrite below reads it.
-                # Driver-sized by contract: orphans are the anomaly window
-                # between an event file landing and its account meta, not a
-                # steady-state population — the metric + warning surface a
-                # store that grows instead of draining (writer bug, deleted
-                # account), which otherwise taxes every batch forever.
-                pending_rows = leftover.collect()
-                m.extra["pending_events"] = len(pending_rows)
-                if len(pending_rows) > 10_000:
+                # Persist leftover durably BEFORE any table merge mutates
+                # the store files this plan reads — as a NEW pending-store
+                # VERSION written distributedly (executor tasks), never a
+                # driver collect: a pathological writer producing millions
+                # of orphans costs a slow parquet write, not driver memory.
+                # Orphans are normally the anomaly window between an event
+                # file landing and its account meta; the metric + warning
+                # surface a store that grows instead of draining (writer
+                # bug, deleted account), which otherwise taxes every batch.
+                n_pending = leftover.count()
+                m.extra["pending_events"] = n_pending
+                if n_pending > self.pending_warn_threshold:
                     import logging
 
                     logging.getLogger(__name__).warning(
                         "pending-event store holds %d orphans - accounts "
                         "whose snapshot-0 meta never arrived; investigate "
                         "the primary writers",
-                        len(pending_rows),
+                        n_pending,
                     )
+                self._write_pending(leftover)
                 if not picked.limit(1).count():
-                    self._write_pending(pending_rows)
                     return
                 self._pipeline._expand_and_merge(
                     m, files_read, picked, accounts, monotonic_markers=True
                 )
-                self._write_pending(pending_rows)
             finally:
                 candidates.unpersist()
         finally:
@@ -177,28 +179,78 @@ class FileStreamIngestion:
             self.last_metrics = m
 
     # ------------------------------------------------------------------
-    def _pending_path(self) -> str:
+    # Orphan-event pending store: VERSIONED directories under
+    # ``pending_events/`` (``v1``, ``v2``, …). Each batch writes its
+    # leftover set as a brand-new version (a distributed parquet write —
+    # rows never pass through the driver), committed by Spark's own
+    # ``_SUCCESS`` marker; readers take the newest committed version and
+    # prune the superseded ones. Crash anywhere is safe:
+    #   mid-write            → no _SUCCESS → next batch reads the previous
+    #                          version (stale = replay no-op, same contract
+    #                          as the batch pipeline's ticks);
+    #   write ok, merge lost → the streaming checkpoint replays the batch;
+    #                          the new version is a subset of what the
+    #                          replay recomputes, keyed merges dedupe;
+    #   two committed versions (prune lost) → newest wins, older deleted
+    #                          at the next read.
+    # Writing BEFORE the table merges also means the leftover plan (which
+    # reads the account store) can never race the store's copy-on-write
+    # file swap — the reason the old implementation collect()ed.
+
+    # above this many parked orphans the batch logs a writer-bug warning
+    # (driver safety no longer depends on this — nothing is collected)
+    pending_warn_threshold = 10_000
+
+    def _pending_root(self) -> str:
         return os.path.join(self.checkpoint_dir, "pending_events")
 
+    def _pending_versions(self) -> list[int]:
+        root = self._pending_root()
+        if not os.path.isdir(root):
+            return []
+        out = []
+        for d in os.listdir(root):
+            if (
+                d.startswith("v")
+                and d[1:].isdigit()
+                and os.path.exists(os.path.join(root, d, "_SUCCESS"))
+            ):
+                out.append(int(d[1:]))
+        return sorted(out)
+
     def _read_pending(self) -> DataFrame:
-        p = self._pending_path()
-        if os.path.isdir(p):
-            # STRICT: a pending store that exists but cannot be read must
-            # fail the batch (streaming restart replays it with the store
-            # intact). Swallowing the error and returning empty would let
-            # _write_pending overwrite the store below — permanently
-            # dropping parked events the file index never redelivers.
-            return self.spark.read.schema(primary.ACCOUNT_EVENT_SCHEMA).parquet(p)
+        vers = self._pending_versions()
+        if vers:
+            # prune superseded versions NOW (before this batch's candidates
+            # plan exists) — never right after a write, where a persisted-
+            # DataFrame recompute could still re-read the old version
+            import shutil
+
+            for v in vers[:-1]:
+                shutil.rmtree(
+                    os.path.join(self._pending_root(), f"v{v}"),
+                    ignore_errors=True,
+                )
+            # STRICT: a committed version that cannot be read must fail the
+            # batch (streaming restart replays it with the store intact) —
+            # swallowing the error would permanently drop parked events the
+            # file index never redelivers.
+            return self.spark.read.schema(primary.ACCOUNT_EVENT_SCHEMA).parquet(
+                os.path.join(self._pending_root(), f"v{vers[-1]}")
+            )
         return self.spark.createDataFrame([], primary.ACCOUNT_EVENT_SCHEMA)
 
-    def _write_pending(self, rows) -> None:
-        """Overwrite the orphan-event store. Crash between the table merges
-        and this write leaves STALE pending rows; the next batch re-picks
-        them and the keyed merges + monotonic markers make that a no-op —
-        the same replay contract as the batch pipeline's ticks."""
-        self.spark.createDataFrame(rows, primary.ACCOUNT_EVENT_SCHEMA).coalesce(
+    def _write_pending(self, leftover: DataFrame) -> None:
+        """Write the orphan-event store as the next version — distributed,
+        bounded file count (the store is small in steady state; a flood is
+        a slow executor-side write, never driver memory)."""
+        vers = self._pending_versions()
+        nxt = (vers[-1] + 1) if vers else 1
+        leftover.select(*primary.ACCOUNT_EVENT_SCHEMA.fieldNames()).coalesce(
             1
-        ).write.mode("overwrite").parquet(self._pending_path())
+        ).write.mode("overwrite").parquet(
+            os.path.join(self._pending_root(), f"v{nxt}")
+        )
 
     # ------------------------------------------------------------------
     def start(self, processing_time: str = "2 seconds"):

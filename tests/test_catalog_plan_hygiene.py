@@ -33,6 +33,10 @@ BNLJ_ALLOWED = {
     "ann_topk_methods",  # same brute-force arm
     "doc_dedup_baselines",  # documented O(n²) jaccard recall baseline
     "text_index_suite",  # BM25 1-row corpus-stats broadcast
+    # auto-geometry arm: cell assignment broadcasts the ≤√N-row centroid
+    # table against the corpus (similarity._assign_cells join path — the
+    # plan-size-bounded alternative to n_cells literal expressions)
+    "emb_semantic_dedup",
 }
 
 

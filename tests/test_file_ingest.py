@@ -216,3 +216,67 @@ def test_stream_processing_time_trigger_runs(roots):
         assert stream.store.read("transfer").count() == 1
     finally:
         q.stop()
+
+
+def test_pending_store_is_versioned_and_survives_floods(roots, caplog):
+    """The orphan-event pending store must (a) never pass rows through the
+    driver — it is written as versioned parquet directories, newest
+    committed version wins, superseded versions pruned at the next read;
+    (b) retain EVERY orphan even when a pathological writer floods it (the
+    warn threshold only logs — dropping is not an option, the file index
+    never redelivers); (c) drain completely once the account meta lands."""
+    import logging
+
+    primary, _batch, stream = roots
+    t = "t_TENANT_FLOOD"
+    stream.pending_warn_threshold = 10  # exercise the flood path cheaply
+    n_trx = 25
+    n_orphans = 2 * n_trx  # one credit + one debit event per transaction
+    for i in range(n_trx):
+        write(
+            os.path.join(
+                primary, t, "account", f"C{i:03d}", "events",
+                "0000000000", f"1_1_TRN{i:03d}",
+            ),
+            "1\n",
+        )
+        write(
+            os.path.join(
+                primary, t, "account", f"D{i:03d}", "events",
+                "0000000000", f"1_-1_TRN{i:03d}",
+            ),
+            "1\n",
+        )
+        write(
+            os.path.join(primary, t, "transaction", f"TRN{i:03d}"),
+            f"committed\nTRX{i:03d} TENANT_FLOOD C{i:03d} TENANT_FLOOD "
+            f"D{i:03d} 2020-01-01T00:00:00Z 1 CZK\n",
+        )
+    with caplog.at_level(logging.WARNING):
+        first = stream.run_available()
+    assert first is not None
+    assert first.extra["pending_events"] == n_orphans
+    assert any("orphans" in r.message for r in caplog.records)
+    # versioned layout: exactly one committed version, no flat files
+    root = stream._pending_root()
+    vers = stream._pending_versions()
+    assert vers, "flood must be parked in a committed version"
+    assert all(d.startswith("v") for d in os.listdir(root))
+    # every orphan retained (read back through the store API)
+    assert stream._read_pending().count() == n_orphans
+
+    # metas land → everything drains; version superseded then pruned
+    for i in range(n_trx):
+        for side in ("C", "D"):
+            write(
+                os.path.join(
+                    primary, t, "account", f"{side}{i:03d}", "snapshot", "0000000000"
+                ),
+                "CZK FORMAT_F\n",
+            )
+    second = stream.run_available()
+    assert second is not None and second.extra["pending_events"] == 0
+    assert stream.store.read("transfer").count() == n_trx
+    # after the next read cycle only the newest (empty) version remains
+    assert stream._read_pending().count() == 0
+    assert len(stream._pending_versions()) == 1

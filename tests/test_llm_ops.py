@@ -212,7 +212,7 @@ def test_ann_ivf_structure_and_recall(spark):
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
 
     exhaustive = similarity.ivf_topk(
-        emb, qids, k=5, nprobe=similarity.N_CELLS
+        emb, qids, k=5, n_cells=similarity.N_CELLS, nprobe=similarity.N_CELLS
     ).collect()
     exact = similarity.brute_force_topk(emb, qids, k=5).collect()
     key = lambda r: (r["query_id"], r["rank"], r["neighbor_id"])
@@ -227,13 +227,21 @@ def test_ann_recall_floors_at_default_knobs(spark):
     Absolute levels are modest BY CONSTRUCTION: the synthetic embeddings
     are near-uniform random vectors with no cluster structure, the regime
     where cell/bucket pruning genuinely cannot concentrate true neighbors
-    — measured means at sf0.01 with the TRAINED (k-means) codebooks are
-    ivf 480 / lsh 80 / lsh_mp 220 / pq 300 / ivfpq 260 permille (up from
-    400/—/—/280/200 with the round-3 hash-selected codebooks;
-    test_trained_codebooks_lift_recall pins that ordering). The structural
-    guarantees (exhaustive-probe IVF == brute force; LSH recalls all
-    high-Jaccard pairs) live in the tests above; this one guards the
-    quality/cost operating point."""
+    Floors are pinned at BOTH geometries the engine ships:
+
+      * PINNED (the catalog arms: 16 cells / 4 probes / 6 planes, trained
+        codebooks) — measured at sf0.01: ivf 480 / lsh 80 / lsh_mp 220 /
+        pq 300 / ivfpq 260 permille;
+      * AUTO (the library DEFAULTS: √N-derived — at this 500-vector corpus
+        32 cells / 5 probes / 5 planes, quantizer training active below
+        the n_train bound) — measured: ivf 320 / lsh 100 / lsh_mp 280 /
+        pq 300 / ivfpq 160. Auto IVF recall is LOWER by design: nprobe/
+        n_cells falls from 25% to ~16% of the corpus scanned — that is the
+        cost/quality point that stays affordable when N grows 1000×.
+
+    The structural guarantees (exhaustive-probe IVF == brute force; LSH
+    recalls all high-Jaccard pairs) live in the tests above; this one
+    guards the quality/cost operating points."""
     from .conftest import SF_DIR_MED
 
     emb = spark.read.parquet(f"{SF_DIR_MED}/embeddings.parquet")
@@ -244,18 +252,33 @@ def test_ann_recall_floors_at_default_knobs(spark):
         rows = similarity.recall_vs_exact(df, bf, k=k).collect()
         return sum(r["recall_x1000"] for r in rows) / len(rows)
 
+    # --- auto defaults (corpus-derived geometry)
     ivf = mean_recall(similarity.ivf_topk(emb, qids, k=k))
     lsh = mean_recall(similarity.lsh_topk(emb, qids, k=k))
     lsh_mp = mean_recall(similarity.lsh_topk(emb, qids, k=k, multiprobe=True))
     pq = mean_recall(similarity.pq_topk(emb, qids, k=k))
     ivfpq = mean_recall(similarity.ivfpq_topk(emb, qids, k=k))
-    assert ivf >= 430, ivf
-    assert lsh_mp >= 180, lsh_mp
+    assert ivf >= 280, ivf
+    assert lsh_mp >= 240, lsh_mp
     assert pq >= 260, pq
-    assert ivfpq >= 220, ivfpq
+    assert ivfpq >= 130, ivfpq
     # multi-probe must actually lift recall over single-probe at the same
     # plane count — the point of probing Hamming-1 buckets
     assert lsh_mp > lsh, (lsh_mp, lsh)
+
+    # --- pinned catalog geometry (trained codebooks)
+    planes = similarity.hyperplanes()
+    ivf_p = mean_recall(similarity.ivf_topk(
+        emb, qids, k=k, n_cells=similarity.N_CELLS, nprobe=similarity.N_PROBE))
+    lsh_p = mean_recall(similarity.lsh_topk(emb, qids, k=k, planes=planes))
+    lsh_mp_p = mean_recall(
+        similarity.lsh_topk(emb, qids, k=k, planes=planes, multiprobe=True))
+    ivfpq_p = mean_recall(similarity.ivfpq_topk(
+        emb, qids, k=k, n_cells=similarity.N_CELLS, nprobe=similarity.N_PROBE))
+    assert ivf_p >= 430, ivf_p
+    assert lsh_mp_p >= 180, lsh_mp_p
+    assert ivfpq_p >= 220, ivfpq_p
+    assert lsh_mp_p > lsh_p, (lsh_mp_p, lsh_p)
 
 
 def test_trained_centroids_match_twin_at_adversarial_knobs(spark):
@@ -299,7 +322,10 @@ def test_trained_codebooks_lift_recall(spark):
     strictly lifts every trained path (measured at sf0.01: ivf 400→480,
     pq 280→300, ivfpq 200→260 permille). ≥ (not >) is the pinned contract:
     on a corpus with no cluster structure training is allowed to tie, never
-    to lose."""
+    to lose. Measured at the PINNED catalog geometry (16 cells / 4 probes)
+    — the arm where training applies; at auto √N geometry the trainer's
+    per-cell sample shrinks until the refinement is noise (and is skipped
+    outright once n_cells ≥ n_train — the training guard test above)."""
     from .conftest import SF_DIR_MED
 
     emb = spark.read.parquet(f"{SF_DIR_MED}/embeddings.parquet")
@@ -310,14 +336,19 @@ def test_trained_codebooks_lift_recall(spark):
         rows = similarity.recall_vs_exact(df, bf, k=k).collect()
         return sum(r["recall_x1000"] for r in rows) / len(rows)
 
-    for path in (similarity.ivf_topk, similarity.pq_topk, similarity.ivfpq_topk):
-        trained = mean_recall(path(emb, qids, k=k))
-        baseline = mean_recall(path(emb, qids, k=k, train_iters=0))
+    geo = dict(n_cells=similarity.N_CELLS, nprobe=similarity.N_PROBE)
+    for path, kw in (
+        (similarity.ivf_topk, geo),
+        (similarity.pq_topk, {}),
+        (similarity.ivfpq_topk, geo),
+    ):
+        trained = mean_recall(path(emb, qids, k=k, **kw))
+        baseline = mean_recall(path(emb, qids, k=k, train_iters=0, **kw))
         assert trained >= baseline, (path.__name__, trained, baseline)
     # and the refinement actually moves the codebooks (not a no-op): the
     # trained IVF centroids differ from their hash-selected init
-    hashed = similarity.ivf_centroids(emb, train_iters=0)
-    trained_c = similarity.ivf_centroids(emb)
+    hashed = similarity.ivf_centroids(emb, n_cells=similarity.N_CELLS, train_iters=0)
+    trained_c = similarity.ivf_centroids(emb, n_cells=similarity.N_CELLS)
     assert [c for c, _, _ in hashed] == [c for c, _, _ in trained_c]  # ids stable
     assert any(h[1] != t[1] for h, t in zip(hashed, trained_c))
 
@@ -427,9 +458,13 @@ _HAS_SOUNDFILE = _ilu.find_spec("soundfile") is not None
 
 
 def _tiny_media(spark, kind, payload):
+    # coalesce(1): exactly ONE task runs the decode, so tests asserting on
+    # the surfaced executor error see THE ImportError, never a sibling
+    # empty-partition task's failure racing it to the driver (the
+    # failure-first surfacing flake a long-lived suite JVM can produce)
     return spark.createDataFrame(
         [(1, kind, bytearray(payload), None, None)], multimodal.MEDIA_SCHEMA
-    )
+    ).coalesce(1)
 
 
 @pytest.mark.skipif(_HAS_PIL, reason="Pillow installed — real path is active")
@@ -1436,3 +1471,112 @@ def test_vocab_with_oov_single_scan_and_model(spark):
     assert all(
         "documents" not in loc for loc in rep.read_schemas
     ), rep.text
+
+
+# --- corpus-derived ANN geometry (auto_n_cells / auto_n_planes / auto_nprobe)
+
+
+def test_auto_geometry_derivation_matches_sql_twin():
+    """``similarity.auto_n_cells``/``auto_nprobe`` and the twin's ``_geo``
+    CTE must compute identical geometry for ANY corpus size — this
+    derivation is what keeps the catalog's auto-sized arms oracle-checkable
+    at every scale factor. Sweeps exact squares, power-of-two boundaries
+    and their ±1 neighbors (the isqrt / next-pow2 edge cases)."""
+    import duckdb
+
+    from data_warehouse_spark.oracle_twins import geo_cte
+
+    ns = {0, 1, 2, 3, 4, 5, 15, 16, 17, 255, 256, 257, 500, 2000, 20000}
+    for b in range(2, 23, 2):
+        ns |= {2**b - 1, 2**b, 2**b + 1}
+    for s in (22, 44, 141, 1000, 2047):
+        ns |= {s * s - 1, s * s, s * s + 1}
+    con = duckdb.connect()
+    for n in sorted(ns):
+        con.execute(
+            f"CREATE OR REPLACE VIEW embeddings AS "
+            f"SELECT range AS x FROM range({n})"
+        )
+        row = con.execute(
+            f"WITH {geo_cte()} SELECT n, n_cells, nprobe FROM _geo"
+        ).fetchone()
+        cells = similarity.auto_n_cells(n)
+        assert row == (n, cells, similarity.auto_nprobe(cells)), (n, row)
+    # the clamp ends are Python-only (a 7e10-row table is not a fixture):
+    assert similarity.auto_n_cells(0) == 4
+    assert similarity.auto_n_cells(10**12) == similarity.AUTO_MAX_CELLS
+    # plane count mirrors the cell count's bucket space
+    assert 2 ** similarity.auto_n_planes(500) == similarity.auto_n_cells(500)
+    assert 2 ** similarity.auto_n_planes(20000) == similarity.auto_n_cells(20000)
+    # the fixture-pinned operating point is reproduced by the derivation
+    assert similarity.auto_nprobe(similarity.N_CELLS) == similarity.N_PROBE
+
+
+def test_auto_geometry_defaults_drive_operators(spark):
+    """``n_cells=None`` / ``planes=None`` defaults must derive geometry
+    from the corpus count — the 100 TB contract (a pinned cell count is the
+    measured quadratic failure mode at scale)."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n = emb.count()
+    cents = similarity.ivf_centroids(emb, n_cells=None, train_iters=0)
+    assert len(cents) == similarity.auto_n_cells(n)
+    mx = similarity.bucketize(emb).agg(F.max("bucket").alias("m")).collect()[0]["m"]
+    assert mx < 2 ** similarity.auto_n_planes(n)
+
+
+def test_ivf_centroids_training_guard_at_large_geometry(spark):
+    """When ``n_cells >= n_train`` the driver-side trainer is skipped (you
+    cannot estimate more centroids than the bounded sample holds) — the
+    centroids must equal the hash-selected init, keeping auto-geometry
+    index builds bounded-cost at any corpus size."""
+    from data_warehouse_spark.functions.vectors import KMEANS_TRAIN
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n_cells = KMEANS_TRAIN  # == the sample bound → guard fires
+    trained = similarity.ivf_centroids(emb, n_cells=n_cells, train_iters=4)
+    hashed = similarity.ivf_centroids(emb, n_cells=n_cells, train_iters=0)
+    assert trained == hashed
+
+
+def test_assign_cells_join_and_literal_paths_agree(spark):
+    """The broadcast-join assignment (the plan-size-bounded shape used at
+    auto √N geometry) must reproduce the literal-expression assignment
+    bit-for-bit — same IEEE fold, same max-cos/max-cell tie rule — since a
+    stored index may be built by either shape."""
+    import data_warehouse_spark.operators.similarity as sim
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = similarity.ivf_centroids(emb, n_cells=40, train_iters=0)
+    assert len(cents) > sim._LITERAL_ASSIGN_MAX  # → join path
+    via_join = sim._assign_cells(emb, cents, "vec_id", "embedding")
+    old = sim._LITERAL_ASSIGN_MAX
+    sim._LITERAL_ASSIGN_MAX = 10_000  # → literal path for the same centroids
+    try:
+        via_lit = sim._assign_cells(emb, cents, "vec_id", "embedding")
+    finally:
+        sim._LITERAL_ASSIGN_MAX = old
+    a = {r["neighbor_id"]: (r["cell"], r["_vn"]) for r in via_join.collect()}
+    b = {r["neighbor_id"]: (r["cell"], r["_vn"]) for r in via_lit.collect()}
+    assert a == b
+
+
+def test_semantic_dedup_auto_matches_pinned_semantics(spark):
+    """Auto geometry changes WHICH cells bound the pair search, not the
+    dedup semantics: a planted exact duplicate (cosine 1.0 — same nearest
+    centroid by construction) must still dedup to its original under
+    corpus-derived geometry."""
+    import random
+
+    rng = random.Random(11)
+    base = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(120)]
+    rows = [(i, [float(x) for x in v], 0) for i, v in enumerate(base)]
+    rows.append((500, [float(x) for x in base[7]], 0))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {
+        r["dup_id"]: r["keep_id"]
+        for r in similarity.semantic_dedup(emb, threshold=0.95).collect()
+    }
+    assert out.get(500) == 7
+    assert 7 not in out
