@@ -273,12 +273,17 @@ def materialize_base_tables(
 
     if n_files is None:
         n_files = spark.sparkContext.defaultParallelism
-    root = tempfile.mkdtemp(prefix="dwh-bench-base-")
-    atexit.register(shutil.rmtree, root, True)
+    root, reuse = _scratch_root(sf_dir, "base")
+    if root is None:
+        root = tempfile.mkdtemp(prefix="dwh-bench-base-")
+        atexit.register(shutil.rmtree, root, True)
     out: dict[str, DataFrame] = {}
     for name in tables if tables is not None else list(TESTDATA_TABLES):
         path = os.path.join(root, name)
-        load_table(spark, sf_dir, name).repartition(n_files).write.parquet(path)
+        if not (reuse and os.path.exists(os.path.join(path, "_SUCCESS"))):
+            load_table(spark, sf_dir, name).repartition(n_files).write.mode(
+                "overwrite"
+            ).parquet(path)
         out[name] = spark.read.parquet(path)
     _BASE_MATERIALIZED[key] = out
 
@@ -297,15 +302,36 @@ def materialize_warehouse(spark: SparkSession, sf_dir: str) -> None:
 
     if _mat_key(spark, sf_dir) in _MATERIALIZED:
         return
-    root = tempfile.mkdtemp(prefix="dwh-bench-wh-")
-    atexit.register(shutil.rmtree, root, True)
+    root, reuse = _scratch_root(sf_dir, "wh")
+    if root is None:
+        root = tempfile.mkdtemp(prefix="dwh-bench-wh-")
+        atexit.register(shutil.rmtree, root, True)
     views = LazyViews(spark, sf_dir)
     out: dict[str, DataFrame] = {}
     for name in ("tenant", "account", "transfer", "account_balance_change"):
         path = os.path.join(root, name)
-        views[name].write.parquet(path)
+        if not (reuse and os.path.exists(os.path.join(path, "_SUCCESS"))):
+            views[name].write.mode("overwrite").parquet(path)
         out[name] = spark.read.parquet(path)
     _MATERIALIZED[_mat_key(spark, sf_dir)] = out
+
+
+def _scratch_root(sf_dir: str, kind: str) -> tuple[str | None, bool]:
+    """Bench-scratch location policy. ``SPARK_GRAFT_BENCH_SCRATCH`` names a
+    directory SHARED across processes (``bench.py --isolate`` spawns one
+    JVM per query — each child must reuse the first child's normalized
+    copies, not pay a full rewrite); without it the copies live in a
+    process-lifetime temp dir. Returns (root or None-for-tempdir, reuse?);
+    reuse checks per-table ``_SUCCESS`` markers, so a partially-written
+    shared table (killed child) is rewritten, never trusted. The sf tag
+    keeps different scale factors apart in one shared root."""
+    env_root = os.environ.get("SPARK_GRAFT_BENCH_SCRATCH")
+    if not env_root:
+        return None, False
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = os.path.join(env_root, f"{kind}-{tag}")
+    os.makedirs(root, exist_ok=True)
+    return root, True
 
 
 def warehouse_views(spark: SparkSession, sf_dir: str) -> LazyViews:
