@@ -20,6 +20,18 @@ stays 0 for the driver; ``--check`` (or SPARK_GRAFT_BENCH_STRICT=1) makes
 unexplained regressions exit 1 — the CI mode. The per-round ritual:
 explain or recover every flagged query, then refresh the reference to the
 new measured timings.
+
+``--isolate``: one FRESH JVM per query (a child process running this same
+script with ``SPARK_GRAFT_BENCH_ONLY=<name>``). Removes every cross-query
+measurement artifact a shared JVM carries — accumulated code cache, GC
+pressure from earlier queries' allocations, broadcast/torrent cleanup
+backlogs — at the cost of paying Spark startup per query (untimed; each
+child times only its own steady-state runs). Children share one
+normalized-fixture scratch via ``SPARK_GRAFT_BENCH_SCRATCH`` (first child
+writes, the rest reuse — see catalog._scratch_root), so the per-child
+overhead is JVM startup, not a fixture rewrite. Gate re-times in a fresh
+child. This is the diagnostic mode for adjudicating shared-JVM
+regressions; the driver's headline number stays the shared-JVM run.
 """
 
 from __future__ import annotations
@@ -92,7 +104,130 @@ BENCH_QUERIES = [
 ]
 
 
+def _bench_names() -> list[str]:
+    """Apply SPARK_GRAFT_BENCH_ONLY (comma-separated subset) to the bench
+    list — shared by the in-process and ``--isolate`` drivers."""
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if not only:
+        return list(BENCH_QUERIES)
+    wanted = set(only.split(","))
+    unknown = wanted - set(BENCH_QUERIES)
+    if unknown:  # no silent caps: a typo'd name must not vanish quietly
+        print(
+            f"bench: ignoring unknown SPARK_GRAFT_BENCH_ONLY names: "
+            f"{sorted(unknown)}",
+            file=sys.stderr,
+        )
+    return [n for n in BENCH_QUERIES if n in wanted]
+
+
+def _spawn_child(name: str, scratch: str) -> float | None:
+    """Run ONE query in a fresh JVM (a child of this script) and return its
+    best-of-N timing; None if the child failed (reported on stderr)."""
+    import subprocess
+
+    env = dict(os.environ)
+    env["SPARK_GRAFT_BENCH_ONLY"] = name
+    env["SPARK_GRAFT_BENCH_NOGATE"] = "1"  # the parent owns the gate
+    env["SPARK_GRAFT_BENCH_SCRATCH"] = scratch
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        capture_output=True,
+        text=True,
+        env=env,
+    )
+    for line in reversed(proc.stdout.splitlines()):
+        if line.startswith("{"):
+            t = json.loads(line)["queries"].get(name)
+            if t is not None:
+                return float(t)
+    print(
+        f"bench --isolate: child for {name} produced no timing "
+        f"(rc={proc.returncode}); stderr tail: {proc.stderr[-500:]}",
+        file=sys.stderr,
+    )
+    return None
+
+
+def isolated_main() -> int:
+    """--isolate driver: fresh JVM per query, shared fixture scratch,
+    gate re-times in another fresh child."""
+    import tempfile
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    scratch = os.environ.get("SPARK_GRAFT_BENCH_SCRATCH") or tempfile.mkdtemp(
+        prefix="dwh-bench-scratch-"
+    )
+    names = _bench_names()
+    timings: dict[str, float] = {}
+    for name in names:
+        t = _spawn_child(name, scratch)
+        if t is not None:
+            timings[name] = t
+
+    regressions: dict[str, dict] = {}
+    explained_regressions: dict[str, dict] = {}
+    ref_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_REFERENCE.json"
+    )
+    if os.path.exists(ref_path):
+        with open(ref_path) as fh:
+            ref = json.load(fh)
+        if ref.get("sf") == sf:
+            explained = ref.get("explained", {})
+            for name, t in list(timings.items()):
+                r = ref.get("queries", {}).get(name)
+                if r is None or t <= 1.3 * r:
+                    continue
+                retime = _spawn_child(name, scratch)  # fresh-JVM second opinion
+                best = min(t, retime) if retime is not None else t
+                timings[name] = round(best, 4)
+                if best > 1.3 * r:
+                    entry = {"sec": round(best, 4), "ref": r,
+                             "ratio": round(best / r, 2)}
+                    if name in explained:
+                        entry["explained"] = explained[name]
+                        explained_regressions[name] = entry
+                    else:
+                        regressions[name] = entry
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "isolated": True,
+                "regressions": regressions,
+                "explained_regressions": explained_regressions,
+                "timing": (
+                    "best-of-n in a FRESH JVM per query (no cross-query "
+                    "cache/GC interference; Spark startup untimed)"
+                ),
+            }
+        )
+    )
+    strict = "--check" in sys.argv or os.environ.get(
+        "SPARK_GRAFT_BENCH_STRICT"
+    ) == "1"
+    if strict and regressions:
+        print(
+            f"BENCH GATE: {len(regressions)} unexplained regression(s) "
+            f"(>1.3x reference in isolated JVMs): {sorted(regressions)}",
+            file=sys.stderr,
+        )
+        return 1
+    return 0
+
+
 def main() -> None:
+    if "--isolate" in sys.argv:
+        return isolated_main()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -127,19 +262,7 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     # optional subset (comma-separated names) — for scale studies where the
     # fixed-knob quadratic entries would dominate a 100x run
-    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
-    if only:
-        wanted = set(only.split(","))
-        names = [n for n in BENCH_QUERIES if n in wanted]
-        unknown = wanted - set(BENCH_QUERIES)
-        if unknown:  # no silent caps: a typo'd name must not vanish quietly
-            print(
-                f"bench: ignoring unknown SPARK_GRAFT_BENCH_ONLY names: "
-                f"{sorted(unknown)}",
-                file=sys.stderr,
-            )
-    else:
-        names = BENCH_QUERIES
+    names = _bench_names()
     timings: dict[str, float] = {}
     from data_warehouse_spark.operators.similarity import clear_ivf_cache
 
@@ -164,11 +287,13 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
 
     # --- regression gate (see module docstring) ---------------------------
+    # children of --isolate skip it: the parent gates the merged timings
+    nogate = os.environ.get("SPARK_GRAFT_BENCH_NOGATE") == "1"
     regressions: dict[str, dict] = {}
     explained_regressions: dict[str, dict] = {}
     ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "BENCH_REFERENCE.json")
-    if os.path.exists(ref_path):
+    if os.path.exists(ref_path) and not nogate:
         with open(ref_path) as fh:
             ref = json.load(fh)
         if ref.get("sf") == sf:

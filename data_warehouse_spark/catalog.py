@@ -23,6 +23,7 @@ Mapping (pure equi-joins on dims — broadcastable at any scale):
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -273,18 +274,20 @@ def materialize_base_tables(
 
     if n_files is None:
         n_files = spark.sparkContext.defaultParallelism
-    root, reuse = _scratch_root(sf_dir, "base")
+    root, reuse = _scratch_root(sf_dir, "base", extra=f"n_files={n_files}")
+    shared = root is not None
     if root is None:
         root = tempfile.mkdtemp(prefix="dwh-bench-base-")
         atexit.register(shutil.rmtree, root, True)
     out: dict[str, DataFrame] = {}
-    for name in tables if tables is not None else list(TESTDATA_TABLES):
-        path = os.path.join(root, name)
-        if not (reuse and os.path.exists(os.path.join(path, "_SUCCESS"))):
-            load_table(spark, sf_dir, name).repartition(n_files).write.mode(
-                "overwrite"
-            ).parquet(path)
-        out[name] = spark.read.parquet(path)
+    with _scratch_write_lock(root if shared else None):
+        for name in tables if tables is not None else list(TESTDATA_TABLES):
+            path = os.path.join(root, name)
+            if not (reuse and os.path.exists(os.path.join(path, "_SUCCESS"))):
+                load_table(spark, sf_dir, name).repartition(n_files).write.mode(
+                    "overwrite"
+                ).parquet(path)
+            out[name] = spark.read.parquet(path)
     _BASE_MATERIALIZED[key] = out
 
 
@@ -303,35 +306,92 @@ def materialize_warehouse(spark: SparkSession, sf_dir: str) -> None:
     if _mat_key(spark, sf_dir) in _MATERIALIZED:
         return
     root, reuse = _scratch_root(sf_dir, "wh")
+    shared = root is not None
     if root is None:
         root = tempfile.mkdtemp(prefix="dwh-bench-wh-")
         atexit.register(shutil.rmtree, root, True)
     views = LazyViews(spark, sf_dir)
     out: dict[str, DataFrame] = {}
-    for name in ("tenant", "account", "transfer", "account_balance_change"):
-        path = os.path.join(root, name)
-        if not (reuse and os.path.exists(os.path.join(path, "_SUCCESS"))):
-            views[name].write.mode("overwrite").parquet(path)
-        out[name] = spark.read.parquet(path)
+    with _scratch_write_lock(root if shared else None):
+        for name in ("tenant", "account", "transfer", "account_balance_change"):
+            path = os.path.join(root, name)
+            if not (reuse and os.path.exists(os.path.join(path, "_SUCCESS"))):
+                views[name].write.mode("overwrite").parquet(path)
+            out[name] = spark.read.parquet(path)
     _MATERIALIZED[_mat_key(spark, sf_dir)] = out
 
 
-def _scratch_root(sf_dir: str, kind: str) -> tuple[str | None, bool]:
+def _corpus_fingerprint(sf_dir: str, extra: str = "") -> str:
+    """Content identity of an sf_dir for scratch-cache keying: absolute
+    path + (name, size, mtime) of every source parquet + any layout knob
+    (``extra``, e.g. n_files for base copies). Two corpora whose
+    directories share a leaf name, or an sf_dir regenerated in place, get
+    DIFFERENT fingerprints — a stale or foreign normalized copy can never
+    be served (the failure mode of keying on basename alone)."""
+    import hashlib
+
+    h = hashlib.sha1()
+    h.update(os.path.abspath(sf_dir).encode())
+    h.update(b"\0" + extra.encode())
+    try:
+        names = sorted(os.listdir(sf_dir))
+    except OSError:
+        names = []
+    for n in names:
+        if not n.endswith(".parquet"):
+            continue
+        p = os.path.join(sf_dir, n)
+        try:
+            st = os.stat(p)
+        except OSError:
+            continue
+        h.update(f"\0{n}:{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:12]
+
+
+def _scratch_root(
+    sf_dir: str, kind: str, extra: str = ""
+) -> tuple[str | None, bool]:
     """Bench-scratch location policy. ``SPARK_GRAFT_BENCH_SCRATCH`` names a
     directory SHARED across processes (``bench.py --isolate`` spawns one
     JVM per query — each child must reuse the first child's normalized
     copies, not pay a full rewrite); without it the copies live in a
     process-lifetime temp dir. Returns (root or None-for-tempdir, reuse?);
     reuse checks per-table ``_SUCCESS`` markers, so a partially-written
-    shared table (killed child) is rewritten, never trusted. The sf tag
-    keeps different scale factors apart in one shared root."""
+    shared table (killed child) is rewritten, never trusted. The tag folds
+    in a corpus fingerprint (path + source sizes/mtimes + layout knobs),
+    so different scale factors, same-leaf-name corpora, and in-place
+    regenerations all land in distinct roots. Concurrent writers are
+    serialized by the flock in :func:`_scratch_write_lock` — callers hold
+    it across check-and-write."""
     env_root = os.environ.get("SPARK_GRAFT_BENCH_SCRATCH")
     if not env_root:
         return None, False
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    leaf = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    tag = f"{leaf}-{_corpus_fingerprint(sf_dir, extra)}"
     root = os.path.join(env_root, f"{kind}-{tag}")
     os.makedirs(root, exist_ok=True)
     return root, True
+
+
+@contextlib.contextmanager
+def _scratch_write_lock(root: str | None):
+    """Cross-process guard for a shared scratch root: an exclusive flock
+    held across the check-_SUCCESS-then-write loop, so two ``--isolate``
+    children racing the first materialization serialize instead of
+    overwriting each other's files mid-read. No-op for private temp
+    roots (single process by construction)."""
+    if root is None:
+        yield
+        return
+    import fcntl
+
+    fh = open(os.path.join(root, ".write_lock"), "w")
+    try:
+        fcntl.flock(fh, fcntl.LOCK_EX)
+        yield
+    finally:
+        fh.close()
 
 
 def warehouse_views(spark: SparkSession, sf_dir: str) -> LazyViews:

@@ -621,12 +621,19 @@ def append_to_ivf_index(
 ) -> int:
     """Index freshness without a rebuild — the IVF maintenance path every
     serving system needs: assign the new vectors to the STORED centroids
-    (map-side, via the same :func:`_assign_cells` expression as the index
-    build — stored and appended assignments cannot diverge) and append
-    them to the cell-partitioned corpus. Centroids stay fixed, so existing
-    cell assignments, stored files, and in-flight probes are untouched;
-    the classic operational rule applies — rebuild (re-quantize) only when
-    drift makes cell sizes skew enough to hurt recall.
+    (the same :func:`_assign_cells` dispatch as the index build — stored
+    and appended assignments cannot diverge) and append them to the
+    cell-partitioned corpus. Assignment cost depends on geometry: at
+    ≤ :data:`_LITERAL_ASSIGN_MAX` centroids it is a map-only literal
+    expression; above that (the normal case at auto √N geometry) it is a
+    broadcast join against the centroid table ending in one map-side-
+    combined aggregation per batch — still no corpus shuffle, but a
+    streaming sink appending every micro-batch should budget that extra
+    aggregation stage per tick (size the trigger interval so batches
+    amortize it). Centroids stay fixed, so existing cell assignments,
+    stored files, and in-flight probes are untouched; the classic
+    operational rule applies — rebuild (re-quantize) only when drift makes
+    cell sizes skew enough to hurt recall.
 
     Returns the number of vectors appended. Id uniqueness is the caller's
     contract (pair with the dedup gate / MERGE upstream — e.g. gate the

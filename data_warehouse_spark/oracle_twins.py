@@ -677,8 +677,16 @@ def ann_ivf_sql(
     """IVF-flat twin: shared assignment prefix (:func:`_ivf_assigned_cte`),
     probe the ``nprobe`` best cells, exact cosine among candidates.
     ``n_cells=None``/``nprobe=None`` = corpus-derived geometry via the
-    ``_geo`` CTE (requires ``train_iters=0`` — see the prefix docstring)."""
+    ``_geo`` CTE (requires ``train_iters=0`` — see the prefix docstring).
+    ``nprobe=None`` with a CONCRETE ``n_cells`` derives ⌊√n_cells⌋ here in
+    Python (= ``similarity.auto_nprobe``) — the ``_geo`` CTE only exists
+    when ``n_cells`` is also None, so referencing it would emit SQL with
+    an undefined CTE."""
     ids = ", ".join(str(i) for i in query_ids)
+    if nprobe is None and n_cells is not None:
+        import math
+
+        nprobe = max(1, math.isqrt(int(n_cells)))
     probe_bound = "(SELECT nprobe FROM _geo)" if nprobe is None else str(nprobe)
     return f"""
 WITH {_ivf_assigned_cte(n_cells, dim, train_iters)},

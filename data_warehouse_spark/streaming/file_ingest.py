@@ -166,12 +166,18 @@ class FileStreamIngestion:
                         "the primary writers",
                         n_pending,
                     )
-                self._write_pending(leftover)
-                if not picked.limit(1).count():
-                    return
-                self._pipeline._expand_and_merge(
-                    m, files_read, picked, accounts, monotonic_markers=True
-                )
+                version = self._write_pending(leftover)
+                if picked.limit(1).count():
+                    self._pipeline._expand_and_merge(
+                        m, files_read, picked, accounts, monotonic_markers=True
+                    )
+                # COMMIT LAST: the new version becomes readable only after
+                # every merge it depends on has durably completed. A crash
+                # anywhere before this line leaves the version invisible
+                # (readers fall back to the previous committed version,
+                # which still holds the rows this batch drained into
+                # ``picked``) — the replay re-merges them as keyed no-ops.
+                self._commit_pending(version)
             finally:
                 candidates.unpersist()
         finally:
@@ -182,20 +188,32 @@ class FileStreamIngestion:
     # Orphan-event pending store: VERSIONED directories under
     # ``pending_events/`` (``v1``, ``v2``, …). Each batch writes its
     # leftover set as a brand-new version (a distributed parquet write —
-    # rows never pass through the driver), committed by Spark's own
-    # ``_SUCCESS`` marker; readers take the newest committed version and
-    # prune the superseded ones. Crash anywhere is safe:
-    #   mid-write            → no _SUCCESS → next batch reads the previous
-    #                          version (stale = replay no-op, same contract
-    #                          as the batch pipeline's ticks);
-    #   write ok, merge lost → the streaming checkpoint replays the batch;
-    #                          the new version is a subset of what the
-    #                          replay recomputes, keyed merges dedupe;
+    # rows never pass through the driver). TWO markers gate a version:
+    #   _SUCCESS  (Spark's)  — the data files are durably written;
+    #   COMMITTED (ours)     — touched only AFTER the batch's table merges
+    #                          completed, i.e. after every row this version
+    #                          OMITS (the drained ``picked`` set) has been
+    #                          durably merged into the warehouse.
+    # Readers take the newest version carrying BOTH markers and prune the
+    # rest. Crash anywhere is safe:
+    #   mid-write              → no _SUCCESS → invisible garbage, pruned;
+    #   write ok, merge lost   → _SUCCESS but no COMMITTED → readers fall
+    #                            back to the PREVIOUS committed version,
+    #                            which still holds the rows this batch
+    #                            drained; the checkpoint replay re-merges
+    #                            them (keyed merges dedupe). Without the
+    #                            COMMITTED gate those drained rows would be
+    #                            lost: the replay's batch_events doesn't
+    #                            contain them (they came from older files)
+    #                            and the file index never redelivers.
+    #   merge ok, commit lost  → same fallback; replay re-runs the merges
+    #                            as no-ops, rewrites, then commits;
     #   two committed versions (prune lost) → newest wins, older deleted
-    #                          at the next read.
-    # Writing BEFORE the table merges also means the leftover plan (which
-    # reads the account store) can never race the store's copy-on-write
-    # file swap — the reason the old implementation collect()ed.
+    #                            at the next read.
+    # Writing the DATA before the table merges is still required: the
+    # leftover plan reads the account store, so materializing it first
+    # means it can never race the store's copy-on-write file swap — the
+    # reason the old implementation collect()ed.
 
     # above this many parked orphans the batch logs a writer-bug warning
     # (driver safety no longer depends on this — nothing is collected)
@@ -204,33 +222,49 @@ class FileStreamIngestion:
     def _pending_root(self) -> str:
         return os.path.join(self.checkpoint_dir, "pending_events")
 
-    def _pending_versions(self) -> list[int]:
+    def _version_dirs(self) -> list[int]:
+        """Every ``vN`` directory, committed or not — the numbering source
+        (a crashed batch's uncommitted ``vN`` must not be reused while it
+        still exists on disk)."""
         root = self._pending_root()
         if not os.path.isdir(root):
             return []
+        return sorted(
+            int(d[1:])
+            for d in os.listdir(root)
+            if d.startswith("v") and d[1:].isdigit()
+        )
+
+    def _pending_versions(self) -> list[int]:
+        """Versions eligible for reading: data durable (``_SUCCESS``) AND
+        the writing batch's merges completed (``COMMITTED``)."""
+        root = self._pending_root()
         out = []
-        for d in os.listdir(root):
-            if (
-                d.startswith("v")
-                and d[1:].isdigit()
-                and os.path.exists(os.path.join(root, d, "_SUCCESS"))
+        for v in self._version_dirs():
+            d = os.path.join(root, f"v{v}")
+            if os.path.exists(os.path.join(d, "_SUCCESS")) and os.path.exists(
+                os.path.join(d, "COMMITTED")
             ):
-                out.append(int(d[1:]))
-        return sorted(out)
+                out.append(v)
+        return out
 
     def _read_pending(self) -> DataFrame:
         vers = self._pending_versions()
         if vers:
-            # prune superseded versions NOW (before this batch's candidates
-            # plan exists) — never right after a write, where a persisted-
-            # DataFrame recompute could still re-read the old version
+            # prune superseded AND crash-garbage versions NOW (before this
+            # batch's candidates plan exists) — never right after a write,
+            # where a persisted-DataFrame recompute could still re-read the
+            # old version. Everything except the newest committed version
+            # is dead: older committed = superseded, uncommitted = a
+            # crashed batch whose replay recomputes it.
             import shutil
 
-            for v in vers[:-1]:
-                shutil.rmtree(
-                    os.path.join(self._pending_root(), f"v{v}"),
-                    ignore_errors=True,
-                )
+            for v in self._version_dirs():
+                if v != vers[-1]:
+                    shutil.rmtree(
+                        os.path.join(self._pending_root(), f"v{v}"),
+                        ignore_errors=True,
+                    )
             # STRICT: a committed version that cannot be read must fail the
             # batch (streaming restart replays it with the store intact) —
             # swallowing the error would permanently drop parked events the
@@ -240,17 +274,28 @@ class FileStreamIngestion:
             )
         return self.spark.createDataFrame([], primary.ACCOUNT_EVENT_SCHEMA)
 
-    def _write_pending(self, leftover: DataFrame) -> None:
-        """Write the orphan-event store as the next version — distributed,
+    def _write_pending(self, leftover: DataFrame) -> int:
+        """Write the orphan-event store's next version — distributed,
         bounded file count (the store is small in steady state; a flood is
-        a slow executor-side write, never driver memory)."""
-        vers = self._pending_versions()
-        nxt = (vers[-1] + 1) if vers else 1
+        a slow executor-side write, never driver memory). The version is
+        NOT readable yet: the caller commits it only after its batch's
+        table merges durably complete (see the protocol note above)."""
+        dirs = self._version_dirs()
+        nxt = (dirs[-1] + 1) if dirs else 1
         leftover.select(*primary.ACCOUNT_EVENT_SCHEMA.fieldNames()).coalesce(
             1
         ).write.mode("overwrite").parquet(
             os.path.join(self._pending_root(), f"v{nxt}")
         )
+        return nxt
+
+    def _commit_pending(self, version: int) -> None:
+        """Make ``vN`` eligible for reading — called only after the batch's
+        merges completed, so a fallback to the previous version can never
+        lose drained rows."""
+        marker = os.path.join(self._pending_root(), f"v{version}", "COMMITTED")
+        open(marker, "w").close()
+
 
     # ------------------------------------------------------------------
     def start(self, processing_time: str = "2 seconds"):

@@ -136,3 +136,43 @@ def test_catalog_queries_cache_only_the_ivf_index_and_release_on_evict(spark):
     # ...and eviction releases it completely
     similarity.clear_ivf_cache()
     assert spark.sparkContext._jsc.getPersistentRDDs().size() <= before
+
+
+def test_scratch_root_keys_on_corpus_identity(tmp_path, monkeypatch):
+    """Shared bench scratch must key on corpus CONTENT identity, not the
+    sf_dir's leaf name: two corpora whose directories share a leaf name
+    (.../runA/sf0.1 vs .../runB/sf0.1), an sf_dir regenerated in place
+    (mtime/size change), and a different n_files layout knob must all land
+    in DISTINCT scratch roots — a stale or foreign normalized copy is
+    never served."""
+    import os
+    import time
+
+    from data_warehouse_spark.catalog import _scratch_root
+
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_SCRATCH", str(tmp_path / "scratch"))
+    a = tmp_path / "runA" / "sf0.1"
+    b = tmp_path / "runB" / "sf0.1"
+    for d in (a, b):
+        os.makedirs(d)
+        (d / "nation.parquet").write_bytes(b"x" * 10)
+
+    root_a, reuse_a = _scratch_root(str(a), "base")
+    root_b, _ = _scratch_root(str(b), "base")
+    assert reuse_a and root_a is not None
+    assert root_a != root_b, "same leaf name must not share a scratch root"
+
+    # in-place regeneration (content change) → new root
+    time.sleep(0.01)  # ensure mtime_ns moves even on coarse filesystems
+    (a / "nation.parquet").write_bytes(b"y" * 11)
+    root_a2, _ = _scratch_root(str(a), "base")
+    assert root_a2 != root_a, "regenerated corpus must not reuse stale copies"
+
+    # layout knob (n_files) participates in the key
+    root_k1, _ = _scratch_root(str(a), "base", extra="n_files=8")
+    root_k2, _ = _scratch_root(str(a), "base", extra="n_files=32")
+    assert root_k1 != root_k2
+
+    # stable when nothing changed
+    root_a3, _ = _scratch_root(str(a), "base")
+    assert root_a3 == root_a2

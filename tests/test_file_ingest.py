@@ -280,3 +280,57 @@ def test_pending_store_is_versioned_and_survives_floods(roots, caplog):
     # after the next read cycle only the newest (empty) version remains
     assert stream._read_pending().count() == 0
     assert len(stream._pending_versions()) == 1
+
+
+def test_pending_version_unreadable_until_merge_commits(roots):
+    """Crash-window regression: a batch that drains parked events writes
+    its new (drained-rows-EXCLUDED) pending version BEFORE the table
+    merges, but that version must not become readable until the merges
+    durably complete. If it did, a crash between the write and the merge
+    would lose the drained events permanently — the replay's batch_events
+    doesn't contain them (they came from older files), the file index
+    never redelivers, and the newest pending version omits them."""
+    primary, _batch, stream = roots
+    t = "t_TENANT_CRASH"
+    # batch 1: events + transaction land WITHOUT the account metas → parked
+    write(
+        os.path.join(primary, t, "transaction", "TRN"),
+        "committed\nTRX TENANT_CRASH C TENANT_CRASH D 2020-01-01T00:00:00Z 1 CZK\n",
+    )
+    write(os.path.join(primary, t, "account", "C", "events", "0000000000", "1_1_TRN"), "1\n")
+    write(os.path.join(primary, t, "account", "D", "events", "0000000000", "1_-1_TRN"), "1\n")
+    first = stream.run_available()
+    assert first is not None and first.extra["pending_events"] == 2
+    assert stream._read_pending().count() == 2
+
+    # batch 2: the metas land, the parked events drain into `picked` —
+    # but the merge CRASHES after the new pending version's data write.
+    write(os.path.join(primary, t, "account", "C", "snapshot", "0000000000"), "CZK FORMAT_F\n")
+    write(os.path.join(primary, t, "account", "D", "snapshot", "0000000000"), "CZK FORMAT_F\n")
+    real_merge = stream._pipeline._expand_and_merge
+
+    def crash(*a, **k):
+        raise RuntimeError("injected crash between pending write and merge")
+
+    stream._pipeline._expand_and_merge = crash
+    with pytest.raises(Exception, match="injected crash"):
+        stream.run_available()
+    stream._pipeline._expand_and_merge = real_merge
+
+    # the crashed batch's version has data (_SUCCESS) but no COMMITTED —
+    # readers must fall back to the previous version, which still holds
+    # the two drained events
+    dirs = stream._version_dirs()
+    committed = stream._pending_versions()
+    assert len(dirs) > len(committed), "crashed version must stay uncommitted"
+    assert stream._read_pending().count() == 2, "drained rows must survive the crash"
+
+    # replay: checkpoint redelivers the failed batch; the fallback pending
+    # version re-supplies the drained events; everything completes
+    replay = stream.run_available()
+    assert replay is not None and replay.transfers_discovered == 1
+    assert stream.store.read("transfer").count() == 1
+    assert replay.extra["pending_events"] == 0
+    # exactly one committed version remains after the next read cycle
+    assert stream._read_pending().count() == 0
+    assert len(stream._pending_versions()) == 1

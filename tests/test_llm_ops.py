@@ -1512,6 +1512,32 @@ def test_auto_geometry_derivation_matches_sql_twin():
     assert similarity.auto_nprobe(similarity.N_CELLS) == similarity.N_PROBE
 
 
+def test_ann_ivf_sql_auto_nprobe_with_pinned_cells_is_valid_sql():
+    """Regression: ``nprobe=None`` with a CONCRETE ``n_cells`` used to emit
+    ``(SELECT nprobe FROM _geo)`` while the ``_geo`` CTE is only generated
+    when ``n_cells`` is also None — undefined-CTE SQL. The signature now
+    derives ⌊√n_cells⌋ in Python (= ``auto_nprobe``); the emitted SQL must
+    parse and use that bound."""
+    import duckdb
+
+    from data_warehouse_spark.oracle_twins import ann_ivf_sql
+
+    sql = ann_ivf_sql([0, 1], k=3, n_cells=64, nprobe=None, train_iters=0)
+    assert "_geo" not in sql
+    assert f"rn <= {similarity.auto_nprobe(64)}" in sql
+    con = duckdb.connect()
+    con.execute(
+        "CREATE OR REPLACE VIEW embeddings AS "
+        "SELECT range AS vec_id, "
+        "list_transform(range(1, 65), i -> CAST((range * 31 + i) % 7 AS FLOAT))"
+        " AS embedding FROM range(40)"
+    )
+    rows = con.execute(sql).fetchall()  # must not raise Binder error
+    assert all(r[2] <= 3 for r in rows)
+    # fully-auto geometry still routes through the _geo CTE
+    assert "_geo" in ann_ivf_sql([0], n_cells=None, nprobe=None, train_iters=0)
+
+
 def test_auto_geometry_defaults_drive_operators(spark):
     """``n_cells=None`` / ``planes=None`` defaults must derive geometry
     from the corpus count — the 100 TB contract (a pinned cell count is the
