@@ -21,6 +21,18 @@ Replication semantics per table (consistency rules):
   * documents append a ``" v<copy>"`` suffix (texts stay distinct across
     copies; n_chars recomputed) — replicated docs are deliberate
     near-duplicates of each other, a legitimate dedup stress shape;
+  * ``--perturb-text`` additionally rewrites ~1/3 of each copy's TOKENS
+    (content-keyed: token t -> t~<copy> when hash(t, copy) lands in the
+    replace class). Token-keyed (not position-keyed) so the map is
+    IDENTICAL for every document within a copy: documents that were
+    near-dups of each other in the source stay near-dups inside each copy
+    (shared token windows transform identically), while cross-copy shingle
+    survival collapses to (2/3)^8 ≈ 4% of 8-gram windows — replicas of the
+    SAME document land far below every near-dup threshold. This is the
+    non-degenerate shape for benching the near-dup families at scale:
+    without it, N copies of the corpus are N·(N-1)/2 mutual near-dup
+    pairs per source doc and the candidate volume measures the fixture,
+    not the operator;
   * embeddings perturb each copy by +copy·1e-3 per dimension (distinct
     vectors, preserved neighborhood structure);
   * timestamps are kept — density per day grows with SF, like TPC-H.
@@ -74,11 +86,24 @@ def _guard_key_range(con, src: str, table: str, factor: int) -> None:
             )
 
 
-def scale_table(con, src: str, dst: str, table: str, factor: int) -> int:
+def scale_table(
+    con, src: str, dst: str, table: str, factor: int, perturb_text: bool = False
+) -> int:
     _guard_key_range(con, src, table, factor)
     off = "copy * {o}".format(o=OFFSET)
     suffix = "CASE WHEN copy = 0 THEN '' ELSE '_' || copy END"
     doc_suffix = "CASE WHEN copy = 0 THEN '' ELSE ' v' || copy END"
+    if perturb_text:
+        # content-keyed token rewrite (see module docstring): deterministic,
+        # uniform within a copy, divergent across copies; copy 0 untouched
+        doc_text = f"""CASE WHEN copy = 0 THEN r.text ELSE
+            array_to_string(list_transform(string_split(r.text, ' '),
+              t -> CASE WHEN t = '' THEN t
+                        WHEN hash(t || ':' || copy) % 3 = 0
+                        THEN t || '~' || copy ELSE t END), ' ')
+            || ' v' || copy END"""
+    else:
+        doc_text = f"r.text || {doc_suffix}"
     exprs = {
         "region": "r.*",
         "nation": "r.*",
@@ -100,8 +125,8 @@ def scale_table(con, src: str, dst: str, table: str, factor: int) -> int:
         "events": f"""r.event_id + {off} AS event_id, r.ts,
             r.user_id + {off} AS user_id, r.event_type, r.value, r.props""",
         "documents": f"""r.doc_id + {off} AS doc_id,
-            r.text || {doc_suffix} AS text, r.lang, r.source,
-            CAST(length(r.text || {doc_suffix}) AS BIGINT) AS n_chars""",
+            {doc_text} AS text, r.lang, r.source,
+            CAST(length({doc_text}) AS BIGINT) AS n_chars""",
         "embeddings": f"""r.vec_id + {off} AS vec_id,
             list_transform(r.embedding,
                 x -> CAST(x + copy * 0.001 AS FLOAT)) AS embedding,
@@ -124,6 +149,12 @@ def main() -> None:
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--dst", default="scale_data/sf1")
+    ap.add_argument(
+        "--perturb-text",
+        action="store_true",
+        help="token-level per-copy noise so replicated documents are NOT "
+        "mutual near-dups (non-degenerate near-dup benching at scale)",
+    )
     args = ap.parse_args()
     os.makedirs(args.dst, exist_ok=True)
     con = duckdb.connect()
@@ -132,7 +163,8 @@ def main() -> None:
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",
     ):
-        n = scale_table(con, args.src, args.dst, t, args.factor)
+        n = scale_table(con, args.src, args.dst, t, args.factor,
+                        perturb_text=args.perturb_text)
         print(f"{t}: {n} rows")
     print(f"done in {time.time() - t0:.1f}s -> {args.dst}")
 
