@@ -89,6 +89,19 @@ GRAPHIQL_PAGE = graphiql_page()
 def build_app(store) -> Flask:
     app = Flask("data_warehouse_spark")
 
+    @app.before_request
+    def _serving_pool():
+        # requests are served by per-request WSGI threads; tag each so its
+        # Spark jobs land in the "serving" FAIR pool, isolated from the
+        # ingest loop's pool (session.py / service.py — the reference's
+        # read-vs-ingest HikariCP pool split, application.conf:66-109)
+        try:
+            store.spark.sparkContext.setLocalProperty(
+                "spark.scheduler.pool", "serving"
+            )
+        except Exception:  # store without a live SparkContext (unit fakes)
+            pass
+
     def run_query(payload: dict) -> Response:
         query = payload.get("query")
         if not isinstance(query, str) or not query.strip():

@@ -58,6 +58,16 @@ class Service:
 
     # --- ingestion loop (explorer actor equivalent) ---------------------
     def _ingest_loop(self) -> None:
+        # every Spark job this thread submits runs in the "ingest" pool —
+        # under FAIR scheduling (session.py) a long tick shares the cluster
+        # with serving jobs instead of convoying them (the reference's
+        # two-pool isolation, application.conf:66-109)
+        try:
+            self.spark.sparkContext.setLocalProperty(
+                "spark.scheduler.pool", "ingest"
+            )
+        except Exception:  # pragma: no cover - session without a live sc
+            pass
         while not self._stop.is_set():
             started = self._now()
             try:

@@ -42,6 +42,15 @@ def get_spark(
         # at 100 TB, broadcast threshold matters: dims (region/nation/tenant)
         # stay broadcastable; AQE converts to broadcast at runtime too.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # ---- serving vs ingest isolation ----
+        # FAIR scheduling so a long ingestion tick cannot convoy the
+        # serving path's short jobs (the reference isolates them with two
+        # HikariCP pools — application.conf:66-109; Spark's analogue is
+        # scheduler pools). Threads opt in via
+        # sc.setLocalProperty("spark.scheduler.pool", "serving"|"ingest")
+        # (service.py / api/http.py); untagged work lands in the default
+        # pool and behaves exactly as before.
+        .config("spark.scheduler.mode", "FAIR")
         # ---- correctness ----
         .config("spark.sql.session.timeZone", "UTC")
         # exact decimal semantics for money (reference uses BigDecimal.exact)
