@@ -734,6 +734,60 @@ WHERE {_cos('va', 'vb', dim)} >= {threshold}
 ORDER BY id_a, id_b"""
 
 
+def embedding_neardup_auto_sql(
+    threshold: float = 0.95, dim: int = 64, max_planes: int = 18
+) -> str:
+    """Auto-geometry twin of ``embedding_near_duplicates(planes=None)``.
+
+    The plane COUNT is derived from ``count(*)`` exactly as
+    ``similarity.auto_n_planes`` (= log2 of ``auto_n_cells``, an exact
+    integer: the ``_geo`` CTE's power-of-two ``n_cells`` is mapped to its
+    exponent through an integer VALUES table — no float log anywhere).
+    The plane CONSTANTS are the first ``n_planes`` rows of the same seeded
+    stream: ``hyperplanes()`` draws row-major from one RandomState, so
+    ``hyperplanes(n=k) == hyperplanes(n=max_planes)[:k]`` (prefix
+    stability, pinned by ``tests/test_llm_ops.py``).  Bucket bit ``m`` is
+    gated on ``m < n_planes``, so ONE static SQL string stays
+    hash-checkable at ANY scale factor — the same contract as the
+    ``_geo``-derived ANN/SemDeDup twins.  ``max_planes=18`` covers
+    ``AUTO_MAX_CELLS = 2^18``, i.e. every derivable geometry."""
+    from .operators.similarity import hyperplanes
+
+    planes = hyperplanes(n=max_planes)
+    terms = []
+    for m, plane in enumerate(planes):
+        lits = ", ".join(repr(x) for x in plane)
+        d = (
+            f"list_reduce(list_prepend(CAST(0 AS DOUBLE),"
+            f" list_transform(range(1, {dim + 1}), i -> v[i] * ([{lits}]::DOUBLE[])[i])),"
+            f" (acc, x) -> acc + x)"
+        )
+        terms.append(
+            f"CASE WHEN {m} < (SELECT n_planes FROM _planes) AND {d} > 0"
+            f" THEN CAST({2 ** m} AS BIGINT) ELSE 0 END"
+        )
+    bucket = "(" + " + ".join(terms) + ")"
+    pow2_exp = ", ".join(f"({1 << e}, {e})" for e in range(2, 19))
+    return f"""
+WITH {geo_cte()},
+_planes AS (
+  SELECT e AS n_planes
+  FROM _geo JOIN (VALUES {pow2_exp}) pw(v, e) ON pw.v = _geo.n_cells
+),
+e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+pairs AS (
+  SELECT a.vec_id AS id_a, b2.vec_id AS id_b, a.v AS va, b2.v AS vb
+  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+)
+SELECT DISTINCT id_a, id_b FROM pairs
+WHERE {_cos('va', 'vb', dim)} >= {threshold}
+ORDER BY id_a, id_b"""
+
+
 def semantic_dedup_sql(
     threshold: float = 0.4,
     n_cells: int | None = 16,

@@ -2390,14 +2390,21 @@ def _doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "emb_neardup_pairs",
-    tw.embedding_neardup_sql(similarity.hyperplanes(), threshold=0.4),
-    "embedding-cosine near-dup pairs ≥ 0.4 via shared LSH bucket",
+    tw.embedding_neardup_auto_sql(threshold=0.4),
+    "embedding-cosine near-dup pairs ≥ 0.4 via shared LSH bucket "
+    "(auto √N-tracking plane count, SQL twin re-derives it from count(*))",
 )
 def _emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # planes=None → corpus-derived plane count (auto_n_planes): bucket
+    # space tracks √N so pair work stays ~linear. The pinned alternative
+    # is the measured quadratic failure mode: at sf10 (200k vectors) the
+    # 6-plane geometry produces 457M candidate pairs across 64 buckets
+    # and 2930s of interpreted-HOF cosine; auto (9 planes, 512 buckets)
+    # cuts candidates ~10x. SCALE_r5.json carries both measurements.
     return similarity.embedding_near_duplicates(
         cat.load_table(spark, sf_dir, "embeddings"),
         threshold=0.4,
-        planes=similarity.hyperplanes(),
+        planes=None,
     )
 
 

@@ -1512,6 +1512,71 @@ def test_auto_geometry_derivation_matches_sql_twin():
     assert similarity.auto_nprobe(similarity.N_CELLS) == similarity.N_PROBE
 
 
+def test_hyperplanes_prefix_stability():
+    """``hyperplanes(n=k)`` must equal the first k rows of a larger draw —
+    numpy's RandomState fills row-major from one stream. The auto-planes
+    twin (``embedding_neardup_auto_sql``) depends on this: it embeds
+    ``max_planes`` plane literals and gates bucket bit m on
+    ``m < n_planes``, so the first-k prefix must BE the k-plane set the
+    Spark side resolves."""
+    full = similarity.hyperplanes(n=18)
+    for k in (2, 5, 6, 9, 12, 18):
+        assert similarity.hyperplanes(n=k) == full[:k]
+
+
+def test_embedding_neardup_auto_sql_derives_plane_count():
+    """The auto twin's ``_planes`` CTE must reproduce
+    ``similarity.auto_n_planes`` for any corpus size (the pow2→exponent
+    VALUES lookup), and the full statement must execute and agree with the
+    Spark operator's auto default on a real fixture."""
+    import duckdb
+
+    from data_warehouse_spark.oracle_twins import embedding_neardup_auto_sql, geo_cte
+
+    con = duckdb.connect()
+    pow2_exp = ", ".join(f"({1 << e}, {e})" for e in range(2, 19))
+    for n in (0, 1, 4, 16, 17, 255, 256, 500, 2000, 20000, 200000, 2**18):
+        con.execute(
+            f"CREATE OR REPLACE VIEW embeddings AS "
+            f"SELECT range AS x FROM range({n})"
+        )
+        got = con.execute(
+            f"WITH {geo_cte()}, _planes AS ("
+            f"  SELECT e AS n_planes"
+            f"  FROM _geo JOIN (VALUES {pow2_exp}) pw(v, e)"
+            f"    ON pw.v = _geo.n_cells)"
+            f"SELECT n_planes FROM _planes"
+        ).fetchone()[0]
+        assert got == similarity.auto_n_planes(n), (n, got)
+
+
+def test_embedding_neardup_auto_matches_operator(spark):
+    """Cross-engine: ``embedding_near_duplicates(planes=None)`` vs the
+    auto-geometry twin on the test fixture (500 vectors → 5 planes — a
+    DIFFERENT geometry than the pinned 6-plane default, so this also
+    proves the derivation actually fires on both sides)."""
+    import duckdb
+
+    from data_warehouse_spark.oracle_twins import embedding_neardup_auto_sql
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_near_duplicates(
+            emb, threshold=0.4, planes=None
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS "
+        f"SELECT * FROM read_parquet('{SF_DIR}/embeddings.parquet')"
+    )
+    want = [
+        tuple(r) for r in con.execute(embedding_neardup_auto_sql(threshold=0.4)).fetchall()
+    ]
+    assert got == sorted(want)
+
+
 def test_ann_ivf_sql_auto_nprobe_with_pinned_cells_is_valid_sql():
     """Regression: ``nprobe=None`` with a CONCRETE ``n_cells`` used to emit
     ``(SELECT nprobe FROM _geo)`` while the ``_geo`` CTE is only generated
