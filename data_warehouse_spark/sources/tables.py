@@ -89,6 +89,11 @@ class TableStore:
         self.partitions = partitions or {}
         self.compact_threshold = compact_threshold
         self.cluster_by = cluster_by or {}
+        # destination paths of the most recent _adopt_files call — the
+        # per-append change capture diff_previous's docstring points to
+        # (valid until the next merge or a compaction removes them; the
+        # consumer re-checks existence)
+        self.last_adopted_files: list[str] = []
         # a typo'd or partition-column cluster key would silently disable
         # clustering forever (part files don't carry partition columns) —
         # fail construction instead
@@ -222,6 +227,7 @@ class TableStore:
         discovery metric the reference emits per entity —
         PrimaryDataExplorationService.scala:58,92,247)."""
         # dedupe the batch itself on PK first (replayed fixtures)
+        self.last_adopted_files = []  # never carry a previous merge's files
         fresh = batch.dropDuplicates(keys)
         if self.exists(name):
             current = self.read(name)
@@ -355,10 +361,14 @@ class TableStore:
         """Move parquet part files from staging into the version dir
         (file-level append — each part file appears atomically via rename,
         so concurrent readers see whole files or nothing). Returns row count
-        adopted."""
+        adopted; the adopted destination paths land in
+        ``last_adopted_files`` (file-level CDC for append-only consumers —
+        the balance-rollup maintenance reads exactly these files as the
+        tick's insert images)."""
         import pyarrow.parquet as pq
 
         n_rows = 0
+        adopted: list[str] = []
         os.makedirs(target, exist_ok=True)
         for dirpath, _dirnames, filenames in os.walk(staging):
             rel = os.path.relpath(dirpath, staging)
@@ -369,7 +379,10 @@ class TableStore:
                 n_rows += pq.read_metadata(src).num_rows
                 dest_dir = target if rel == "." else os.path.join(target, rel)
                 os.makedirs(dest_dir, exist_ok=True)
-                os.rename(src, os.path.join(dest_dir, f"adopt-{uuid.uuid4().hex[:8]}-{fname}"))
+                dest = os.path.join(dest_dir, f"adopt-{uuid.uuid4().hex[:8]}-{fname}")
+                os.rename(src, dest)
+                adopted.append(dest)
+        self.last_adopted_files = adopted
         return n_rows
 
     def merge_upsert(

@@ -324,4 +324,10 @@ class FileStreamIngestion:
             .start()
         )
         q.awaitTermination()
+        # serving balance-rollup convergence (noop when fresh — per-batch
+        # maintenance already ran inside _expand_and_merge; this covers
+        # bootstrap over an externally loaded change table)
+        from ..operators import balance_view
+
+        balance_view.maintain(self.store)
         return self.last_metrics

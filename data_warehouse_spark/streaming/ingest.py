@@ -58,6 +58,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..operators import balance_view
 from ..schemas import (
     ACCOUNT_SCHEMA,
     PRIMARY_KEYS,
@@ -117,6 +118,7 @@ def warehouse_store(spark: SparkSession, root: str) -> TableStore:
             "account": ACCOUNT_SCHEMA,
             "transfer": _ingest_transfer_schema(),
             "account_balance_change": ingest_abc_schema(),
+            balance_view.ROLLUP_TABLE: balance_view.ROLLUP_SCHEMA,
         },
         # hot tables partition by tenant: MERGE prunes to touched tenants,
         # GraphQL tenant-filtered reads prune at the scan
@@ -211,6 +213,11 @@ class IngestionPipeline:
             return self._tick_body(m, files_read, inv)
         finally:
             inv.unpersist()
+            # convergence check for the serving balance rollup: pure-Python
+            # noop when fresh (the idle-tick zero-write contract holds);
+            # rebuilds once after a bootstrap (externally loaded change
+            # table) or a crash between merge and maintenance
+            balance_view.maintain(store)
 
     def _tick_body(self, m: TickMetrics, files_read: dict, inv: DataFrame) -> TickMetrics:
         spark, root, store = self.spark, self.root, self.store
@@ -380,8 +387,15 @@ class IngestionPipeline:
         # derived from this tick's batch (pre-merge, so a crash-replay
         # regenerates them) and MERGE-appended on the provenance PK; an idle
         # or replayed tick appends nothing and never rewrites the table
+        fp_before = balance_view.abc_fingerprint(store)
         store.merge_insert_missing(
             "account_balance_change", _signed_changes(new_transfers), ABC_PRIMARY_KEYS
+        )
+        # maintain the serving balance rollup from exactly the adopted
+        # part files (file-level CDC); any mismatch — crash replay,
+        # compaction — degrades to a recompute, never to a wrong serve
+        balance_view.maintain(
+            store, fp_before=fp_before, adopted_files=store.last_adopted_files
         )
 
         # --- marker advance (D10), LAST so crash-replay re-reads ----------

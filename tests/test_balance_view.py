@@ -1,0 +1,174 @@
+"""Maintained balance rollup: fingerprint-gated maintenance from the
+ingestion tick's adopted part files, provably-fresh-or-fallback serving.
+
+Every path asserts against the ground truth the rollup replaces —
+``ivm.compute_rollup`` over the live change table / the direct
+``queries.account_balances`` aggregate — so a wrong maintenance step
+cannot pass by agreeing with itself."""
+
+from __future__ import annotations
+
+import decimal
+import os
+
+from pyspark.sql import functions as F
+
+from data_warehouse_spark.operators import balance_view, ivm
+from data_warehouse_spark.operators import queries as wh
+from data_warehouse_spark.streaming.ingest import (
+    ABC_PRIMARY_KEYS,
+    ingest_abc_schema,
+    warehouse_store,
+)
+
+ABC = balance_view.ABC_TABLE
+
+
+def _changes(spark, rows):
+    """rows: (tenant, name, amount_str, transaction) — the provenance
+    columns made distinct per row so MERGE keeps everything."""
+    data = [
+        (
+            t,
+            n,
+            __import__("datetime").datetime(2020, 1, 1),
+            decimal.Decimal(a),
+            t,
+            trn,
+            "t1",
+            "c",
+        )
+        for (t, n, a, trn) in rows
+    ]
+    return spark.createDataFrame(data, ingest_abc_schema())
+
+
+def _rollup_map(df):
+    return {
+        (r["tenant"], r["name"]): (r["n_rows"], r["nn_amount"], r["sum_amount"])
+        for r in df.collect()
+    }
+
+
+def _ground_truth(store):
+    return _rollup_map(
+        ivm.compute_rollup(
+            store.read(ABC), balance_view.GROUP_COLS, balance_view.SUM_COLS
+        )
+    )
+
+
+def _walk(root):
+    out = set()
+    for dirpath, _d, files in os.walk(root):
+        for f in files:
+            out.add(os.path.join(dirpath, f))
+    return out
+
+
+def test_bootstrap_recompute_then_noop(spark, tmp_path):
+    """First convergence over an externally loaded change table is a full
+    recompute; a second convergence is a pure noop (byte-identical disk —
+    the idle-tick zero-write contract extends to the rollup)."""
+    store = warehouse_store(spark, str(tmp_path / "wh"))
+    store.overwrite(ABC, _changes(spark, [("A", "x", "10.5", "t1"), ("A", "x", "2", "t2"), ("B", "y", "-3", "t3")]))
+    assert balance_view.read_if_fresh(store) is None  # no rollup yet
+    assert balance_view.maintain(store) == "recompute"
+    fresh = balance_view.read_if_fresh(store)
+    assert fresh is not None
+    assert _rollup_map(fresh) == _ground_truth(store)
+    before = _walk(store.root)
+    assert balance_view.maintain(store) == "noop"
+    assert _walk(store.root) == before
+
+
+def test_delta_path_from_adopted_files_matches_recompute(spark, tmp_path):
+    """A merge-append maintained through exactly the adopted part files
+    equals the full recompute — including a new group and an existing
+    group's increment."""
+    store = warehouse_store(spark, str(tmp_path / "wh"))
+    store.merge_insert_missing(ABC, _changes(spark, [("A", "x", "10", "t1")]), ABC_PRIMARY_KEYS)
+    balance_view.maintain(store)
+    fp_before = balance_view.abc_fingerprint(store)
+    store.merge_insert_missing(
+        ABC,
+        _changes(spark, [("A", "x", "5.25", "t2"), ("C", "z", "7", "t3")]),
+        ABC_PRIMARY_KEYS,
+    )
+    assert store.last_adopted_files  # the CDC hand-off exists
+    action = balance_view.maintain(
+        store, fp_before=fp_before, adopted_files=store.last_adopted_files
+    )
+    assert action == "delta"
+    assert _rollup_map(balance_view.read_if_fresh(store)) == _ground_truth(store)
+
+
+def test_crash_between_merge_and_maintain_recovers(spark, tmp_path):
+    """Merge lands, maintenance never runs (crash) — the stale rollup is
+    refused by the freshness check and the next bare convergence repairs
+    it by recompute, never by a blind delta."""
+    store = warehouse_store(spark, str(tmp_path / "wh"))
+    store.merge_insert_missing(ABC, _changes(spark, [("A", "x", "1", "t1")]), ABC_PRIMARY_KEYS)
+    balance_view.maintain(store)
+    store.merge_insert_missing(ABC, _changes(spark, [("A", "x", "2", "t2")]), ABC_PRIMARY_KEYS)
+    # crash window: rollup stale → the fast path must refuse to serve
+    assert balance_view.read_if_fresh(store) is None
+    # next tick's convergence: fp chain is broken → recompute, correct
+    assert balance_view.maintain(store) == "recompute"
+    assert _rollup_map(balance_view.read_if_fresh(store)) == _ground_truth(store)
+
+
+def test_replayed_merge_is_noop(spark, tmp_path):
+    """Crash-replay regenerates the same batch; the PK merge inserts
+    nothing, the fingerprint is unchanged, maintenance is a noop."""
+    store = warehouse_store(spark, str(tmp_path / "wh"))
+    batch = _changes(spark, [("A", "x", "4", "t1")])
+    store.merge_insert_missing(ABC, batch, ABC_PRIMARY_KEYS)
+    balance_view.maintain(store)
+    fp_before = balance_view.abc_fingerprint(store)
+    store.merge_insert_missing(ABC, batch, ABC_PRIMARY_KEYS)  # replay
+    assert balance_view.abc_fingerprint(store) == fp_before
+    assert (
+        balance_view.maintain(
+            store, fp_before=fp_before, adopted_files=store.last_adopted_files
+        )
+        == "noop"
+    )
+
+
+def test_external_overwrite_invalidates_then_recovers(spark, tmp_path):
+    """Compaction or an external overwrite swaps the change table's
+    version dir: the fingerprint moves, the fast path refuses, the next
+    convergence recomputes."""
+    store = warehouse_store(spark, str(tmp_path / "wh"))
+    store.overwrite(ABC, _changes(spark, [("A", "x", "10", "t1")]))
+    balance_view.maintain(store)
+    assert balance_view.read_if_fresh(store) is not None
+    store.overwrite(ABC, _changes(spark, [("A", "x", "99", "t1"), ("B", "y", "1", "t2")]))
+    assert balance_view.read_if_fresh(store) is None
+    assert balance_view.maintain(store) == "recompute"
+    assert _rollup_map(balance_view.read_if_fresh(store)) == _ground_truth(store)
+
+
+def test_serving_equivalence_with_direct_aggregate(spark, tmp_path):
+    """balances_from_rollup ≡ queries.account_balances for a key batch:
+    same rows, same values, same NULL semantics, same dtype."""
+    store = warehouse_store(spark, str(tmp_path / "wh"))
+    store.overwrite(
+        ABC,
+        _changes(
+            spark,
+            [("A", "x", "10.5", "t1"), ("A", "x", "-0.5", "t2"), ("B", "y", "3", "t3")],
+        ),
+    )
+    balance_view.maintain(store)
+    keys = spark.createDataFrame(
+        [("A", "x"), ("B", "y"), ("Z", "missing")], "tenant string, name string"
+    )
+    fast = balance_view.balances_from_rollup(balance_view.read_if_fresh(store), keys)
+    direct = wh.account_balances(store.read(ABC), keys=keys)
+    assert fast.schema["balance"].dataType == direct.schema["balance"].dataType
+    as_map = lambda df: {  # noqa: E731
+        (r["tenant"], r["name"]): r["balance"] for r in df.collect()
+    }
+    assert as_map(fast) == as_map(direct)
