@@ -89,6 +89,9 @@ def _decimal_out(v) -> decimal.Decimal:
     return v if isinstance(v, decimal.Decimal) else decimal.Decimal(str(v))
 
 
+_ZERO_MONEY = decimal.Decimal("0.00")  # MONEY_SUM scale, the coalesce default
+
+
 def _status_in(value: Any) -> int:
     """Scalar-level status coercion (the reference coerces at the scalar —
     GraphQLService.scala:38-59 — so a bad value is a query-analysis error
@@ -137,11 +140,37 @@ class WarehouseContext:
     current snapshot directory at call time, so re-reading inside one
     request under the concurrent 2 s ingestion thread could mix two
     snapshots in a single response (page from v1, balances from v2 — a
-    torn read). One resolve per table per request pins the snapshot."""
+    torn read). One resolve per table per request pins the snapshot.
 
-    def __init__(self, store):
+    ``cache`` (a :class:`..api.serving_cache.ServingCache`, shared across
+    requests by the HTTP app) serves the DIMENSION lookups — tenant
+    pages, account pages/details, balances — from version-pinned
+    in-memory snapshots of the Spark-maintained artifacts, each used
+    only when provably fresh (fingerprint check, no Spark job) and
+    memoized per request like the table reads.  Fact queries (transfers)
+    always run on Spark.  Without a cache every path is the original
+    Spark plan — the fallback the snapshots degrade to."""
+
+    def __init__(self, store, cache=None):
         self.store = store
+        self.cache = cache
         self._dfs: dict[str, Any] = {}
+        self._snaps: dict[str, Any] = {}
+
+    def _snapshot(self, kind: str):
+        """Per-request memoized cache snapshot (tenants | accounts |
+        balances) — None when the cache is absent, stale, or over its
+        memory bound; callers then use the Spark path."""
+        if kind not in self._snaps:
+            if self.cache is None:
+                self._snaps[kind] = None
+            elif kind == "tenants":
+                self._snaps[kind] = self.cache.tenant_names()
+            elif kind == "accounts":
+                self._snaps[kind] = self.cache.accounts()
+            else:
+                self._snaps[kind] = self.cache.balances()
+        return self._snaps[kind]
 
     def _table(self, name: str):
         if name not in self._dfs:
@@ -155,6 +184,10 @@ class WarehouseContext:
         return self._table("account")
 
     def transfers_df(self):
+        if "transfer" not in self._dfs and self.cache is not None:
+            df = self.cache.transfers_df()  # shared, fingerprint-pinned plan
+            if df is not None:
+                self._dfs["transfer"] = df
         return self._table("transfer")
 
     def abc_df(self):
@@ -162,20 +195,58 @@ class WarehouseContext:
 
     # --- batched nested resolution (Q7/Q8/Q9) --------------------------
     def fetch_accounts(self, keys: list[tuple[str, str]]) -> dict[tuple[str, str], dict]:
-        """One semi-join + one balance lookup for a literal key batch.
+        """Account details + balances for a literal key batch.
 
-        Balances come from the maintained rollup when it is provably
-        fresh (``balance_view.read_if_fresh`` — a fingerprint check, no
-        Spark job): O(accounts) served rows instead of an O(changes)
-        aggregate per request, the difference between ~45 s and sub-s
-        p95 at sf1 under 32 concurrent clients (SERVING_BENCH.json).
-        Any staleness (mid-merge request, crash window) falls back to
-        the direct aggregate — identical output, pinned by tests."""
+        Fast path: both lookups are dict gets against the serving
+        cache's version-pinned snapshots — zero Spark jobs per request
+        (the difference between ~36 s and sub-s balance-page p95 at sf1
+        under 32 concurrent clients, SERVING_BENCH.json).  Each side
+        degrades independently to the original Spark plan: the account
+        semi-join, and the balance lookup — itself two-tier, maintained
+        rollup (``balance_view``) before the O(changes) direct
+        aggregate.  Identical output on every path, pinned by tests."""
         if not keys:
             return {}
         uniq = sorted(set(keys))
-        kdf = self.store.spark.createDataFrame(uniq, "tenant string, name string")
-        accounts = self.accounts_df().join(F.broadcast(kdf), ["tenant", "name"], "left_semi")
+        kdf = None  # built lazily — only the Spark fallbacks need it
+
+        acc_snap = self._snapshot("accounts")
+        rows: dict[tuple[str, str], dict] = {}
+        if acc_snap is not None:
+            for k in uniq:
+                detail = acc_snap["by_key"].get(k)
+                if detail is not None:
+                    rows[k] = {
+                        "tenant": k[0],
+                        "name": k[1],
+                        "currency": detail[0],
+                        "format": detail[1],
+                        "balance": decimal.Decimal(0),
+                    }
+        else:
+            kdf = self.store.spark.createDataFrame(uniq, "tenant string, name string")
+            accounts = self.accounts_df().join(
+                F.broadcast(kdf), ["tenant", "name"], "left_semi"
+            )
+            rows = {
+                (r["tenant"], r["name"]): {
+                    "tenant": r["tenant"],
+                    "name": r["name"],
+                    "currency": r["currency"],
+                    "format": r["format"],
+                    "balance": decimal.Decimal(0),
+                }
+                for r in accounts.collect()
+            }
+
+        bal_snap = self._snapshot("balances")
+        if bal_snap is not None:
+            for k, row in rows.items():
+                row["balance"] = bal_snap.get(k, _ZERO_MONEY)
+            return rows
+
+        if kdf is None:
+            kdf = self.store.spark.createDataFrame(uniq, "tenant string, name string")
         if "_balance_rollup" not in self._dfs:
             # memoized per request like the table reads (snapshot pinning)
             self._dfs["_balance_rollup"] = balance_view.read_if_fresh(self.store)
@@ -184,16 +255,6 @@ class WarehouseContext:
             balances = balance_view.balances_from_rollup(rollup, kdf)
         else:
             balances = wh.account_balances(self.abc_df(), keys=kdf)
-        rows = {
-            (r["tenant"], r["name"]): {
-                "tenant": r["tenant"],
-                "name": r["name"],
-                "currency": r["currency"],
-                "format": r["format"],
-                "balance": decimal.Decimal(0),
-            }
-            for r in accounts.collect()
-        }
         for r in balances.collect():
             k = (r["tenant"], r["name"])
             if k in rows:
@@ -247,8 +308,19 @@ def _page_args():
     }
 
 
+def _page(rows: list, limit, offset: int) -> list:
+    """The cache-side mirror of ``pagination.paginate`` over a pre-sorted
+    list: OFFSET then LIMIT (Python slicing reproduces Spark's
+    offset/limit exactly; the sort key is unique so order is total)."""
+    end = None if limit is None else offset + limit
+    return rows[offset:end]
+
+
 def _resolve_tenants(_src, info, limit=100, offset=0):
     ctx: WarehouseContext = info.context
+    names = ctx._snapshot("tenants")
+    if names is not None:
+        return [{"name": n} for n in _page(names, limit, offset)]
     return [
         {"name": r["name"]}
         for r in wh.tenants(ctx.tenants_df(), limit=limit, offset=offset).collect()
@@ -257,21 +329,34 @@ def _resolve_tenants(_src, info, limit=100, offset=0):
 
 def _resolve_tenant(_src, info, tenant: str):
     ctx: WarehouseContext = info.context
+    names = ctx._snapshot("tenants")
+    if names is not None:
+        return {"name": tenant} if tenant in names else None
     rows = wh.tenant_by_name(ctx.tenants_df(), tenant).collect()
     return {"name": rows[0]["name"]} if rows else None
 
 
 def _resolve_accounts(_src, info, tenant: str, currency=None, format=None, limit=100, offset=0):  # noqa: A002
     ctx: WarehouseContext = info.context
-    page = wh.accounts(
-        ctx.accounts_df(), tenant=tenant, currency=currency, format=format,
-        limit=limit, offset=offset,
-    ).collect()
-    fetched = ctx.fetch_accounts([(r["tenant"], r["name"]) for r in page])
+    acc_snap = None if wh.COMPAT_INVERTED_FILTERS else ctx._snapshot("accounts")
+    if acc_snap is not None:
+        rows = acc_snap["by_tenant"].get(tenant, [])
+        if currency is not None:
+            rows = [r for r in rows if r[1] == currency]
+        if format is not None:
+            rows = [r for r in rows if r[2] == format]
+        page_keys = [(tenant, r[0]) for r in _page(rows, limit, offset)]
+    else:
+        page = wh.accounts(
+            ctx.accounts_df(), tenant=tenant, currency=currency, format=format,
+            limit=limit, offset=offset,
+        ).collect()
+        page_keys = [(r["tenant"], r["name"]) for r in page]
+    fetched = ctx.fetch_accounts(page_keys)
     # .get, not [...]: the memoized per-request snapshot makes a miss
     # impossible today, but a page row without its detail row must degrade
     # to a null entry, never a KeyError → 500 for the whole field
-    return [fetched.get((r["tenant"], r["name"])) for r in page]
+    return [fetched.get(k) for k in page_keys]
 
 
 def _resolve_account(_src, info, tenant: str, name: str):
@@ -374,8 +459,16 @@ QueryType = GraphQLObjectType(
 schema = GraphQLSchema(query=QueryType)
 
 
-def execute(store, query: str, variables: dict | None = None, operation_name: str | None = None):
-    """Parse/validate/execute one GraphQL request against the warehouse."""
+def execute(
+    store,
+    query: str,
+    variables: dict | None = None,
+    operation_name: str | None = None,
+    cache=None,
+):
+    """Parse/validate/execute one GraphQL request against the warehouse.
+    ``cache``: the app-lifetime ServingCache (api/http.py builds one);
+    omitted → every resolver uses its Spark path."""
     from graphql import graphql_sync
 
     return graphql_sync(
@@ -383,5 +476,5 @@ def execute(store, query: str, variables: dict | None = None, operation_name: st
         query,
         variable_values=variables,
         operation_name=operation_name,
-        context_value=WarehouseContext(store),
+        context_value=WarehouseContext(store, cache=cache),
     )

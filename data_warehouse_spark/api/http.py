@@ -89,6 +89,12 @@ GRAPHIQL_PAGE = graphiql_page()
 def build_app(store) -> Flask:
     app = Flask("data_warehouse_spark")
 
+    # app-lifetime dimension snapshots (tenant / account / balance rollup)
+    # — fingerprint-fresh or unused; see api/serving_cache.py
+    from .serving_cache import ServingCache
+
+    cache = ServingCache(store)
+
     @app.before_request
     def _serving_pool():
         # requests are served by per-request WSGI threads; tag each so its
@@ -117,6 +123,7 @@ def build_app(store) -> Flask:
             query,
             variables=payload.get("variables"),
             operation_name=payload.get("operationName"),
+            cache=cache,
         )
         if result.errors:
             # no data at all → parse/validation problem → 400 (reference
@@ -160,6 +167,9 @@ def build_app(store) -> Flask:
     @app.get("/health")
     def health():
         try:
+            # deliberately NO cache: health must prove the Spark query
+            # path end-to-end (the reference's self-query semantics), not
+            # that an in-memory snapshot still answers
             result = execute(store, "query { tenants(limit: 1, offset: 0) { name } }")
             ok = result.errors is None and result.data is not None
         except Exception:
@@ -177,20 +187,25 @@ def _dumps_exact(obj) -> str:
     strings carrying a per-call random nonce (a user-supplied string can
     never collide with it), substituted back in ONE regex pass."""
     nonce = secrets.token_hex(12)
-    placeholders: dict[str, str] = {}
+    tokens: list[str] = []
 
     def default(o):
         if isinstance(o, decimal.Decimal):
-            key = f"\u0000dec:{nonce}:{len(placeholders)}\u0000"
-            placeholders[key] = _num_token(o)
-            return key
+            tokens.append(_num_token(o))
+            return f"\u0000dec:{nonce}:{len(tokens) - 1}\u0000"
         raise TypeError(f"not JSON serializable: {type(o)}")
 
     s = json.dumps(obj, default=default)
-    if not placeholders:
+    if not tokens:
         return s
-    pattern = re.compile("|".join(re.escape(json.dumps(k)) for k in placeholders))
-    return pattern.sub(lambda m: placeholders[json.loads(m.group(0))], s)
+    # ONE single-branch pattern with a captured index — a per-decimal
+    # alternation (the obvious construction) makes the substitution pass
+    # O(doc x decimals): a 1000-row transfers page carries ~3000 decimals
+    # and that pass alone cost ~seconds per response under concurrency
+    head = json.dumps(f"\u0000dec:{nonce}:")[1:-1]  # json-escaped, quotes off
+    tail = json.dumps("\u0000")[1:-1]
+    pattern = re.compile(f'"{re.escape(head)}(\\d+){re.escape(tail)}"')
+    return pattern.sub(lambda m: tokens[int(m.group(1))], s)
 
 
 def _num_token(d: decimal.Decimal) -> str:

@@ -78,13 +78,14 @@ ROLLUP_SCHEMA = T.StructType(
 )
 
 
-def abc_fingerprint(store) -> str | None:
-    """Fingerprint of the change table's CURRENT on-disk state: version
-    dir + sorted (relative path, size) of its parquet part files.  Append
-    adds files, compaction swaps the dir, overwrite swaps the dir — every
-    content-changing operation moves the fingerprint.  None when the
+def table_fingerprint(store, name: str) -> str | None:
+    """Fingerprint of a table's CURRENT on-disk state: version dir +
+    sorted (relative path, size) of its parquet part files.  Append adds
+    files, compaction swaps the dir, overwrite swaps the dir — every
+    content-changing operation moves the fingerprint (the witness version
+    pointers cannot be for append-without-swap tables).  None when the
     table has never been written."""
-    vdir = store._resolve(ABC_TABLE)
+    vdir = store._resolve(name)
     if vdir is None:
         return None
     h = hashlib.sha256(os.path.basename(vdir).encode())
@@ -99,6 +100,11 @@ def abc_fingerprint(store) -> str | None:
     for path, size in sorted(entries):
         h.update(f"{path}\x00{size}\x01".encode())
     return h.hexdigest()
+
+
+def abc_fingerprint(store) -> str | None:
+    """The change table's fingerprint — the rollup's freshness witness."""
+    return table_fingerprint(store, ABC_TABLE)
 
 
 def _rollup_sidecar(vdir: str) -> str | None:

@@ -185,6 +185,17 @@ def main() -> int:
     rows = _load_warehouse(spark, svc.store, args.sf)
     load_sec = round(time.time() - t0, 1)
 
+    # deployment step, not a request cost: build the maintained balance
+    # rollup BEFORE going live (the ingestion ticks keep it current with
+    # exact deltas afterwards).  Without this the first tick pays the
+    # full-corpus recompute while 32 clients hammer the slow path —
+    # measured p95 80 s; with it the serving path reads O(accounts) rows.
+    from data_warehouse_spark.operators import balance_view
+
+    t0 = time.time()
+    bootstrap_action = balance_view.maintain(svc.store)
+    rollup_bootstrap_sec = round(time.time() - t0, 1)
+
     tenants = [r["name"] for r in svc.store.read("tenant").collect()]
     app = svc.build_app()
     server = make_server("127.0.0.1", args.port, app, threaded=True)
@@ -256,6 +267,7 @@ def main() -> int:
         "sf_dir": args.sf,
         "warehouse_rows": rows,
         "warehouse_load_sec": load_sec,
+        "rollup_bootstrap": {"action": bootstrap_action, "sec": rollup_bootstrap_sec},
         "clients": args.clients,
         "requests": len(all_lat),
         "failures": failures,

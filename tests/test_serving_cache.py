@@ -1,0 +1,132 @@
+"""Serving-tier dimension snapshots: fingerprint-fresh-or-fallback, and
+bit-equal output against the Spark resolver paths they shortcut.
+
+Equivalence is asserted through the PUBLIC GraphQL surface — the same
+query executed with and without the cache must produce identical JSON —
+so a divergence anywhere (pagination, filters, decimal scale, zero
+defaults, missing keys) fails, not just in the unit the snapshot
+replaces."""
+
+from __future__ import annotations
+
+import decimal
+import os
+
+from data_warehouse_spark.api.graphql_schema import execute
+from data_warehouse_spark.api.serving_cache import ServingCache
+from data_warehouse_spark.operators import balance_view
+from data_warehouse_spark.streaming.ingest import IngestionPipeline, warehouse_store
+
+
+def write(path: str, content: str) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as fh:
+        fh.write(content)
+
+
+def _fixture(root: str) -> None:
+    """Two tenants; one with a committed transfer (signed balances), one
+    with a zero-activity account — the golden shapes."""
+    t = "t_CACHE_TRN"
+    for a in ("CREDIT", "DEBIT", "IDLE"):
+        write(os.path.join(root, t, "account", a, "snapshot", "0000000000"), "CZK FORMAT_T\n")
+    write(
+        os.path.join(root, t, "transaction", "TRN"),
+        "committed\nTRX CACHE_TRN CREDIT CACHE_TRN DEBIT 2020-01-01T00:00:00Z 1 CZK\n",
+    )
+    write(os.path.join(root, t, "account", "CREDIT", "events", "0000000000", "1_1_TRN"), "1\n")
+    write(os.path.join(root, t, "account", "DEBIT", "events", "0000000000", "1_-1_TRN"), "1\n")
+    t2 = "t_CACHE_ACC"
+    write(os.path.join(root, t2, "account", "ZZ", "snapshot", "0000000000"), "EUR FORMAT_U\n")
+
+
+QUERIES = [
+    "query { tenants(limit: 1000, offset: 0) { name } }",
+    "query { tenants(limit: 1, offset: 1) { name } }",
+    'query { tenant(tenant: "CACHE_TRN") { name } }',
+    'query { tenant(tenant: "NOPE") { name } }',
+    'query { accounts(tenant: "CACHE_TRN", limit: 1000, offset: 0) '
+    "{ name currency format balance } }",
+    'query { accounts(tenant: "CACHE_TRN", limit: 2, offset: 1) { name balance } }',
+    'query { accounts(tenant: "CACHE_TRN", currency: "CZK", format: "FORMAT_T") { name } }',
+    'query { accounts(tenant: "CACHE_TRN", currency: "XXX") { name } }',
+    'query { accounts(tenant: "CACHE_ACC") { name currency balance } }',
+    'query { account(tenant: "CACHE_TRN", name: "CREDIT") { balance currency } }',
+    'query { account(tenant: "CACHE_TRN", name: "MISSING") { balance } }',
+    'query { transfers(tenant: "CACHE_TRN", limit: 10, offset: 0) '
+    "{ transaction amount credit { name balance } debit { name balance } } }",
+]
+
+
+def _ticked_store(spark, tmp_path):
+    root = str(tmp_path / "primary")
+    _fixture(root)
+    store = warehouse_store(spark, str(tmp_path / "wh"))
+    IngestionPipeline(spark, root, store).run_once()
+    return store
+
+
+def test_cache_paths_equal_spark_paths(spark, tmp_path):
+    store = _ticked_store(spark, tmp_path)
+    cache = ServingCache(store)
+    # precondition: every snapshot actually engages (fresh after the tick)
+    assert cache.tenant_names() is not None
+    assert cache.accounts() is not None
+    assert cache.balances() is not None
+    for q in QUERIES:
+        with_cache = execute(store, q, cache=cache)
+        without = execute(store, q)
+        assert with_cache.errors is None and without.errors is None, q
+        assert with_cache.data == without.data, q
+
+
+def test_cache_refuses_stale_and_reloads(spark, tmp_path):
+    """A merge the cache has not seen flips the fingerprint: balances
+    refuse (never stale-and-served); after the next maintenance the
+    reloaded snapshot serves the NEW value."""
+    import datetime
+
+    from data_warehouse_spark.streaming.ingest import (
+        ABC_PRIMARY_KEYS,
+        ingest_abc_schema,
+    )
+
+    store = _ticked_store(spark, tmp_path)
+    cache = ServingCache(store)
+    before = cache.balances()
+    assert before[("CACHE_TRN", "CREDIT")] == decimal.Decimal("1.00")
+    batch = spark.createDataFrame(
+        [("CACHE_TRN", "CREDIT", datetime.datetime(2020, 1, 2),
+          decimal.Decimal("2"), "CACHE_TRN", "TRN9", "t1", "c")],
+        ingest_abc_schema(),
+    )
+    store.merge_insert_missing(balance_view.ABC_TABLE, batch, ABC_PRIMARY_KEYS)
+    assert cache.balances() is None  # stale → refused
+    balance_view.maintain(store)
+    assert cache.balances()[("CACHE_TRN", "CREDIT")] == decimal.Decimal("3.00")
+    # account dimension snapshot is independent and still fresh
+    assert cache.accounts() is not None
+
+
+def test_cache_over_max_rows_falls_back(spark, tmp_path):
+    """Above the memory bound the loader refuses and the GraphQL output
+    is served by the Spark path — identical either way."""
+    store = _ticked_store(spark, tmp_path)
+    cache = ServingCache(store, max_rows=1)
+    assert cache.accounts() is None
+    assert cache.balances() is None
+    q = 'query { accounts(tenant: "CACHE_TRN") { name balance } }'
+    assert execute(store, q, cache=cache).data == execute(store, q).data
+
+
+def test_fake_store_without_versions_is_harmless(spark):
+    """build_app-style unit fakes (no version plumbing) must degrade to
+    the Spark path, not crash the cache."""
+
+    class Fake:
+        pass
+
+    cache = ServingCache(Fake())
+    assert cache.tenant_names() is None
+    assert cache.accounts() is None
+    assert cache.balances() is None
