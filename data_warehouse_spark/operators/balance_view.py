@@ -107,6 +107,17 @@ def abc_fingerprint(store) -> str | None:
     return table_fingerprint(store, ABC_TABLE)
 
 
+def _version_root(path: str) -> str:
+    """The version dir an adopted part file lives in: walk up past hive
+    partition dirs (``col=value``).  Used as basePath so pyspark recovers
+    the partition column — correct even when a post-merge compaction has
+    already swapped the table's CURRENT pointer elsewhere."""
+    d = os.path.dirname(path)
+    while "=" in os.path.basename(d):
+        d = os.path.dirname(d)
+    return d
+
+
 def _rollup_sidecar(vdir: str) -> str | None:
     try:
         with open(os.path.join(vdir, FINGERPRINT_SIDECAR)) as fh:
@@ -150,6 +161,7 @@ def maintain(
         return "noop"
 
     spark = store.spark
+    sum_t = ROLLUP_SCHEMA["sum_amount"].dataType
     if (
         r_fp is not None
         and fp_before is not None
@@ -160,25 +172,35 @@ def maintain(
         # exact file-level CDC: the rollup summarized precisely the
         # pre-merge state, and these part files are precisely what the
         # merge added.  basePath recovers the tenant partition column
-        # from the directory names.
-        vdir = store._resolve(ABC_TABLE)
-        cdc = (
-            spark.read.option("basePath", vdir)
-            .schema(store.schemas[ABC_TABLE])
-            .parquet(*adopted_files)
-            .withColumn(ivm.CHANGE_COL, F.lit("insert"))
-        )
-        new_rollup = ivm.maintain_rollup(
-            store.read(ROLLUP_TABLE), cdc, GROUP_COLS, SUM_COLS
-        )
-        action = "delta"
-    else:
-        new_rollup = ivm.compute_rollup(store.read(ABC_TABLE), GROUP_COLS, SUM_COLS)
-        action = "recompute"
+        # from the directory names — derived from the adopted files
+        # themselves, NOT the current pointer: a compaction inside the
+        # merge swaps a new version dir while the adopted files live in
+        # the (still retained) one they were adopted into.  The delta
+        # stays exact through that: compaction rewrites files, not rows.
+        try:
+            cdc = (
+                spark.read.option("basePath", _version_root(adopted_files[0]))
+                .schema(store.schemas[ABC_TABLE])
+                .parquet(*adopted_files)
+                .withColumn(ivm.CHANGE_COL, F.lit("insert"))
+            )
+            delta_rollup = ivm.maintain_rollup(
+                store.read(ROLLUP_TABLE), cdc, GROUP_COLS, SUM_COLS
+            )
+            # publish INSIDE the try: the plan is lazy, so read/verify
+            # failures surface at the write — they too must degrade
+            _publish(store, delta_rollup.withColumn(
+                "sum_amount", F.col("sum_amount").cast(sum_t)), fp_now)
+            return "delta"
+        except Exception:
+            # the delta path is an optimization; any failure degrades to
+            # the recompute below (self-healing) rather than failing the
+            # ingestion tick that hosts the maintenance
+            pass
+    new_rollup = ivm.compute_rollup(store.read(ABC_TABLE), GROUP_COLS, SUM_COLS)
     _publish(store, new_rollup.withColumn(
-        "sum_amount", F.col("sum_amount").cast(ROLLUP_SCHEMA["sum_amount"].dataType)
-    ), fp_now)
-    return action
+        "sum_amount", F.col("sum_amount").cast(sum_t)), fp_now)
+    return "recompute"
 
 
 def read_if_fresh(store) -> DataFrame | None:

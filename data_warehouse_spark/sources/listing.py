@@ -77,6 +77,11 @@ def snapshot_inventory(spark: SparkSession, root: str, tenants: list[str]) -> Da
         return out
 
     sc = spark.sparkContext
+    # parallelism is #tenants-bound; a repartition between the two levels
+    # was measured a net LOSS at 8 tenants x 50k accounts (idle tick
+    # 3.4 s -> 4.6 s: the per-tick shuffle costs more than the widened
+    # scandir parallelism saves) — scale-out at width is sharding tenants
+    # across ingest workers, not intra-tick shuffles (INGEST_BENCH.json)
     rdd = (
         sc.parallelize(tenants, _slices(len(tenants) or 1))
         .flatMap(scan_accounts)

@@ -150,6 +150,34 @@ def test_external_overwrite_invalidates_then_recovers(spark, tmp_path):
     assert _rollup_map(balance_view.read_if_fresh(store)) == _ground_truth(store)
 
 
+def test_delta_survives_compaction_inside_merge(spark, tmp_path):
+    """merge_insert_missing compacts when a partition fragments past the
+    threshold, SWAPPING a new version dir while the adopted files stay in
+    the retained previous one.  The delta path must keep working (its
+    basePath is derived from the adopted files, not the current pointer)
+    and the result must equal the recompute — the exact regression the
+    50k-account ingest bench hit."""
+    store = warehouse_store(spark, str(tmp_path / "wh"))
+    store.compact_threshold = 2  # force compaction on the second append
+    store.merge_insert_missing(ABC, _changes(spark, [("A", "x", "1", "t1")]), ABC_PRIMARY_KEYS)
+    balance_view.maintain(store)
+    results = []
+    for i in range(2, 6):  # repeated appends → compactions fire mid-merge
+        fp_before = balance_view.abc_fingerprint(store)
+        store.merge_insert_missing(
+            ABC, _changes(spark, [("A", "x", str(i), f"t{i}")]), ABC_PRIMARY_KEYS
+        )
+        results.append(
+            balance_view.maintain(
+                store, fp_before=fp_before, adopted_files=store.last_adopted_files
+            )
+        )
+        assert _rollup_map(balance_view.read_if_fresh(store)) == _ground_truth(store)
+    # at least one maintenance ran with a compaction-swapped pointer and
+    # none were forced to recompute — the delta path held throughout
+    assert results == ["delta"] * len(results)
+
+
 def test_serving_equivalence_with_direct_aggregate(spark, tmp_path):
     """balances_from_rollup ≡ queries.account_balances for a key batch:
     same rows, same values, same NULL semantics, same dtype."""
