@@ -44,6 +44,20 @@ full-outer-joins two rollup-sized tables (ivm.apply_delta — broadcast
 when the delta is tiny); the fact table appears in no steady-state
 plan.  The serving read is a broadcast semi-join against O(accounts)
 rows.
+
+Known write-amplification bound: each maintenance PUBLISHES the whole
+rollup (one atomic version swap carrying the sidecar), i.e. O(accounts)
+written per busy tick — trivial at the measured 150 k accounts (~2 MB),
+wrong past ~10 M.  The scale path is mechanical: partition the rollup
+by tenant and MERGE the per-group delta through
+``TableStore.merge_upsert`` (copy-on-write rewrites only touched tenant
+partitions) plus a ``merge_delete`` of zero-count groups; the freshness
+witness then moves from the version sidecar to the same
+``table_fingerprint`` scheme the readers already use for
+append-without-swap tables.  Not implemented here because the sidecar's
+write-before-swap atomicity is simpler to reason about and the serving
+tier swaps to a KV store at that population anyway (see
+api/serving_cache.py).
 """
 
 from __future__ import annotations
