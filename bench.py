@@ -247,7 +247,13 @@ def main() -> None:
         materialize_warehouse,
     )
 
-    materialize_warehouse(spark, sf_dir)
+    # optional subset (comma-separated names) — for scale studies where the
+    # fixed-knob quadratic entries would dominate a 100x run
+    names = _bench_names()
+    if any(n.startswith("wh_") for n in names):
+        # only the wh_* entries read the derived warehouse tables; a scale
+        # run that excludes them must not pay the 5-way derivation join
+        materialize_warehouse(spark, sf_dir)
     # the driver's refreshed testdata is single-row-group parquet — Spark
     # cannot split a row group, so every scan (and the map-side compute above
     # it) would serialize through ONE local task; cluster parquet is always
@@ -260,9 +266,6 @@ def main() -> None:
     # trees), which on a long-lived warehouse amortizes to zero — steady-state
     # execution time is the signal.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
-    # optional subset (comma-separated names) — for scale studies where the
-    # fixed-knob quadratic entries would dominate a 100x run
-    names = _bench_names()
     timings: dict[str, float] = {}
     from data_warehouse_spark.operators.similarity import clear_ivf_cache
 
