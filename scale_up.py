@@ -155,14 +155,30 @@ def main() -> None:
         help="token-level per-copy noise so replicated documents are NOT "
         "mutual near-dups (non-degenerate near-dup benching at scale)",
     )
+    ap.add_argument(
+        "--tables",
+        default="",
+        help="comma-separated subset (resume after an interrupted run)",
+    )
     args = ap.parse_args()
     os.makedirs(args.dst, exist_ok=True)
     con = duckdb.connect()
+    # COPY materializes its whole input to preserve insertion order — at
+    # factor 1000 the lineitem cross join is ~90 GB of in-memory rows
+    # (measured: OOM-bound on a 128 GB box with ZERO bytes written).
+    # Row order inside the output parquet is meaningless to every consumer
+    # (Spark scans split by row group; the oracles sort), so let DuckDB
+    # STREAM the cross join straight to the writer, bounded by memory_limit.
+    con.execute("SET preserve_insertion_order = false")
+    con.execute("SET memory_limit = '24GB'")
+    wanted = [t for t in args.tables.split(",") if t] or None
     t0 = time.time()
     for t in (
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",
     ):
+        if wanted is not None and t not in wanted:
+            continue
         n = scale_table(con, args.src, args.dst, t, args.factor,
                         perturb_text=args.perturb_text)
         print(f"{t}: {n} rows")
