@@ -71,6 +71,14 @@ def get_spark(
         # ---- local-mode hygiene ----
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # collected results cap: 1g (Spark's default) aborts any query whose
+        # materialized output outgrows the fixture it was sized on — at the
+        # sf100 scale study, sessionize's per-session rows alone exceed it.
+        # 4g fits the 16g default heap; scale runs override both via env.
+        .config(
+            "spark.driver.maxResultSize",
+            os.environ.get("SPARK_DRIVER_MAX_RESULT_SIZE", "4g"),
+        )
         # long-lived sessions (the 330-test suite, a serving daemon) leak
         # heap through out-of-scope broadcasts/shuffles until the cleaner's
         # periodic GC fires — default 30min is longer than many runs; 5min
