@@ -269,16 +269,29 @@ def main() -> None:
     timings: dict[str, float] = {}
     from data_warehouse_spark.operators.similarity import clear_ivf_cache
 
+    # scale-study resilience: one entry blowing a resource bound (disk-full
+    # shuffle spill, result cap) must not erase the rest of a multi-hour
+    # run. Default (driver mode) stays fail-fast.
+    keep_going = os.environ.get("SPARK_GRAFT_BENCH_KEEP_GOING") == "1"
+    failed: dict[str, str] = {}
     for name in names:
         qd = QUERIES.get(name)
         if qd is None:
             continue
         best = float("inf")
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            qd.fn(spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
+        try:
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                qd.fn(spark, sf_dir).collect()
+                best = min(best, time.perf_counter() - t0)
+        except Exception as exc:
+            if not keep_going:
+                raise
+            failed[name] = str(exc).split("\n")[0][:300]
+            print(f"bench: {name} FAILED: {failed[name]}", file=sys.stderr)
+            continue
         timings[name] = round(best, 4)
+        print(f"bench: {name} {timings[name]}s", file=sys.stderr)
         # inter-query isolation (outside the timed region): drop executor
         # cache left by this query (IVF index persist etc.) so later queries
         # aren't measured under another query's memory pressure — each query
@@ -332,6 +345,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                **({"failed": failed} if failed else {}),
                 "sf": sf,
                 "runs_per_query": runs,
                 "regressions": regressions,

@@ -282,6 +282,13 @@ def materialize_base_tables(
     out: dict[str, DataFrame] = {}
     with _scratch_write_lock(root if shared else None):
         for name in tables if tables is not None else list(TESTDATA_TABLES):
+            if _source_row_groups(sf_dir, name) > 1:
+                # already splittable — the rewrite exists solely for the
+                # driver's single-row-group testdata; a multi-row-group
+                # source (scale_up output, any real pipeline's parquet)
+                # scans in parallel as-is, and skipping the copy saves a
+                # full-dataset rewrite + its disk (20 GB at sf100)
+                continue
             path = os.path.join(root, name)
             if not (reuse and os.path.exists(os.path.join(path, "_SUCCESS"))):
                 load_table(spark, sf_dir, name).repartition(n_files).write.mode(
@@ -289,6 +296,19 @@ def materialize_base_tables(
                 ).parquet(path)
             out[name] = spark.read.parquet(path)
     _BASE_MATERIALIZED[key] = out
+
+
+def _source_row_groups(sf_dir: str, name: str) -> int:
+    """Row-group count of a source table's parquet file; 1 (= normalize,
+    the safe default) when the layout cannot be read."""
+    import pyarrow.parquet as pq
+
+    try:
+        return pq.read_metadata(
+            os.path.join(sf_dir, f"{name}.parquet")
+        ).num_row_groups
+    except Exception:
+        return 1
 
 
 def materialize_warehouse(spark: SparkSession, sf_dir: str) -> None:
