@@ -95,7 +95,13 @@ def estimate_expr(
         )
         for d in range(depth)
     ]
-    return F.least(*ests) if depth > 1 else ests[0]
+    # BIGINT, unconditionally: the literal arrays infer array<int> whenever
+    # every cell fits int32, so downstream integer cross-multiplication
+    # (est·1000 in the heavy-hitter gate) overflows under ANSI once a cell
+    # count passes ~2.1M — first hit at the sf100 scale study (600M-row
+    # token stream). A count estimate's honest type is long regardless of
+    # what the collected table happened to infer.
+    return (F.least(*ests) if depth > 1 else ests[0]).cast("bigint")
 
 
 def sketch_table(rows, width: int, depth: int) -> list[list[int]]:

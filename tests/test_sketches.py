@@ -142,3 +142,20 @@ def test_hll_cube_cells_merge_like_the_whole(spark):
         ).alias("n")
     ).collect()[0]["n"]
     assert abs(from_cells - direct) * 1000 <= 50 * max(direct, 1), (from_cells, direct)
+
+
+def test_estimate_expr_is_bigint_even_for_int32_tables(spark):
+    """Regression: the collected sketch's literal arrays infer array<int>
+    whenever every cell fits int32, so the heavy-hitter gate's integer
+    cross-multiplication (est·1000) overflowed once an estimate passed
+    ~2.1M — first hit by the sf100 scale study's 600M-row token stream.
+    The estimate must be BIGINT no matter what the table inferred."""
+    df = spark.range(1).select(F.lit("k").alias("key"))
+    # int32-range cells (3M) whose gated product (3e9) exceeds int32
+    table = [[3_000_000] * sketches.CMS_WIDTH for _ in range(sketches.CMS_DEPTH)]
+    est = sketches.estimate_expr(
+        table, F.col("key"), sketches.CMS_WIDTH, sketches.CMS_DEPTH
+    )
+    out = df.select((est * 1000).alias("gated"))
+    assert dict(out.dtypes)["gated"] == "bigint"
+    assert out.collect()[0]["gated"] == 3_000_000_000
