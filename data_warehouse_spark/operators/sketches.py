@@ -153,11 +153,17 @@ def cms_heavy_hitters(
     )
     total = sum(table[0])
     est = estimate_expr(table, key, width, depth)
-    candidates = df.filter(est * 1000 >= threshold_permille * total)
+    # the threshold product is computed in PYTHON (arbitrary precision) and
+    # shipped as ONE literal — writing `threshold_permille * F.lit(total)`
+    # instead made Catalyst constant-fold an int32 multiply whenever `total`
+    # still fit int32, overflowing at plan time once permille·total passed
+    # 2^31 (first hit: sf100's ~1e9-token stream, 30·total ≈ 3e10)
+    min_count_x1000 = F.lit(threshold_permille * total)
+    candidates = df.filter(est * 1000 >= min_count_x1000)
     return (
         candidates.groupBy(key.alias(key_col))
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
-        .filter(F.col("n_occurrences") * 1000 >= threshold_permille * F.lit(total))
+        .filter(F.col("n_occurrences") * 1000 >= min_count_x1000)
     )
 
 
