@@ -33,8 +33,11 @@ Replication semantics per table (consistency rules):
     without it, N copies of the corpus are N·(N-1)/2 mutual near-dup
     pairs per source doc and the candidate volume measures the fixture,
     not the operator;
-  * embeddings perturb each copy by +copy·1e-3 per dimension (distinct
-    vectors, preserved neighborhood structure);
+  * embeddings get a per-copy DIAGONAL ORTHOGONAL transform (hash-keyed
+    sign flip per (copy, dim); copy 0 = identity): within-copy cosines are
+    EXACTLY the source corpus's, cross-copy cosines ≈ 0 — non-degenerate
+    near-dup structure at any factor (the earlier +copy·1e-3 translation
+    made unrelated vectors cosine ~0.95 by copy ~500);
   * timestamps are kept — density per day grows with SF, like TPC-H.
 
 Usage: python scale_up.py [--factor 10] [--src /root/testdata/sf0.1]
@@ -127,9 +130,23 @@ def scale_table(
         "documents": f"""r.doc_id + {off} AS doc_id,
             {doc_text} AS text, r.lang, r.source,
             CAST(length({doc_text}) AS BIGINT) AS n_chars""",
+        # per-copy DIAGONAL ORTHOGONAL transform (hash-keyed sign flip per
+        # (copy, dim); copy 0 = identity). An isometry per copy: every
+        # within-copy pairwise cosine is EXACTLY the source corpus's (each
+        # copy mirrors the real neighborhood structure, so true near-dup
+        # counts stay linear in factor), while cross-copy cosines of even
+        # the SAME source become a ±1/√dim random walk ≈ 0 — far below any
+        # dedup threshold. The previous +copy·1e-3 translation DEGENERATED
+        # at large factors: by copy ~500 the shift dominates the signal and
+        # UNRELATED vectors measure cosine 0.93-0.98 (verified on the old
+        # sf100 fixture), making the true pair count quadratic — any exact
+        # algorithm must then emit ~1e11 pairs. Fixture property, not an
+        # operator property; this transform removes it at every factor.
         "embeddings": f"""r.vec_id + {off} AS vec_id,
-            list_transform(r.embedding,
-                x -> CAST(x + copy * 0.001 AS FLOAT)) AS embedding,
+            list_transform(range(1, len(r.embedding) + 1),
+                i -> CAST(r.embedding[i] * (CASE WHEN copy = 0 THEN 1
+                     WHEN hash(copy::VARCHAR || ':' || i::VARCHAR) % 2 = 0
+                     THEN 1 ELSE -1 END) AS FLOAT)) AS embedding,
             r.label""",
     }
     fixed = table in ("region", "nation")
