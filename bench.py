@@ -290,17 +290,20 @@ def main() -> None:
             failed[name] = str(exc).split("\n")[0][:300]
             print(f"bench: {name} FAILED: {failed[name]}", file=sys.stderr)
             continue
+        finally:
+            # inter-query isolation (outside the timed region): drop executor
+            # cache left by this query (IVF index persist etc.) so later
+            # queries aren't measured under another query's memory pressure —
+            # each query still warms its OWN caches on run 1 and is timed
+            # steady-state on run 2. Measured effect: ~14% lower total, and
+            # removes the 2-4x spikes late-list queries showed under
+            # accumulated cache. Runs in `finally` so a FAILED entry
+            # (OOM-class) cannot leave its cache pressure on later entries.
+            clear_ivf_cache()
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
         timings[name] = round(best, 4)
         print(f"bench: {name} {timings[name]}s", file=sys.stderr)
-        # inter-query isolation (outside the timed region): drop executor
-        # cache left by this query (IVF index persist etc.) so later queries
-        # aren't measured under another query's memory pressure — each query
-        # still warms its OWN caches on run 1 and is timed steady-state on
-        # run 2. Measured effect: ~14% lower total, and removes the 2-4x
-        # spikes late-list queries showed under accumulated cache.
-        clear_ivf_cache()
-        spark.catalog.clearCache()
-        spark.sparkContext._jvm.System.gc()
 
     # --- regression gate (see module docstring) ---------------------------
     # children of --isolate skip it: the parent gates the merged timings

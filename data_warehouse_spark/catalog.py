@@ -282,12 +282,14 @@ def materialize_base_tables(
     out: dict[str, DataFrame] = {}
     with _scratch_write_lock(root if shared else None):
         for name in tables if tables is not None else list(TESTDATA_TABLES):
-            if _source_row_groups(sf_dir, name) > 1:
-                # already splittable — the rewrite exists solely for the
-                # driver's single-row-group testdata; a multi-row-group
-                # source (scale_up output, any real pipeline's parquet)
-                # scans in parallel as-is, and skipping the copy saves a
-                # full-dataset rewrite + its disk (20 GB at sf100)
+            if _source_row_groups(sf_dir, name) >= n_files:
+                # already splittable to the target parallelism — the rewrite
+                # exists solely for under-split testdata; a source with
+                # >= n_files row groups (scale_up output, any real pipeline's
+                # parquet) scans at full parallelism as-is, and skipping the
+                # copy saves a full-dataset rewrite + its disk (20 GB at
+                # sf100). A 2-4-row-group file would still cap scan
+                # parallelism far below the target, so it IS rewritten.
                 continue
             path = os.path.join(root, name)
             if not (reuse and os.path.exists(os.path.join(path, "_SUCCESS"))):

@@ -142,6 +142,13 @@ def scale_table(
         # sf100 fixture), making the true pair count quadratic — any exact
         # algorithm must then emit ~1e11 pairs. Fixture property, not an
         # operator property; this transform removes it at every factor.
+        # ASSUMPTION (energy spread): the ≈0 cross-copy cosine argument
+        # needs a vector's energy spread across many dims — with k dominant
+        # components the flipped dot product is a k-step walk and |cosine|
+        # can stay high. The testdata embeddings are dense unit-ish Gaussian
+        # mixtures (no dominant axis), and selfcheck.py --fixture-cosines
+        # measures the scaled fixture's cross-copy cosine distribution
+        # directly so each SCALE artifact records it instead of assuming.
         "embeddings": f"""r.vec_id + {off} AS vec_id,
             list_transform(range(1, len(r.embedding) + 1),
                 i -> CAST(r.embedding[i] * (CASE WHEN copy = 0 THEN 1
@@ -161,6 +168,16 @@ def scale_table(
     return con.execute(f"SELECT count(*) FROM read_parquet('{out}')").fetchone()[0]
 
 
+def _default_mem() -> str:
+    """~25% of physical RAM (capped at 24GB) so the streaming COPY cannot
+    overcommit a smaller host; os.sysconf is best-effort (Linux/mac)."""
+    try:
+        gib = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") / 2**30
+        return f"{max(1, min(24, int(gib // 4)))}GB"
+    except (ValueError, OSError, AttributeError):
+        return "4GB"
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=10)
@@ -177,6 +194,12 @@ def main() -> None:
         default="",
         help="comma-separated subset (resume after an interrupted run)",
     )
+    ap.add_argument(
+        "--memory-limit",
+        default=os.environ.get("SCALE_UP_MEMORY_LIMIT") or _default_mem(),
+        help="DuckDB memory_limit (default: env SCALE_UP_MEMORY_LIMIT, else "
+        "~25%% of detected physical RAM, capped at 24GB)",
+    )
     args = ap.parse_args()
     os.makedirs(args.dst, exist_ok=True)
     con = duckdb.connect()
@@ -187,13 +210,21 @@ def main() -> None:
     # (Spark scans split by row group; the oracles sort), so let DuckDB
     # STREAM the cross join straight to the writer, bounded by memory_limit.
     con.execute("SET preserve_insertion_order = false")
-    con.execute("SET memory_limit = '24GB'")
-    wanted = [t for t in args.tables.split(",") if t] or None
-    t0 = time.time()
-    for t in (
+    con.execute(f"SET memory_limit = '{args.memory_limit}'")
+    known = (
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",
-    ):
+    )
+    wanted = [t for t in args.tables.split(",") if t] or None
+    if wanted is not None:
+        unknown = [t for t in wanted if t not in known]
+        if unknown:
+            # no-silent-caps: a typo ('lineitems') in a resume run must not
+            # produce an incomplete dataset without a word
+            ap.error(f"unknown --tables entries: {', '.join(unknown)} "
+                     f"(known: {', '.join(known)})")
+    t0 = time.time()
+    for t in known:
         if wanted is not None and t not in wanted:
             continue
         n = scale_table(con, args.src, args.dst, t, args.factor,
