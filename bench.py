@@ -5,9 +5,12 @@ Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 line: ``{"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}``.
 
-Each query is executed to completion (``collect()`` — results are small
-aggregates/pages by construction). A warm-up action runs first so JVM/codegen
-startup isn't attributed to the first query.
+Each query is executed to completion: ``collect()`` for the small
+aggregate/page outputs, and — at scale-study SFs (sf >= 1) — the ``noop``
+sink for entries whose output is O(input rows) (``WIDE_OUTPUT``), so the
+timing measures the operator's distributed execution, never the driver's
+py4j socket. A warm-up action runs first so JVM/codegen startup isn't
+attributed to the first query.
 
 Regression gate: when ``BENCH_REFERENCE.json`` (committed per-round
 timings) matches the bench SF, any query measuring >1.3× its reference is
@@ -102,6 +105,50 @@ BENCH_QUERIES = [
     # |accounts|-sized, so the timing measures the window operator
     "wh_running_balance",
 ]
+
+
+# Entries whose RESULT SET is O(input rows) — per-document transforms,
+# per-event sessionization, per-account serving tables, near-dup pair sets.
+# Collecting those through the driver's py4j socket measures the socket,
+# not the operator (sessionize at sf100 serialized ~30 M rows for 1460 s;
+# doc_simhash_neardup_pairs had to be EXCLUDED from the r6 sf10 study for
+# the same reason). At scale-study SFs (sf >= 1) these entries execute via
+# Spark's `noop` sink instead — the full plan runs distributedly, nothing
+# crosses the driver. sf0.1 driver runs keep collect() so timings stay
+# comparable with BENCH_REFERENCE (outputs are small there anyway).
+WIDE_OUTPUT = {
+    "sessionize",
+    "asof_purchase_click",
+    "doc_profile",
+    "doc_pii_scrub",
+    "doc_paragraph_dedup",
+    "doc_mixture_split",
+    "doc_pack_sequences",
+    "doc_signatures",
+    "doc_repetition",
+    "doc_quality_gate",
+    "doc_clean_corpus",
+    "doc_simhash_neardup_pairs",
+    "media_suite",
+    "wh_balances_suite",
+    "wh_running_balance",
+    "events_shapes_suite",
+}
+
+
+def _make_action(sf: float | None):
+    """The per-entry execution action: collect() (driver contract) except
+    for WIDE_OUTPUT entries at scale-study SFs, which run through the noop
+    sink (full distributed execution, zero driver serialization)."""
+    wide = sf is not None and sf >= 1
+
+    def run(name: str, df) -> None:
+        if wide and name in WIDE_OUTPUT:
+            df.write.mode("overwrite").format("noop").save()
+        else:
+            df.collect()
+
+    return run
 
 
 def _bench_names() -> list[str]:
@@ -274,6 +321,7 @@ def main() -> None:
     # run. Default (driver mode) stays fail-fast.
     keep_going = os.environ.get("SPARK_GRAFT_BENCH_KEEP_GOING") == "1"
     failed: dict[str, str] = {}
+    action = _make_action(sf)
     for name in names:
         qd = QUERIES.get(name)
         if qd is None:
@@ -282,7 +330,7 @@ def main() -> None:
         try:
             for _ in range(runs):
                 t0 = time.perf_counter()
-                qd.fn(spark, sf_dir).collect()
+                action(name, qd.fn(spark, sf_dir))
                 best = min(best, time.perf_counter() - t0)
         except Exception as exc:
             if not keep_going:
@@ -325,7 +373,7 @@ def main() -> None:
                 best = t
                 for _ in range(3):
                     t0 = time.perf_counter()
-                    QUERIES[name].fn(spark, sf_dir).collect()
+                    action(name, QUERIES[name].fn(spark, sf_dir))
                     best = min(best, time.perf_counter() - t0)
                 clear_ivf_cache()
                 spark.catalog.clearCache()

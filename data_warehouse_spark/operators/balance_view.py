@@ -20,13 +20,14 @@ Freshness contract
     the CURRENT version dir without a pointer swap — so version
     pointers cannot witness freshness.  Instead the witness is a
     **fingerprint of the version dir's part-file listing** (names +
-    sizes + the version dir itself).  Every rollup version records, in
-    an atomic sidecar (``_abc_fingerprint``, written before the pointer
-    swap that publishes the version), the fingerprint of exactly the
-    change-table state it summarizes.  A reader compares that sidecar
-    against the LIVE fingerprint (two directory listings, no Spark
-    job); on any mismatch it falls back to the direct aggregate — the
-    fast path can be stale-but-unused, never stale-and-served.
+    sizes + the version dir itself).  Every completed maintenance
+    records, in an atomic table-level state file (``_freshness``,
+    written AFTER its merges complete), the fingerprint pair
+    (change-table state summarized, rollup state written).  A reader
+    compares both against the LIVE fingerprints (three directory
+    listings, no Spark job); on any mismatch it falls back to the
+    direct aggregate — the fast path can be stale-but-unused, never
+    stale-and-served.
 
 Maintenance (single writer — the ingestion tick)
     * fingerprint unchanged            → noop (pure Python, no job);
@@ -45,19 +46,24 @@ when the delta is tiny); the fact table appears in no steady-state
 plan.  The serving read is a broadcast semi-join against O(accounts)
 rows.
 
-Known write-amplification bound: each maintenance PUBLISHES the whole
-rollup (one atomic version swap carrying the sidecar), i.e. O(accounts)
-written per busy tick — trivial at the measured 150 k accounts (~2 MB),
-wrong past ~10 M.  The scale path is mechanical: partition the rollup
-by tenant and MERGE the per-group delta through
-``TableStore.merge_upsert`` (copy-on-write rewrites only touched tenant
-partitions) plus a ``merge_delete`` of zero-count groups; the freshness
-witness then moves from the version sidecar to the same
-``table_fingerprint`` scheme the readers already use for
-append-without-swap tables.  Not implemented here because the sidecar's
-write-before-swap atomicity is simpler to reason about and the serving
-tier swaps to a KV store at that population anyway (see
-api/serving_cache.py).
+Write amplification (the partitioned-MERGE scale path): the rollup is
+stored tenant-partitioned, and the delta path MERGEs only the changed
+groups through ``TableStore.merge_upsert`` — copy-on-write rewrites the
+tenant partitions the tick touched and hard-links every other tenant's
+files unchanged — plus a ``merge_delete`` of groups whose row count
+reached zero (impossible under the append-only change table, carried
+for CDC generality).  A busy tick therefore writes O(accounts of the
+touched tenants), not O(all accounts); the earlier full-publish design
+(every maintenance rewrote the whole rollup) was documented as wrong
+past ~10 M accounts.  Because MERGE swaps versions itself, the
+freshness witness is no longer a per-version sidecar but an atomic
+table-level state file recording the PAIR of fingerprints the
+maintenance left behind: (change-table state summarized, rollup state
+written).  A reader trusts the rollup only when BOTH match the live
+fingerprints — torn maintenance (crash between merge and state write)
+mismatches on the rollup side, a post-maintenance append mismatches on
+the change side; either way the fast path disables itself and the next
+tick repairs.
 """
 
 from __future__ import annotations
@@ -76,7 +82,10 @@ ABC_TABLE = "account_balance_change"
 ROLLUP_TABLE = "account_balance_rollup"
 GROUP_COLS = ["tenant", "name"]
 SUM_COLS = ["amount"]
-FINGERPRINT_SIDECAR = "_abc_fingerprint"
+# table-level freshness state (atomic JSON: the (abc, rollup) fingerprint
+# pair the last completed maintenance recorded) — lives NEXT TO the version
+# dirs, not inside one, because partitioned MERGE swaps versions itself
+STATE_FILE = "_freshness"
 
 # F.sum over the ingest DECIMAL(28,10) amount widens to DECIMAL(38,10);
 # storing that exact type keeps the fast path bit-identical to the
@@ -98,7 +107,24 @@ def table_fingerprint(store, name: str) -> str | None:
     files, compaction swaps the dir, overwrite swaps the dir — every
     content-changing operation moves the fingerprint (the witness version
     pointers cannot be for append-without-swap tables).  None when the
-    table has never been written."""
+    table has never been written.
+
+    Memoized on the store's in-process mutation counter: the walk is
+    O(partition dirs) of GIL-bound driver work (~0.12 s at sf1 on the
+    (tenant, month) fact layout — it DOMINATED per-request latency under
+    32 concurrent clients before the memo), and the counter is bumped at
+    the start AND end of every mutating store operation, so a memo can
+    never outlive — or be captured mid-way through — a content change.
+    Stores without the counter (unit fakes, external writers) walk every
+    time, keeping the pure content-witness semantics."""
+    mut = getattr(store, "mutations", None)
+    memo = getattr(store, "_fp_memo", None)
+    if mut is not None:
+        if memo is None:
+            memo = store._fp_memo = {}
+        hit = memo.get(name)
+        if hit is not None and hit[0] == mut:
+            return hit[1]
     vdir = store._resolve(name)
     if vdir is None:
         return None
@@ -113,7 +139,11 @@ def table_fingerprint(store, name: str) -> str | None:
                 )
     for path, size in sorted(entries):
         h.update(f"{path}\x00{size}\x01".encode())
-    return h.hexdigest()
+    fp = h.hexdigest()
+    if mut is not None and mut == getattr(store, "mutations", None):
+        # memo only when no mutation started or finished during the walk
+        memo[name] = (mut, fp)
+    return fp
 
 
 def abc_fingerprint(store) -> str | None:
@@ -132,25 +162,54 @@ def _version_root(path: str) -> str:
     return d
 
 
-def _rollup_sidecar(vdir: str) -> str | None:
+def _state_path(store) -> str:
+    return os.path.join(store._table_dir(ROLLUP_TABLE), STATE_FILE)
+
+
+def _read_state(store) -> dict | None:
+    """The (abc, rollup) fingerprint pair the last completed maintenance
+    recorded, or None (never maintained / unreadable)."""
+    import json
+
     try:
-        with open(os.path.join(vdir, FINGERPRINT_SIDECAR)) as fh:
-            return fh.read().strip() or None
-    except FileNotFoundError:
+        with open(_state_path(store)) as fh:
+            st = json.load(fh)
+        return st if isinstance(st, dict) and "abc" in st and "rollup" in st else None
+    except (OSError, ValueError):
         return None
 
 
-def _publish(store, rollup: DataFrame, fingerprint: str) -> None:
-    """Write a rollup version with its fingerprint sidecar, then swap the
-    pointer — the sidecar lands BEFORE publication, so a published version
-    always carries the fingerprint of the state it summarizes (Spark
-    ignores underscore-prefixed files in a parquet directory)."""
-    vdir = store._write_version(ROLLUP_TABLE, rollup)
-    tmp = os.path.join(vdir, f"{FINGERPRINT_SIDECAR}.tmp-{uuid.uuid4().hex[:8]}")
+def _write_state(store, abc_fp: str) -> None:
+    """Atomically record what the maintenance just left behind: the change
+    table state it summarized and the rollup state it wrote.  Written
+    AFTER the merges complete — a crash before this line leaves a state
+    whose rollup fingerprint mismatches the live rollup, disabling the
+    fast path until the next maintenance repairs."""
+    import json
+
+    os.makedirs(store._table_dir(ROLLUP_TABLE), exist_ok=True)
+    tmp = f"{_state_path(store)}.tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as fh:
-        fh.write(fingerprint)
-    os.replace(tmp, os.path.join(vdir, FINGERPRINT_SIDECAR))
-    store._swap(ROLLUP_TABLE, vdir)
+        json.dump(
+            {"abc": abc_fp, "rollup": table_fingerprint(store, ROLLUP_TABLE)}, fh
+        )
+    os.replace(tmp, _state_path(store))
+
+
+def freshness_token(store) -> str | None:
+    """Cheap freshness witness (three directory listings, no Spark job):
+    a token identifying the current fresh rollup state, or None when the
+    fast path must not be trusted.  Fresh means the recorded state pair
+    matches BOTH live fingerprints: the change table hasn't moved since
+    the maintenance, and the rollup on disk is exactly what it wrote."""
+    st = _read_state(store)
+    if st is None:
+        return None
+    if st["abc"] != abc_fingerprint(store):
+        return None
+    if st["rollup"] != table_fingerprint(store, ROLLUP_TABLE):
+        return None
+    return st["rollup"]
 
 
 def maintain(
@@ -165,21 +224,29 @@ def maintain(
     tick's change-table merge) and ``adopted_files`` (the part files that
     merge adopted — ``TableStore.last_adopted_files``) to enable the
     exact delta path; call bare for the convergence check (noop when
-    fresh, recompute when not — the bootstrap/repair path)."""
+    fresh, recompute when not — the bootstrap/repair path).
+
+    The delta path is a partitioned MERGE: only the groups the tick's
+    adopted files touch are upserted, so copy-on-write rewrites only the
+    touched tenant partitions (file-pinned in tests/test_balance_view.py);
+    zero-count groups are merge-deleted (CDC generality — unreachable
+    under the append-only change table)."""
     fp_now = abc_fingerprint(store)
     if fp_now is None:
         return "noop"  # no changes ever: serving falls back to the empty direct agg
-    rdir = store._resolve(ROLLUP_TABLE)
-    r_fp = _rollup_sidecar(rdir) if rdir else None
-    if r_fp == fp_now:
+    st = _read_state(store)
+    rollup_intact = (
+        st is not None and st["rollup"] == table_fingerprint(store, ROLLUP_TABLE)
+    )
+    if rollup_intact and st["abc"] == fp_now:
         return "noop"
 
     spark = store.spark
     sum_t = ROLLUP_SCHEMA["sum_amount"].dataType
     if (
-        r_fp is not None
+        rollup_intact
         and fp_before is not None
-        and r_fp == fp_before
+        and st["abc"] == fp_before
         and adopted_files
         and all(os.path.isfile(p) for p in adopted_files)
     ):
@@ -198,13 +265,33 @@ def maintain(
                 .parquet(*adopted_files)
                 .withColumn(ivm.CHANGE_COL, F.lit("insert"))
             )
-            delta_rollup = ivm.maintain_rollup(
-                store.read(ROLLUP_TABLE), cdc, GROUP_COLS, SUM_COLS
+            delta = ivm.cdc_delta(cdc, GROUP_COLS, SUM_COLS)
+            # restrict the old side to the touched GROUPS (null-safe semi
+            # join) so the upsert batch is O(changed groups); the literal
+            # tenant IN-list prunes the rollup scan to touched partitions
+            touched_tenants = [r[0] for r in delta.select("tenant").distinct().collect()]
+            old = store.read(ROLLUP_TABLE).filter(
+                store._partition_filter("tenant", touched_tenants)
             )
-            # publish INSIDE the try: the plan is lazy, so read/verify
-            # failures surface at the write — they too must degrade
-            _publish(store, delta_rollup.withColumn(
-                "sum_amount", F.col("sum_amount").cast(sum_t)), fp_now)
+            keys = delta.select(*GROUP_COLS)
+            old_touched = old.join(
+                F.broadcast(keys), store._key_cond(old, keys, GROUP_COLS), "left_semi"
+            )
+            merged = ivm.apply_delta(
+                old_touched, delta, GROUP_COLS, SUM_COLS, drop_empty=False
+            ).persist()
+            try:
+                upserts = merged.filter(F.col("n_rows") > 0).withColumn(
+                    "sum_amount", F.col("sum_amount").cast(sum_t)
+                )
+                doomed = merged.filter(F.col("n_rows") <= 0).select(*GROUP_COLS)
+                store.merge_upsert(ROLLUP_TABLE, upserts, GROUP_COLS)
+                # doomed is computed from the persisted `merged` (its plan
+                # reads the PRE-upsert rollup version, still retained)
+                store.merge_delete(ROLLUP_TABLE, doomed, GROUP_COLS)
+            finally:
+                merged.unpersist()
+            _write_state(store, fp_now)
             return "delta"
         except Exception:
             # the delta path is an optimization; any failure degrades to
@@ -212,28 +299,29 @@ def maintain(
             # ingestion tick that hosts the maintenance
             pass
     new_rollup = ivm.compute_rollup(store.read(ABC_TABLE), GROUP_COLS, SUM_COLS)
-    _publish(store, new_rollup.withColumn(
-        "sum_amount", F.col("sum_amount").cast(sum_t)), fp_now)
+    store.overwrite(ROLLUP_TABLE, new_rollup.withColumn(
+        "sum_amount", F.col("sum_amount").cast(sum_t)))
+    _write_state(store, fp_now)
     return "recompute"
 
 
 def read_if_fresh(store) -> DataFrame | None:
-    """Serving fast path: the rollup pinned to the version whose sidecar
-    fingerprint matches the change table's LIVE fingerprint, or None (the
-    caller falls back to the direct aggregate).  The check is two
-    directory listings — no Spark job.  Reading the checked version dir
-    directly (not through the pointer) makes the result immune to a
-    concurrent maintenance swap between check and read."""
+    """Serving fast path: the rollup, served only when the state file
+    proves it summarizes the change table's LIVE state (see
+    :func:`freshness_token` — no Spark job).  Reading the resolved
+    version dir directly (not through the pointer) makes the result
+    immune to a concurrent maintenance swap between check and read: the
+    previous version's files are retained across one swap."""
+    if freshness_token(store) is None:
+        return None
     rdir = store._resolve(ROLLUP_TABLE)
     if rdir is None:
         return None
-    if _rollup_sidecar(rdir) != abc_fingerprint(store):
-        return None
-    return (
-        store.spark.read.schema(ROLLUP_SCHEMA)
-        .parquet(rdir)
-        .select(*[f.name for f in ROLLUP_SCHEMA.fields])
-    )
+    reader = store.spark.read
+    if store.partitions.get(ROLLUP_TABLE):
+        # hive partition dirs would infer string anyway, but pin the schema
+        reader = reader.schema(ROLLUP_SCHEMA)
+    return reader.parquet(rdir).select(*[f.name for f in ROLLUP_SCHEMA.fields])
 
 
 def balances_from_rollup(rollup: DataFrame, keys: DataFrame) -> DataFrame:

@@ -94,13 +94,21 @@ def cdc_delta(
 
 
 def apply_delta(
-    rollup: DataFrame, delta: DataFrame, group_cols: list[str], sum_cols: list[str]
+    rollup: DataFrame,
+    delta: DataFrame,
+    group_cols: list[str],
+    sum_cols: list[str],
+    drop_empty: bool = True,
 ) -> DataFrame:
     """Merge a signed delta into the rollup: NULL-SAFE full outer join on
     the group key, per-measure sum of the two sides, groups with no
     remaining rows dropped. New groups (delta side only) enter with their
     delta values; a sum whose remaining non-null count is zero serves
-    NULL, exactly as a recompute would."""
+    NULL, exactly as a recompute would.
+
+    ``drop_empty=False`` keeps zero-count groups in the output — the
+    partitioned-MERGE maintenance consumes them as its DELETE set (a
+    stored rollup can't drop a row by omitting it from an upsert batch)."""
     measures = measure_cols(sum_cols)
     left = rollup.select(
         *[F.col(k).alias(f"_l_{k}") for k in group_cols], *measures
@@ -131,7 +139,8 @@ def apply_delta(
             for c in sum_cols
         ]
     )
-    return merged.select(*keys, *out).filter(F.col("n_rows") > 0)
+    result = merged.select(*keys, *out)
+    return result.filter(F.col("n_rows") > 0) if drop_empty else result
 
 
 def maintain_rollup(

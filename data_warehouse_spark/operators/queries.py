@@ -109,12 +109,38 @@ def transfers(
     ):
         if val is not None:
             out = out.filter(_rng("amount", op, val))
+    date_bounds = []
     for op, val in (
         ("lt", value_date_lt), ("lte", value_date_lte),
         ("gt", value_date_gt), ("gte", value_date_gte),
     ):
         if val is not None:
             out = out.filter(_rng("value_date", op, F.lit(val).cast("timestamp")))
+            date_bounds.append((op, val))
+
+    # partition pruning on the derived month bucket: when the fact table is
+    # stored with the (tenant, value_month) layout (TableStore
+    # month_partitions) the caller passes a frame that still carries
+    # `value_month`; any value_date bound then also bounds the month dirs.
+    # The month predicate is WIDENED one month each side so session-timezone
+    # drift between writer and reader can never exclude a matching row —
+    # it only prunes paths, the exact value_date filter above decides rows.
+    # 'yyyy-MM' compares lexicographically == chronologically.
+    if "value_month" in out.columns:
+        if date_bounds and not COMPAT_INVERTED_FILTERS:
+            for op, val in date_bounds:
+                ts = F.lit(val).cast("timestamp")
+                if op in ("gt", "gte"):
+                    out = out.filter(
+                        F.col("value_month")
+                        >= F.date_format(F.add_months(ts, -1), "yyyy-MM")
+                    )
+                else:
+                    out = out.filter(
+                        F.col("value_month")
+                        <= F.date_format(F.add_months(ts, 1), "yyyy-MM")
+                    )
+        out = out.drop("value_month")  # storage layout, never output schema
 
     # total order on PK remainder within the tenant — deterministic pages
     return paginate(out, ["transaction", "transfer"], limit, offset)

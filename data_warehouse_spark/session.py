@@ -79,6 +79,19 @@ def get_spark(
             "spark.driver.maxResultSize",
             os.environ.get("SPARK_DRIVER_MAX_RESULT_SIZE", "4g"),
         )
+        # partition discovery: above this many paths Spark LISTS VIA A JOB
+        # (default threshold 32). The (tenant, month) fact layout holds
+        # ~2100 hive dirs, so with the default every fresh read — and the
+        # ingest tick reads per MERGE — schedules a 1000-task listing job
+        # that queues behind real work (measured: the serving bench's
+        # monster first tick convoyed every request behind listing jobs,
+        # p50 80 s). Local/POSIX listing of thousands of dirs is
+        # milliseconds on the driver; a cluster against an object store
+        # should lower this again (env override).
+        .config(
+            "spark.sql.sources.parallelPartitionDiscovery.threshold",
+            os.environ.get("SPARK_GRAFT_PARTITION_DISCOVERY_THRESHOLD", "8192"),
+        )
         # long-lived sessions (the 330-test suite, a serving daemon) leak
         # heap through out-of-scope broadcasts/shuffles until the cleaner's
         # periodic GC fires — default 30min is longer than many runs; 5min

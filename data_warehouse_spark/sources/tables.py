@@ -82,6 +82,7 @@ class TableStore:
         partitions: dict[str, list[str]] | None = None,
         compact_threshold: int = COMPACT_FILE_THRESHOLD,
         cluster_by: dict[str, list[str]] | None = None,
+        month_partitions: dict[str, tuple[str, str]] | None = None,
     ):
         self.spark = spark
         self.root = root
@@ -89,11 +90,42 @@ class TableStore:
         self.partitions = partitions or {}
         self.compact_threshold = compact_threshold
         self.cluster_by = cluster_by or {}
+        # table → (derived_col, timestamp_col): a DERIVED second-level
+        # hive partition `derived_col=yyyy-MM` computed from the timestamp
+        # column at write time. Time-bucketing the fact tables bounds
+        # partition-directory growth (a tenant's transfers otherwise
+        # accumulate in ONE directory forever) and gives date-ranged
+        # queries path-level pruning on top of row-group stats. The
+        # derived column is storage layout, not schema: `read` drops it
+        # unless asked (`keep_derived=True` — the query layer opts in to
+        # prune on it and drops it before results surface).
+        self.month_partitions = month_partitions or {}
+        for tname, (dcol, src) in self.month_partitions.items():
+            declared = {f.name for f in schemas[tname].fields}
+            if dcol in declared or src not in declared:
+                raise ValueError(
+                    f"month_partitions[{tname!r}]: derived column {dcol!r} "
+                    f"must NOT be declared; source {src!r} must be declared"
+                )
         # destination paths of the most recent _adopt_files call — the
         # per-append change capture diff_previous's docstring points to
         # (valid until the next merge or a compaction removes them; the
         # consumer re-checks existence)
         self.last_adopted_files: list[str] = []
+        # monotonic in-process mutation counter: bumped at the START and
+        # END of every content-changing operation (swap, file adopt).
+        # The serving tier memoizes its O(dirs) fingerprint walks on this
+        # — a steady-state freshness check becomes one integer compare
+        # instead of an os.walk over ~2100 hive dirs per request
+        # (measured 0.12 s of GIL-bound driver work per walk at sf1 on
+        # the (tenant, month) layout). Start+end bumps mean a walk taken
+        # MID-write can never be memo-served for the post-write state.
+        # In-process only by design: this store has a single writing
+        # process (the service owns the warehouse, like the reference's
+        # single Postgres); a multi-writer deployment must fall back to
+        # raw walks (balance_view.table_fingerprint does so for stores
+        # without the attribute).
+        self.mutations: int = 0
         # a typo'd or partition-column cluster key would silently disable
         # clustering forever (part files don't carry partition columns) —
         # fail construction instead
@@ -136,6 +168,7 @@ class TableStore:
     def _swap(self, name: str, new_version_dir: str) -> None:
         """Atomically point readers at ``new_version_dir``; keep the
         immediately-previous version for in-flight readers, prune older."""
+        self.mutations += 1  # invalidate fingerprint memos before the swap
         tdir = self._table_dir(name)
         os.makedirs(tdir, exist_ok=True)
         prev = self._resolve(name)
@@ -156,23 +189,49 @@ class TableStore:
             if entry.startswith("v-") and entry not in keep:
                 shutil.rmtree(os.path.join(tdir, entry), ignore_errors=True)
         self.spark.catalog.refreshByPath(new_version_dir)
+        self.mutations += 1  # post-swap bump: memos taken mid-swap die too
 
     # ---- read surface --------------------------------------------------
 
     def exists(self, name: str) -> bool:
         return self._resolve(name) is not None
 
-    def read(self, name: str) -> DataFrame:
+    def _read_schema(self, name: str) -> T.StructType:
+        """Declared schema extended with the derived month-partition column
+        (a string recovered from the hive directory names)."""
+        schema = self.schemas[name]
+        if name in self.month_partitions:
+            dcol = self.month_partitions[name][0]
+            schema = T.StructType(
+                list(schema.fields) + [T.StructField(dcol, T.StringType(), True)]
+            )
+        return schema
+
+    def _all_partitions(self, name: str) -> list[str]:
+        cols = list(self.partitions.get(name, []))
+        if name in self.month_partitions:
+            cols.append(self.month_partitions[name][0])
+        return cols
+
+    def read(self, name: str, keep_derived: bool = False) -> DataFrame:
+        """``keep_derived=True`` keeps the derived month-partition column in
+        the result (callers that prune on it — the serving query layer —
+        drop it again before output surfaces); default reads present the
+        declared schema only."""
         vdir = self._resolve(name)
         if vdir is None:
-            return self.spark.createDataFrame([], self.schemas[name])
-        reader = self.spark.read
-        if self.partitions.get(name):
-            # fix partition-column types (hive dirs would infer strings)
-            reader = reader.schema(self.schemas[name])
-        df = reader.parquet(vdir)
+            df = self.spark.createDataFrame([], self._read_schema(name))
+        else:
+            reader = self.spark.read
+            if self._all_partitions(name):
+                # fix partition-column types (hive dirs would infer strings)
+                reader = reader.schema(self._read_schema(name))
+            df = reader.parquet(vdir)
         # project to declared column order (schema is fixed, never inferred)
-        return df.select(*[f.name for f in self.schemas[name].fields])
+        cols = [f.name for f in self.schemas[name].fields]
+        if keep_derived and name in self.month_partitions:
+            cols.append(self.month_partitions[name][0])
+        return df.select(*cols)
 
     def read_previous(self, name: str) -> DataFrame | None:
         """Time travel, depth 1: the table as of the snapshot BEFORE the
@@ -193,8 +252,8 @@ class TableStore:
         if not v or not os.path.isdir(os.path.join(tdir, v)):
             return None
         reader = self.spark.read
-        if self.partitions.get(name):
-            reader = reader.schema(self.schemas[name])
+        if self._all_partitions(name):
+            reader = reader.schema(self._read_schema(name))
         df = reader.parquet(os.path.join(tdir, v))
         return df.select(*[f.name for f in self.schemas[name].fields])
 
@@ -203,11 +262,25 @@ class TableStore:
     def _write_table_parquet(self, name: str, df: DataFrame, dest: str) -> None:
         """The one writer body (schema projection + table partitioning),
         shared by version writes and staging writes."""
-        writer = df.select(*[f.name for f in self.schemas[name].fields]).write.mode(
-            "overwrite"
-        )
-        if self.partitions.get(name):
-            writer = writer.partitionBy(*self.partitions[name])
+        out = df.select(*[f.name for f in self.schemas[name].fields])
+        if name in self.month_partitions:
+            # derive the month bucket at write time (deterministic from the
+            # timestamp column, so rewrites land rows in the same dirs)
+            dcol, src = self.month_partitions[name]
+            out = out.withColumn(dcol, F.date_format(F.col(src), "yyyy-MM"))
+        pcols = self._all_partitions(name)
+        if pcols:
+            # shuffle each hive partition's rows into ONE task before the
+            # partitioned write: without this every task writes a file into
+            # every partition dir it sees — tasks × partitions files (a
+            # bulk load of (25 tenants × 84 months) on 32 tasks measured
+            # ~67k tiny files and minutes of file-open overhead). After:
+            # one file per partition dir; compaction re-splits oversized
+            # dirs at its usual threshold.
+            out = out.repartition(*[F.col(c) for c in pcols])
+        writer = out.write.mode("overwrite")
+        if pcols:
+            writer = writer.partitionBy(*pcols)
         writer.parquet(dest)
 
     def _write_version(self, name: str, df: DataFrame) -> str:
@@ -370,6 +443,7 @@ class TableStore:
         n_rows = 0
         adopted: list[str] = []
         os.makedirs(target, exist_ok=True)
+        self.mutations += 1  # invalidate fingerprint memos before adopting
         for dirpath, _dirnames, filenames in os.walk(staging):
             rel = os.path.relpath(dirpath, staging)
             for fname in filenames:
@@ -383,6 +457,7 @@ class TableStore:
                 os.rename(src, dest)
                 adopted.append(dest)
         self.last_adopted_files = adopted
+        self.mutations += 1  # post-adopt bump (see __init__ note)
         return n_rows
 
     def merge_upsert(

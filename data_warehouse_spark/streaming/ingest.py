@@ -126,6 +126,18 @@ def warehouse_store(spark: SparkSession, root: str) -> TableStore:
             "transfer": ["tenant"],
             "account_balance_change": ["tenant"],
             "account": ["tenant"],
+            balance_view.ROLLUP_TABLE: ["tenant"],
+        },
+        # the FACT tables additionally time-bucket by month(value_date)
+        # (derived hive level under each tenant dir): bounds per-directory
+        # growth at 100x — a tenant's transfers otherwise accumulate in one
+        # flat dir forever — and gives the reference's value_date range
+        # filters (GraphQLPersistence.scala:277-316) path-level pruning
+        # (queries.transfers adds the month predicate; plan-pinned in
+        # tests/test_plan_quality.py)
+        month_partitions={
+            "transfer": ("value_month", "value_date"),
+            "account_balance_change": ("value_month", "value_date"),
         },
         # when compaction rewrites a fragmented tenant partition, cluster
         # the files on the read-path keys: transfers page by

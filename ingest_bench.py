@@ -152,6 +152,15 @@ def main() -> int:
             "the reference ticks every 2 s; an arm whose IDLE tick exceeds "
             "that budget cannot hold the cadence at this tree width"
         ),
+        "arm_policy": (
+            "scandir is the wide-tree default (holds cadence; O(new) "
+            "content reads via watermarks); the file-source arm is scoped "
+            "to bursty-append / narrow trees - its per-trigger "
+            "FileStreamSource listing is O(total files) by architecture "
+            "(maxFilesPerTrigger bounds batch size, not listing), and the "
+            "platform fix is a file-notification source, the swap point "
+            "this interface leaves open (file_ingest.py docstring, README)"
+        ),
     }
     print(json.dumps(report))
     with open(args.out, "w") as fh:

@@ -290,6 +290,10 @@ def main() -> int:
             "transfers_ingested": ingested,
             "pools": "FAIR scheduler; serving vs ingest pools (session.py)",
         },
+        # which path served: per-kind snapshot hit/reload/fallback counts +
+        # transfer page-cache hits (api/serving_cache.py counters)
+        "cache_counters": dict(getattr(app, "serving_cache").counters)
+        if hasattr(app, "serving_cache") else {},
         "health_after_load": health,
     }
     line = json.dumps(report)

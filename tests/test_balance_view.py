@@ -178,6 +178,114 @@ def test_delta_survives_compaction_inside_merge(spark, tmp_path):
     assert results == ["delta"] * len(results)
 
 
+def _partition_inodes(vdir):
+    """{tenant-dir-name: frozenset(part-file inodes)} for a rollup version."""
+    out = {}
+    for entry in os.listdir(vdir):
+        d = os.path.join(vdir, entry)
+        if os.path.isdir(d) and entry.startswith("tenant="):
+            out[entry] = frozenset(
+                os.stat(os.path.join(dp, f)).st_ino
+                for dp, _dn, fs in os.walk(d)
+                for f in fs
+                if f.endswith(".parquet")
+            )
+    return out
+
+
+def test_delta_rewrites_only_touched_tenant_partitions(spark, tmp_path):
+    """The partitioned-MERGE scale path: a tick touching tenant A must
+    rewrite only A's rollup partition — every other tenant's files are
+    hard-linked (same inodes) into the new snapshot.  This is the
+    O(touched tenants) write bound that replaces the old full-publish
+    (documented wrong past ~10M accounts)."""
+    store = warehouse_store(spark, str(tmp_path / "wh"))
+    store.merge_insert_missing(
+        ABC,
+        _changes(spark, [("A", "x", "10", "t1"), ("B", "y", "5", "t2"), ("C", "z", "1", "t3")]),
+        ABC_PRIMARY_KEYS,
+    )
+    balance_view.maintain(store)
+    before = _partition_inodes(store._resolve(balance_view.ROLLUP_TABLE))
+    assert set(before) == {"tenant=A", "tenant=B", "tenant=C"}
+
+    fp_before = balance_view.abc_fingerprint(store)
+    store.merge_insert_missing(
+        ABC, _changes(spark, [("A", "x", "2.5", "t4")]), ABC_PRIMARY_KEYS
+    )
+    action = balance_view.maintain(
+        store, fp_before=fp_before, adopted_files=store.last_adopted_files
+    )
+    assert action == "delta"
+    after = _partition_inodes(store._resolve(balance_view.ROLLUP_TABLE))
+    # untouched tenants: identical inodes (hard links, zero data rewritten)
+    assert after["tenant=B"] == before["tenant=B"]
+    assert after["tenant=C"] == before["tenant=C"]
+    # the touched tenant was actually rewritten
+    assert after["tenant=A"] != before["tenant=A"]
+    assert _rollup_map(balance_view.read_if_fresh(store)) == _ground_truth(store)
+
+
+def test_mixed_swap_sequence_always_equals_recompute(spark, tmp_path):
+    """Arbitrary interleaving of appends (delta maintenance), external
+    overwrites (recompute repair), replays (noop) and compactions keeps
+    the MERGE-maintained rollup ≡ the full recompute at every step."""
+    store = warehouse_store(spark, str(tmp_path / "wh"))
+    store.compact_threshold = 2  # compactions fire mid-sequence
+    actions = []
+
+    def append_and_maintain(rows):
+        fp_before = balance_view.abc_fingerprint(store)
+        store.merge_insert_missing(ABC, _changes(spark, rows), ABC_PRIMARY_KEYS)
+        actions.append(
+            balance_view.maintain(
+                store, fp_before=fp_before, adopted_files=store.last_adopted_files
+            )
+        )
+        assert _rollup_map(balance_view.read_if_fresh(store)) == _ground_truth(store)
+
+    append_and_maintain([("A", "x", "1", "t1"), ("B", "y", "2", "t2")])
+    append_and_maintain([("A", "x", "3", "t3"), ("C", "z", "-4", "t4")])
+    # external overwrite (e.g. a backfill) → fast path refuses, repair
+    store.overwrite(
+        ABC, _changes(spark, [("A", "x", "7", "t1"), ("D", "w", "0.5", "t9")])
+    )
+    assert balance_view.read_if_fresh(store) is None
+    actions.append(balance_view.maintain(store))
+    assert _rollup_map(balance_view.read_if_fresh(store)) == _ground_truth(store)
+    # replayed batch → noop
+    fpb = balance_view.abc_fingerprint(store)
+    store.merge_insert_missing(ABC, _changes(spark, [("A", "x", "7", "t1")]), ABC_PRIMARY_KEYS)
+    actions.append(
+        balance_view.maintain(store, fp_before=fpb, adopted_files=store.last_adopted_files)
+    )
+    append_and_maintain([("D", "w", "1.5", "t10"), ("E", "v", "9", "t11")])
+    assert actions == ["recompute", "delta", "recompute", "noop", "delta"]
+
+
+def test_torn_maintenance_disables_fast_path_until_repair(spark, tmp_path):
+    """Crash between the MERGE and the state write: the live rollup no
+    longer matches the recorded pair, so the fast path refuses and the
+    next convergence repairs.  Simulated by mutating the rollup after a
+    completed maintenance (same witness: state/rollup mismatch)."""
+    store = warehouse_store(spark, str(tmp_path / "wh"))
+    store.merge_insert_missing(ABC, _changes(spark, [("A", "x", "1", "t1")]), ABC_PRIMARY_KEYS)
+    balance_view.maintain(store)
+    assert balance_view.read_if_fresh(store) is not None
+    # a merge the state file never heard about (the torn window's effect)
+    store.merge_upsert(
+        balance_view.ROLLUP_TABLE,
+        balance_view.read_if_fresh(store).limit(1).withColumn(
+            "n_rows", F.lit(99).cast("long")
+        ),
+        balance_view.GROUP_COLS,
+    )
+    assert balance_view.freshness_token(store) is None
+    assert balance_view.read_if_fresh(store) is None  # wrong data never served
+    assert balance_view.maintain(store) == "recompute"
+    assert _rollup_map(balance_view.read_if_fresh(store)) == _ground_truth(store)
+
+
 def test_serving_equivalence_with_direct_aggregate(spark, tmp_path):
     """balances_from_rollup ≡ queries.account_balances for a key batch:
     same rows, same values, same NULL semantics, same dtype."""

@@ -213,6 +213,29 @@ def test_partitioned_transfer_scan_prunes_tenant(spark, tmp_path):
     )[1].splitlines()[0], rep.text
     assert df.count() == 1
 
+    # (tenant, value_month) layout: a date-ranged serving request must show
+    # BOTH partition columns in PartitionFilters (path pruning, not just
+    # row-group stats) when the frame carries the derived month column —
+    # and the result must equal the un-pruned read (the widened month
+    # predicate only prunes paths; value_date decides rows)
+    pruned = wh.transfers(
+        store.read("transfer", keep_derived=True),
+        tenant="P1",
+        value_date_gte="2020-01-01T00:00:00",
+        value_date_lt="2020-02-01T00:00:00",
+    )
+    rep = plan_report(pruned)
+    pf_line = rep.text.split("PartitionFilters")[1].splitlines()[0]
+    assert "tenant" in pf_line and "value_month" in pf_line, rep.text
+    assert "value_month" not in pruned.columns  # storage detail never surfaces
+    plain = wh.transfers(
+        store.read("transfer"),
+        tenant="P1",
+        value_date_gte="2020-01-01T00:00:00",
+        value_date_lt="2020-02-01T00:00:00",
+    )
+    assert pruned.collect() == plain.collect()
+
 
 def test_promo_revenue_broadcasts_part_and_prunes(spark):
     df = analytics.promo_revenue_by_month(

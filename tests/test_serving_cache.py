@@ -119,6 +119,54 @@ def test_cache_over_max_rows_falls_back(spark, tmp_path):
     assert execute(store, q, cache=cache).data == execute(store, q).data
 
 
+def test_transfer_page_cache_hits_and_invalidates(spark, tmp_path):
+    """Repeat transfer-page requests serve from the fingerprint-pinned
+    page cache (counter-visible), a table change drops every page, and
+    the cached response is byte-identical to the uncached one."""
+    store = _ticked_store(spark, tmp_path)
+    cache = ServingCache(store)
+    q = (
+        'query { transfers(tenant: "CACHE_TRN", limit: 10, offset: 0) '
+        "{ transaction amount credit { name balance } debit { name balance } } }"
+    )
+    first = execute(store, q, cache=cache)
+    assert cache.counters["transfer_page_load"] == 1
+    second = execute(store, q, cache=cache)
+    assert cache.counters["transfer_page_hit"] == 1
+    assert first.data == second.data == execute(store, q).data
+    # a different arg shape is a different entry (no false sharing)
+    q2 = q.replace("limit: 10", "limit: 1")
+    execute(store, q2, cache=cache)
+    assert cache.counters["transfer_page_load"] == 2
+
+    # table change → every page invalidated, reload serves the new state
+    root2 = str(tmp_path / "primary")
+    write(
+        os.path.join(root2, "t_CACHE_TRN", "transaction", "TRN2"),
+        "committed\nTRX2 CACHE_TRN CREDIT CACHE_TRN DEBIT 2020-02-01T00:00:00Z 5 CZK\n",
+    )
+    write(os.path.join(root2, "t_CACHE_TRN", "account", "CREDIT", "events",
+                       "0000000000", "1_1_TRN2"), "2\n")
+    write(os.path.join(root2, "t_CACHE_TRN", "account", "DEBIT", "events",
+                       "0000000000", "1_-1_TRN2"), "2\n")
+    IngestionPipeline(spark, root2, store).run_once()
+    after = execute(store, q, cache=cache)
+    assert after.data == execute(store, q).data
+    assert len(after.data["transfers"]) == 2  # the new transfer is visible
+
+
+def test_transfer_page_cache_respects_row_bound(spark, tmp_path):
+    """Pages above max_page_rows are served but never cached (driver
+    memory bound)."""
+    store = _ticked_store(spark, tmp_path)
+    cache = ServingCache(store, max_page_rows=0)
+    q = 'query { transfers(tenant: "CACHE_TRN", limit: 10) { transaction } }'
+    execute(store, q, cache=cache)
+    execute(store, q, cache=cache)
+    assert cache.counters["transfer_page_load"] == 2
+    assert cache.counters["transfer_page_hit"] == 0
+
+
 def test_fake_store_without_versions_is_harmless(spark):
     """build_app-style unit fakes (no version plumbing) must degrade to
     the Spark path, not crash the cache."""
