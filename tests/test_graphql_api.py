@@ -272,3 +272,45 @@ def test_amount_filter_stays_exact_decimal(client):
         variables={"a": 1.0000000001},
     )
     assert code == 200 and body["data"]["transfers"] == []
+
+
+def test_response_cache_hits_and_invalidates(spark, tmp_path):
+    """Layer-0 serving: a repeat of the exact request triple serves the
+    CACHED response bytes (zero graphql execution — the GIL-bound cost
+    that dominated concurrent serving), pinned to the store's mutation
+    counter; any store mutation invalidates, and the post-change response
+    reflects the new state."""
+    root = str(tmp_path / "data")
+    write(
+        os.path.join(root, "t_RC", "account", "A", "snapshot", "0000000000"),
+        "CZK FORMAT_T\n",
+    )
+    store = warehouse_store(spark, str(tmp_path / "wh"))
+    IngestionPipeline(spark, root, store).run_once()
+    app = build_app(store)
+    app.config["TESTING"] = True
+    client = app.test_client()
+    q = {"query": "query { tenants(limit: 10, offset: 0) { name } }"}
+    first = client.post("/graphql", json=q)
+    hits0 = app.serving_cache.counters["response_hit"]
+    second = client.post("/graphql", json=q)
+    assert second.data == first.data
+    assert app.serving_cache.counters["response_hit"] == hits0 + 1
+
+    # errors are never cached
+    bad = {"query": "query { nope }"}
+    assert client.post("/graphql", json=bad).status_code == 400
+    assert client.post("/graphql", json=bad).status_code == 400
+    assert app.serving_cache.counters["response_hit"] == hits0 + 1
+
+    # a store mutation moves the counter: the same request re-executes and
+    # shows the new tenant
+    write(
+        os.path.join(root, "t_RC2", "account", "B", "snapshot", "0000000000"),
+        "EUR FORMAT_U\n",
+    )
+    IngestionPipeline(spark, root, store).run_once()
+    after = client.post("/graphql", json=q)
+    names = [t["name"] for t in json.loads(after.data)["data"]["tenants"]]
+    assert "RC2" in names
+    assert app.serving_cache.counters["response_hit"] == hits0 + 1  # miss, re-executed
