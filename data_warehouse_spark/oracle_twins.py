@@ -85,36 +85,39 @@ def minhash_lsh_sql(
         )
         for b in range(bands)
     )
+    # verify runs on the HASHED shingle set (hset) exactly like the Spark
+    # side — the same h31, so jaccard_x1000 is bit-identical cross-engine
+    # (see dedup.minhash_signatures: int sets keep the verify shuffle small)
     return f"""
 WITH {shingles_cte(shingle_n)},
 hashed AS (
-  SELECT doc_id, shingles,
+  SELECT doc_id,
          list_transform(shingles, s -> {_h31('s')}) AS hs
   FROM sh
 ),
 sig AS (
-  SELECT doc_id, shingles,
+  SELECT doc_id, list_sort(list_distinct(hs)) AS hset,
          {sig_exprs}
   FROM hashed
 ),
 keyed AS (
   SELECT s.doc_id, u.band_key
   FROM sig s, unnest([{band_keys}]) AS u(band_key)
-  WHERE len(s.shingles) > 0
+  WHERE len(s.hset) > 0
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM keyed a JOIN keyed b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b,
-       CAST(floor(len(list_intersect(sa.shingles, sb.shingles)) * 1000
-            / greatest(len(list_distinct(list_concat(sa.shingles, sb.shingles))), 1))
+       CAST(floor(len(list_intersect(sa.hset, sb.hset)) * 1000
+            / greatest(len(list_distinct(list_concat(sa.hset, sb.hset))), 1))
             AS BIGINT) AS jaccard_x1000
 FROM cand
 JOIN sig sa ON sa.doc_id = cand.doc_a
 JOIN sig sb ON sb.doc_id = cand.doc_b
-WHERE floor(len(list_intersect(sa.shingles, sb.shingles)) * 1000
-      / greatest(len(list_distinct(list_concat(sa.shingles, sb.shingles))), 1))
+WHERE floor(len(list_intersect(sa.hset, sb.hset)) * 1000
+      / greatest(len(list_distinct(list_concat(sa.hset, sb.hset))), 1))
       >= {threshold_x1000}
 ORDER BY doc_a, doc_b"""
 
