@@ -232,10 +232,22 @@ class WarehouseContext:
         batch_tenants = sorted({t for t, _ in uniq})
 
         acc_snap = self._snapshot("accounts")
+        acc_kv = None
+        if acc_snap is None and self.cache is not None and hasattr(
+            self.cache, "kv_account_details"
+        ):
+            # the tier past the snapshot memory bound: row-group-pruned
+            # point reads over the same artifact (api/kv_tier.py) — still
+            # zero Spark jobs when the account table outgrows the snapshot
+            acc_kv = self.cache.kv_account_details(uniq)
         rows: dict[tuple[str, str], dict] = {}
-        if acc_snap is not None:
+        if acc_snap is not None or acc_kv is not None:
             for k in uniq:
-                detail = acc_snap["by_key"].get(k)
+                detail = (
+                    acc_snap["by_key"].get(k)
+                    if acc_snap is not None
+                    else acc_kv.get(k)
+                )
                 if detail is not None:
                     rows[k] = {
                         "tenant": k[0],
@@ -265,6 +277,15 @@ class WarehouseContext:
             for k, row in rows.items():
                 row["balance"] = bal_snap.get(k, _ZERO_MONEY)
             return rows
+        if self.cache is not None and hasattr(self.cache, "kv_balances"):
+            # KV point reads against the maintained rollup (same freshness
+            # token as the snapshot); a key with no change rows is 0.00 —
+            # identical to the snapshot's .get(k, 0) coalesce
+            bal_kv = self.cache.kv_balances(sorted(rows))
+            if bal_kv is not None:
+                for k, row in rows.items():
+                    row["balance"] = bal_kv.get(k, _ZERO_MONEY)
+                return rows
 
         if kdf is None:
             kdf = self.store.spark.createDataFrame(uniq, "tenant string, name string")
@@ -365,8 +386,18 @@ def _resolve_tenant(_src, info, tenant: str):
 def _resolve_accounts(_src, info, tenant: str, currency=None, format=None, limit=100, offset=0):  # noqa: A002
     ctx: WarehouseContext = info.context
     acc_snap = None if wh.COMPAT_INVERTED_FILTERS else ctx._snapshot("accounts")
+    rows = None
     if acc_snap is not None:
         rows = acc_snap["by_tenant"].get(tenant, [])
+    elif (
+        not wh.COMPAT_INVERTED_FILTERS
+        and ctx.cache is not None
+        and hasattr(ctx.cache, "kv_tenant_accounts")
+    ):
+        # past the snapshot bound: ONE tenant partition read, LRU-kept
+        # (api/kv_tier.tenant_rows) — the page never touches other tenants
+        rows = ctx.cache.kv_tenant_accounts(tenant)
+    if rows is not None:
         if currency is not None:
             rows = [r for r in rows if r[1] == currency]
         if format is not None:

@@ -1,0 +1,376 @@
+"""KV serving tier: row-group-pruned point reads over the published
+parquet artifacts — the documented swap point past the snapshot cache's
+driver-memory bound, implemented.
+
+``serving_cache.ServingCache`` answers dimension lookups from
+version-pinned in-memory snapshots, and refuses tables above
+``max_rows`` (~2 M) because a snapshot is O(table) driver memory; the
+round-6 review recorded the fallback — per-request Spark jobs, ~45 s
+p95 under 32 clients pre-rollup — as the open scale gap ("beyond ~10 M
+accounts a real deployment swaps this tier for a KV store fed by the
+same artifacts").  This module IS that KV store, fed by exactly the
+same artifacts:
+
+* **The index is parquet metadata, not data.**  Per table version it
+  records, for every part file: the hive tenant partition, and per
+  row group the row count and the min/max statistics of the ``name``
+  key column — O(row groups) driver memory (a few hundred bytes per
+  128 MB–4 MB of data), never O(rows).
+* **A point lookup reads only the row groups whose [min,max] can
+  contain the key** inside the key's tenant partition.  The store
+  sorts these tables by ``name`` within each tenant partition at every
+  publish (``TableStore.cluster_by`` + sort-on-write), so the ranges
+  are tight and disjoint and a lookup touches ~1 row group regardless
+  of table size.  Correctness never depends on the sort: statistics
+  are conservative bounds, a missing/overlapping stat only widens the
+  read (a row group without stats is always a candidate).
+* **Freshness is the same witness as everywhere** (the fingerprint /
+  ``balance_view.freshness_token`` contract): the index is keyed by
+  the fingerprint observed when it was built, and every serve
+  re-checks the live fingerprint first — on any mismatch the caller
+  gets None and uses the Spark path while the next access rebuilds
+  (metadata-only, O(files)).  Part files are immutable
+  (copy-on-write store), so a pinned index never reads torn data; a
+  file deleted by retention mid-read raises and degrades to the Spark
+  path like every other tier here.
+* **Pagination** (accounts page per tenant, ordered by name) reads the
+  page columns of ONE tenant partition lazily, sorts, and keeps the
+  result in a small per-tenant LRU — O(hot tenants × tenant rows)
+  bounded memory instead of the snapshot's O(all rows); a tenant above
+  ``max_tenant_rows`` falls back to Spark for pages while point
+  lookups keep working at any size (point reads are the operation a
+  KV tier must never give up).
+
+Reference parity: this serves the same Q3/Q6/Q10-Q11 read surface as
+``DWH/persistence/GraphQLPersistence.scala`` (point account / balance
+lookups, tenant-scoped account pages); the reference answers them with
+per-request PostgreSQL queries — the KV tier is the lakehouse-shaped
+equivalent of its indexed point reads.
+"""
+
+from __future__ import annotations
+
+import collections
+import decimal
+import os
+import threading
+import urllib.parse
+
+HIVE_NULL_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+_TWO_DP = decimal.Decimal("0.01")
+_ZERO = decimal.Decimal("0.00")
+
+
+def _tenant_of(path: str, vdir: str) -> str | None:
+    """Hive ``tenant=...`` value from the file's dir chain under vdir,
+    or None when the table isn't tenant-partitioned."""
+    d = os.path.dirname(path)
+    while len(d) > len(vdir):
+        base = os.path.basename(d)
+        if base.startswith("tenant="):
+            raw = base[len("tenant="):]
+            return None if raw == HIVE_NULL_PARTITION else urllib.parse.unquote(raw)
+        d = os.path.dirname(d)
+    return None
+
+
+class _RowGroup:
+    __slots__ = ("index", "num_rows", "min_key", "max_key")
+
+    def __init__(self, index: int, num_rows: int, min_key, max_key):
+        self.index = index
+        self.num_rows = num_rows
+        self.min_key = min_key  # None → no stats → always a candidate
+        self.max_key = max_key
+
+    def may_contain(self, key: str) -> bool:
+        if self.min_key is None or self.max_key is None:
+            return True
+        return self.min_key <= key <= self.max_key
+
+
+class _FileEntry:
+    __slots__ = ("path", "tenant", "row_groups")
+
+    def __init__(self, path: str, tenant: str | None, row_groups: list[_RowGroup]):
+        self.path = path
+        self.tenant = tenant
+        self.row_groups = row_groups
+
+
+class _TableIndex:
+    """Metadata index of ONE pinned table version."""
+
+    def __init__(self, fingerprint: str, by_tenant: dict, unpartitioned: list):
+        self.fingerprint = fingerprint
+        self.by_tenant = by_tenant  # tenant → [_FileEntry]
+        self.unpartitioned = unpartitioned  # [_FileEntry] when no tenant dirs
+
+    def files_for(self, tenant: str) -> list[_FileEntry]:
+        if self.by_tenant:
+            return self.by_tenant.get(tenant, [])
+        return self.unpartitioned
+
+
+def _stat_str(stats, attr: str):
+    """min/max as str when present AND exact; pyarrow exposes
+    ``has_min_max``; Spark's parquet writer truncates long binary stats
+    with correct bounds, which stay conservative — safe either way."""
+    if stats is None or not stats.has_min_max:
+        return None
+    v = getattr(stats, attr)
+    if isinstance(v, bytes):
+        try:
+            v = v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    return v if isinstance(v, str) else None
+
+
+class KVTier:
+    """Fingerprint-pinned, metadata-indexed point reads for the serving
+    tier.  One instance per store; thread-safe; every public method
+    returns None on any freshness/shape doubt (caller → Spark path)."""
+
+    def __init__(
+        self,
+        store,
+        key_col: str = "name",
+        max_tenant_rows: int = 2_000_000,
+        max_tenants_cached: int = 16,
+    ):
+        self.store = store
+        self.key_col = key_col
+        self.max_tenant_rows = max_tenant_rows
+        self.max_tenants_cached = max_tenants_cached
+        self._lock = threading.Lock()
+        self._indexes: dict[str, _TableIndex] = {}  # table → index
+        # (table, tenant) → sorted page rows, valid for one fingerprint
+        self._tenant_rows: "collections.OrderedDict[tuple, tuple]" = (
+            collections.OrderedDict()
+        )
+        # observability: row groups read vs skipped (tests pin pruning)
+        self.counters: "collections.Counter[str]" = collections.Counter()
+
+    # ---- index ---------------------------------------------------------
+    def _build_index(self, table: str, fingerprint: str) -> _TableIndex | None:
+        import pyarrow.parquet as pq
+
+        vdir = self.store._resolve(table)
+        if vdir is None:
+            return None
+        by_tenant: dict[str, list[_FileEntry]] = {}
+        unpart: list[_FileEntry] = []
+        partitioned = bool(self.store.partitions.get(table))
+        files: list[str] = []
+        for dirpath, _dirs, names in os.walk(vdir):
+            files.extend(
+                os.path.join(dirpath, f) for f in names if f.endswith(".parquet")
+            )
+        for path in sorted(files):
+            md = pq.read_metadata(path)
+            schema_names = md.schema.to_arrow_schema().names
+            if self.key_col not in schema_names:
+                return None
+            kidx = schema_names.index(self.key_col)
+            rgs = []
+            for i in range(md.num_row_groups):
+                rg = md.row_group(i)
+                stats = rg.column(kidx).statistics
+                rgs.append(
+                    _RowGroup(
+                        i,
+                        rg.num_rows,
+                        _stat_str(stats, "min"),
+                        _stat_str(stats, "max"),
+                    )
+                )
+            tenant = _tenant_of(path, vdir) if partitioned else None
+            entry = _FileEntry(path, tenant, rgs)
+            if partitioned:
+                # files outside a tenant dir (shouldn't happen) poison the
+                # partition routing — refuse the table rather than misroute
+                if tenant is None:
+                    return None
+                by_tenant.setdefault(tenant, []).append(entry)
+            else:
+                unpart.append(entry)
+        return _TableIndex(fingerprint, by_tenant, unpart)
+
+    def _index_for(self, table: str, fingerprint: str | None) -> _TableIndex | None:
+        if fingerprint is None:
+            return None
+        idx = self._indexes.get(table)
+        if idx is not None and idx.fingerprint == fingerprint:
+            return idx
+        with self._lock:
+            idx = self._indexes.get(table)
+            if idx is not None and idx.fingerprint == fingerprint:
+                return idx
+            try:
+                idx = self._build_index(table, fingerprint)
+            except Exception:
+                idx = None
+            if idx is not None:
+                self._indexes[table] = idx
+                self.counters[f"kv_index_build:{table}"] += 1
+                # tenant page rows are fingerprint-scoped too
+                stale = [k for k in self._tenant_rows if k[0] == table]
+                for k in stale:
+                    if self._tenant_rows[k][0] != fingerprint:
+                        del self._tenant_rows[k]
+            return idx
+
+    # ---- point reads -----------------------------------------------------
+    def lookup(
+        self,
+        table: str,
+        fingerprint: str | None,
+        keys: list[tuple[str, str]],
+        columns: list[str],
+    ) -> dict | None:
+        """{(tenant, name): {col: value}} for the keys present; None when
+        the tier can't serve (stale/missing/unindexable).  Absent keys are
+        simply absent — the Spark path's semantics."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        idx = self._index_for(table, fingerprint)
+        if idx is None:
+            self.counters[f"kv_fallback:{table}"] += 1
+            return None
+        requested = set(keys)
+        by_tenant: dict[str, set] = {}
+        for t, n in keys:
+            by_tenant.setdefault(t, set()).add(n)
+        out: dict = {}
+        # tenant rides along for unpartitioned layouts (hive layouts strip
+        # the column from the files; entry.tenant carries it instead)
+        read_cols = list(dict.fromkeys([self.key_col, "tenant", *columns]))
+        try:
+            for tenant, names in by_tenant.items():
+                for entry in idx.files_for(tenant):
+                    want = [
+                        rg
+                        for rg in entry.row_groups
+                        if any(rg.may_contain(n) for n in names)
+                    ]
+                    self.counters["kv_rowgroups_read"] += len(want)
+                    self.counters["kv_rowgroups_skipped"] += len(
+                        entry.row_groups
+                    ) - len(want)
+                    if not want:
+                        continue
+                    pf = pq.ParquetFile(entry.path)
+                    data_cols = [
+                        c for c in read_cols if c in pf.schema_arrow.names
+                    ]
+                    tbl = pf.read_row_groups(
+                        [rg.index for rg in want], columns=data_cols
+                    )
+                    mask = pc.is_in(
+                        tbl.column(self.key_col),
+                        value_set=pa.array(sorted(names)),
+                    )
+                    tbl = tbl.filter(mask)
+                    cols = {c: tbl.column(c).to_pylist() for c in data_cols}
+                    n_rows = tbl.num_rows
+                    for i in range(n_rows):
+                        name = cols[self.key_col][i]
+                        # tenant comes from the partition dir (or column)
+                        row_tenant = (
+                            entry.tenant
+                            if entry.tenant is not None
+                            else cols.get("tenant", [None] * n_rows)[i]
+                        )
+                        if (row_tenant, name) not in requested:
+                            continue  # same name, other tenant (flat layout)
+                        row = {
+                            c: (cols[c][i] if c in cols else None)
+                            for c in columns
+                        }
+                        row["tenant"] = row_tenant
+                        out[(row_tenant, name)] = row
+        except Exception:
+            # file retired mid-read, foreign layout, … → Spark path
+            self.counters[f"kv_fallback:{table}"] += 1
+            return None
+        self.counters[f"kv_lookup:{table}"] += 1
+        return out
+
+    # ---- tenant pages ----------------------------------------------------
+    def tenant_rows(
+        self,
+        table: str,
+        fingerprint: str | None,
+        tenant: str,
+        columns: list[str],
+    ) -> list[tuple] | None:
+        """All of one tenant's rows as tuples in ``columns`` order, sorted
+        by the key column (which must be ``columns[0]``) — the page source
+        for offset/limit.  LRU-bounded; None above ``max_tenant_rows`` or
+        on any freshness doubt."""
+        assert columns[0] == self.key_col
+        idx = self._index_for(table, fingerprint)
+        if idx is None:
+            self.counters[f"kv_fallback:{table}"] += 1
+            return None
+        cache_key = (table, tenant)
+        with self._lock:
+            hit = self._tenant_rows.get(cache_key)
+            if hit is not None and hit[0] == fingerprint:
+                self._tenant_rows.move_to_end(cache_key)
+                self.counters["kv_page_hit"] += 1
+                return hit[1]
+        entries = idx.files_for(tenant)
+        total = sum(rg.num_rows for e in entries for rg in e.row_groups)
+        if total > self.max_tenant_rows:
+            self.counters[f"kv_fallback:{table}"] += 1
+            return None
+        import pyarrow.parquet as pq
+
+        rows: list[tuple] = []
+        read_cols = list(dict.fromkeys([*columns, "tenant"]))
+        try:
+            for entry in entries:
+                pf = pq.ParquetFile(entry.path)
+                data_cols = [c for c in read_cols if c in pf.schema_arrow.names]
+                tbl = pf.read(columns=data_cols)
+                cols = {c: tbl.column(c).to_pylist() for c in data_cols}
+                for i in range(tbl.num_rows):
+                    row_tenant = (
+                        entry.tenant
+                        if entry.tenant is not None
+                        else cols.get("tenant", [None] * tbl.num_rows)[i]
+                    )
+                    if row_tenant != tenant:
+                        continue  # flat layout: other tenants share the files
+                    rows.append(
+                        tuple(
+                            cols[c][i]
+                            if c in cols
+                            else (tenant if c == "tenant" else None)
+                            for c in columns
+                        )
+                    )
+        except Exception:
+            self.counters[f"kv_fallback:{table}"] += 1
+            return None
+        rows.sort(key=lambda r: r[0])
+        with self._lock:
+            self._tenant_rows[cache_key] = (fingerprint, rows)
+            while len(self._tenant_rows) > self.max_tenants_cached:
+                self._tenant_rows.popitem(last=False)
+        self.counters["kv_page_load"] += 1
+        return rows
+
+    # ---- typed helpers (the two serving shapes) ---------------------------
+    @staticmethod
+    def quantize_balance(nn, s) -> decimal.Decimal:
+        """nn_amount/sum_amount → served Decimal, identical to the snapshot
+        loader and Spark's decimal cast (HALF_UP to 2 dp; empty → 0.00)."""
+        if not nn or s is None:
+            return _ZERO
+        return decimal.Decimal(s).quantize(_TWO_DP, rounding=decimal.ROUND_HALF_UP)

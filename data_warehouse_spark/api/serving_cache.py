@@ -43,6 +43,7 @@ import urllib.parse
 from typing import Any
 
 from ..operators import balance_view
+from . import kv_tier
 
 _TWO_DP = decimal.Decimal("0.01")
 _ZERO = decimal.Decimal("0.00")
@@ -122,6 +123,12 @@ class ServingCache:
         # observability: per-kind hit/miss/fallback counts (serving_bench
         # reports these — the measurement of WHICH path served a run)
         self.counters: "collections.Counter[str]" = collections.Counter()
+        # the tier PAST the snapshot bound: row-group-pruned point reads
+        # over the same artifacts (kv_tier module docstring) — tables the
+        # snapshot refuses (> max_rows) serve point lookups from here
+        # instead of per-request Spark jobs; shares this cache's counters
+        self.kv = kv_tier.KVTier(store)
+        self.kv.counters = self.counters
 
     # ---- machinery ---------------------------------------------------
     def _get(self, key: str, fingerprint, loader):
@@ -338,4 +345,48 @@ class ServingCache:
             "balance_rollup",
             lambda: balance_view.freshness_token(self.store),
             load,
+        )
+
+    # ---- KV tier (past the snapshot memory bound) ----------------------
+    def kv_account_details(self, keys: list) -> dict | None:
+        """{(tenant, name): (currency, format)} via row-group-pruned point
+        reads — the account-detail path when the snapshot refused the
+        table.  None on any freshness doubt (caller → Spark)."""
+        try:
+            fp = balance_view.table_fingerprint(self.store, "account")
+        except Exception:
+            return None
+        hit = self.kv.lookup("account", fp, keys, ["currency", "format"])
+        if hit is None:
+            return None
+        return {k: (v["currency"], v["format"]) for k, v in hit.items()}
+
+    def kv_balances(self, keys: list) -> dict | None:
+        """{(tenant, name): Decimal} from the maintained rollup via the KV
+        tier — served ONLY under the rollup freshness token (same contract
+        as the snapshot; a stale rollup is never consulted)."""
+        try:
+            token = balance_view.freshness_token(self.store)
+        except Exception:
+            return None
+        hit = self.kv.lookup(
+            balance_view.ROLLUP_TABLE, token, keys, ["nn_amount", "sum_amount"]
+        )
+        if hit is None:
+            return None
+        return {
+            k: kv_tier.KVTier.quantize_balance(v["nn_amount"], v["sum_amount"])
+            for k, v in hit.items()
+        }
+
+    def kv_tenant_accounts(self, tenant: str) -> list | None:
+        """One tenant's [(name, currency, format)] sorted by name — the
+        accounts-page source past the snapshot bound (per-tenant lazy,
+        LRU-bounded; see kv_tier.tenant_rows)."""
+        try:
+            fp = balance_view.table_fingerprint(self.store, "account")
+        except Exception:
+            return None
+        return self.kv.tenant_rows(
+            "account", fp, tenant, ["name", "currency", "format"]
         )

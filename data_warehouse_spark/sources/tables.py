@@ -83,6 +83,7 @@ class TableStore:
         compact_threshold: int = COMPACT_FILE_THRESHOLD,
         cluster_by: dict[str, list[str]] | None = None,
         month_partitions: dict[str, tuple[str, str]] | None = None,
+        block_size: dict[str, int] | None = None,
     ):
         self.spark = spark
         self.root = root
@@ -90,6 +91,16 @@ class TableStore:
         self.partitions = partitions or {}
         self.compact_threshold = compact_threshold
         self.cluster_by = cluster_by or {}
+        # table → parquet row-group bytes (`parquet.block.size`). The
+        # 128 MB default makes most part files ONE row group — the right
+        # unit for scans, the wrong one for the KV serving tier's
+        # row-group-pruned point reads (api/kv_tier.py), which would read
+        # the whole file per lookup. Point-served tables (account, the
+        # balance rollup) declare ~1 MB groups: with sort-on-write the
+        # min/max stats become tight ~16k-row ranges and a lookup decodes
+        # one small group. Scan cost is unaffected at this size — Spark
+        # splits on row groups, and these tables are dimension-sized.
+        self.block_size = block_size or {}
         # table → (derived_col, timestamp_col): a DERIVED second-level
         # hive partition `derived_col=yyyy-MM` computed from the timestamp
         # column at write time. Time-bucketing the fact tables bounds
@@ -278,7 +289,19 @@ class TableStore:
             # one file per partition dir; compaction re-splits oversized
             # dirs at its usual threshold.
             out = out.repartition(*[F.col(c) for c in pcols])
+        sort_cols = [c for c in self.cluster_by.get(name, []) if c in out.columns]
+        if sort_cols:
+            # cluster on EVERY publish, not only at compaction: the task may
+            # hold several hive partitions after the repartition, so lead
+            # with the partition columns — each output file then comes out
+            # sorted by the cluster key and its row-group min/max stats are
+            # tight disjoint ranges from day one (the KV tier's point reads
+            # and range scans prune on them; no extra shuffle — the rows
+            # are already placed, this only orders them within the task)
+            out = out.sortWithinPartitions(*(list(pcols) + sort_cols))
         writer = out.write.mode("overwrite")
+        if name in self.block_size:
+            writer = writer.option("parquet.block.size", str(self.block_size[name]))
         if pcols:
             writer = writer.partitionBy(*pcols)
         writer.parquet(dest)
@@ -411,7 +434,12 @@ class TableStore:
                         # sort WITHIN each output file: tight disjoint
                         # row-group min/max stats without a global shuffle
                         merged = merged.sortWithinPartitions(*sort_cols)
-                    merged.write.mode("overwrite").parquet(staging)
+                    cw = merged.write.mode("overwrite")
+                    if name in self.block_size:
+                        cw = cw.option(
+                            "parquet.block.size", str(self.block_size[name])
+                        )
+                    cw.parquet(staging)
                     for f in os.listdir(staging):
                         if f.endswith(".parquet"):
                             os.rename(

@@ -146,6 +146,17 @@ def warehouse_store(spark: SparkSession, root: str) -> TableStore:
         cluster_by={
             "transfer": ["transaction", "transfer"],
             "account_balance_change": ["name", "value_date"],
+            # the point-served tables sort by the lookup key so the KV
+            # serving tier's row-group stats prune to ~one group per read
+            "account": ["name"],
+            balance_view.ROLLUP_TABLE: ["name"],
+        },
+        # ~1 MB row groups on the point-served tables (see
+        # TableStore.block_size): the KV tier decodes one small group per
+        # lookup instead of a 128 MB file-wide group
+        block_size={
+            "account": 1 * 1024 * 1024,
+            balance_view.ROLLUP_TABLE: 1 * 1024 * 1024,
         },
     )
 

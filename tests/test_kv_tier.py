@@ -1,0 +1,159 @@
+"""KV serving tier (api/kv_tier.py): the documented swap point past the
+snapshot cache's memory bound, proved here on three axes —
+
+* **Equivalence through the public surface**: with every snapshot
+  disabled (``max_rows=0``) the same GraphQL queries must produce JSON
+  identical to the pure Spark paths, while the counters prove the KV
+  tier (not Spark) actually served the dimension lookups.
+* **Freshness**: the rollup KV reads honor the same
+  ``balance_view.freshness_token`` contract as the snapshot — a merge
+  the maintenance has not seen refuses the tier entirely.
+* **Pruning**: on a sorted multi-row-group table a point lookup reads
+  ~one row group and skips the rest (the property that makes the tier
+  O(row group), not O(table), at any account count).
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+
+from data_warehouse_spark.api.graphql_schema import execute
+from data_warehouse_spark.api.serving_cache import ServingCache
+from data_warehouse_spark.operators import balance_view
+from data_warehouse_spark.schemas import ACCOUNT_SCHEMA
+from data_warehouse_spark.sources.tables import TableStore
+from data_warehouse_spark.streaming.ingest import (
+    ABC_PRIMARY_KEYS,
+    IngestionPipeline,
+    ingest_abc_schema,
+    warehouse_store,
+)
+from tests.test_serving_cache import QUERIES, _fixture
+
+
+def _ticked(spark, tmp_path):
+    root = str(tmp_path / "primary")
+    _fixture(root)
+    store = warehouse_store(spark, str(tmp_path / "wh"))
+    IngestionPipeline(spark, root, store).run_once()
+    return store
+
+
+def _kv_only_cache(store) -> ServingCache:
+    """max_rows=0: every in-memory snapshot refuses, so dimension serving
+    can only come from the KV tier (or degrade to Spark)."""
+    return ServingCache(store, max_rows=0)
+
+
+def test_kv_paths_equal_spark_paths(spark, tmp_path):
+    store = _ticked(spark, tmp_path)
+    cache = _kv_only_cache(store)
+    assert cache.accounts() is None  # snapshots disabled — KV must carry
+    for q in QUERIES:
+        with_kv = execute(store, q, cache=cache)
+        without = execute(store, q)
+        assert with_kv.errors is None and without.errors is None, q
+        assert with_kv.data == without.data, q
+    # the tier actually served: account point reads, rollup point reads,
+    # and at least one tenant page materialization
+    assert cache.counters["kv_lookup:account"] > 0
+    assert cache.counters[f"kv_lookup:{balance_view.ROLLUP_TABLE}"] > 0
+    assert cache.counters["kv_page_load"] > 0
+
+
+def test_kv_point_lookups_and_missing_keys(spark, tmp_path):
+    store = _ticked(spark, tmp_path)
+    cache = _kv_only_cache(store)
+    keys = [
+        ("CACHE_TRN", "CREDIT"),
+        ("CACHE_TRN", "MISSING"),
+        ("CACHE_ACC", "ZZ"),
+    ]
+    details = cache.kv_account_details(keys)
+    assert details is not None
+    assert details[("CACHE_TRN", "CREDIT")] == ("CZK", "FORMAT")
+    assert details[("CACHE_ACC", "ZZ")] == ("EUR", "FORMAT")
+    assert ("CACHE_TRN", "MISSING") not in details
+    balances = cache.kv_balances(keys)
+    assert balances is not None
+    assert balances[("CACHE_TRN", "CREDIT")] == decimal.Decimal("1.00")
+    # zero-activity account: absent from the rollup → caller coalesces to
+    # 0.00 exactly like the snapshot's .get(k, 0)
+    assert ("CACHE_ACC", "ZZ") not in balances
+
+
+def test_kv_balances_refuse_stale_rollup(spark, tmp_path):
+    """Same witness as the snapshot: a change-table merge the maintenance
+    has not folded flips the freshness token and the KV tier refuses —
+    stale-and-served is impossible on this path too."""
+    store = _ticked(spark, tmp_path)
+    cache = _kv_only_cache(store)
+    assert cache.kv_balances([("CACHE_TRN", "CREDIT")]) is not None
+    batch = spark.createDataFrame(
+        [("CACHE_TRN", "CREDIT", datetime.datetime(2020, 1, 2),
+          decimal.Decimal("2"), "CACHE_TRN", "TRN9", "t1", "c")],
+        ingest_abc_schema(),
+    )
+    store.merge_insert_missing(balance_view.ABC_TABLE, batch, ABC_PRIMARY_KEYS)
+    assert cache.kv_balances([("CACHE_TRN", "CREDIT")]) is None
+    balance_view.maintain(store)
+    fresh = cache.kv_balances([("CACHE_TRN", "CREDIT")])
+    assert fresh[("CACHE_TRN", "CREDIT")] == decimal.Decimal("3.00")
+
+
+def test_kv_account_mutation_visible_after_fingerprint_move(spark, tmp_path):
+    store = _ticked(spark, tmp_path)
+    cache = _kv_only_cache(store)
+    before = cache.kv_account_details([("CACHE_ACC", "ZZ")])
+    assert before[("CACHE_ACC", "ZZ")] == ("EUR", "FORMAT")
+    upd = spark.createDataFrame(
+        [("CACHE_ACC", "ZZ", "USD", "FORMAT_V", 0, 0)], ACCOUNT_SCHEMA
+    )
+    store.merge_upsert("account", upd, ["tenant", "name"])
+    after = cache.kv_account_details([("CACHE_ACC", "ZZ")])
+    assert after[("CACHE_ACC", "ZZ")] == ("USD", "FORMAT_V")
+    assert cache.counters["kv_index_build:account"] >= 2  # rebuilt on move
+
+
+def test_kv_rowgroup_pruning_on_sorted_table(spark, tmp_path):
+    """Sorted-on-publish + small row groups → a point lookup decodes ~one
+    group. 64 KiB groups over ~12k rows give many groups; the counter pins
+    that most were skipped via min/max stats, not read-and-filtered."""
+    store = TableStore(
+        spark,
+        str(tmp_path / "wh"),
+        {"account": ACCOUNT_SCHEMA},
+        partitions={"account": ["tenant"]},
+        cluster_by={"account": ["name"]},
+        block_size={"account": 64 * 1024},
+    )
+    rows = [
+        ("big", f"ACC{i:07d}", "CZK", f"FMT{i % 7}", 0, 0) for i in range(12000)
+    ]
+    store.overwrite("account", spark.createDataFrame(rows, ACCOUNT_SCHEMA))
+    cache = _kv_only_cache(store)
+    hit = cache.kv_account_details([("big", "ACC0007777")])
+    assert hit[("big", "ACC0007777")] == ("CZK", f"FMT{7777 % 7}")
+    read = cache.counters["kv_rowgroups_read"]
+    skipped = cache.counters["kv_rowgroups_skipped"]
+    assert read + skipped >= 4, "fixture should span several row groups"
+    assert skipped > read, f"pruning inert: read={read} skipped={skipped}"
+
+
+def test_kv_tenant_rows_sorted_filtered_bounded(spark, tmp_path):
+    store = _ticked(spark, tmp_path)
+    cache = _kv_only_cache(store)
+    rows = cache.kv_tenant_accounts("CACHE_TRN")
+    assert [r[0] for r in rows] == ["CREDIT", "DEBIT", "IDLE"]  # name-sorted
+    assert all(len(r) == 3 for r in rows)
+    # other tenant's rows never leak into the page source
+    assert cache.kv_tenant_accounts("CACHE_ACC") == [("ZZ", "EUR", "FORMAT")]
+    # repeat serve is the LRU hit, not a re-read
+    cache.kv_tenant_accounts("CACHE_TRN")
+    assert cache.counters["kv_page_hit"] >= 1
+    # per-tenant bound: a tenant too large for the page cache refuses
+    # (point lookups keep working at any size — asserted above)
+    cache.kv.max_tenant_rows = 1
+    cache.kv._tenant_rows.clear()
+    assert cache.kv_tenant_accounts("CACHE_TRN") is None
