@@ -1,0 +1,207 @@
+"""KV-tier scale probe: point-lookup latency at 10 M accounts — 5× past
+the snapshot cache's memory bound, the regime api/kv_tier.py exists for.
+
+What it measures (output: ONE JSON line, also written to KV_BENCH.json):
+
+* metadata index build time over the whole table (the once-per-version
+  cost — O(files) footer reads, no data pages);
+* point-lookup latency (p50/p95) for random keys, sequential and under
+  32 concurrent threads — each lookup decoding ~one ~1 MB row group via
+  the min/max stats of the sort key;
+* row groups read vs skipped (the pruning ratio the latency rests on);
+* tenant-page materialization: first load (one tenant partition read)
+  vs LRU re-serve;
+* the alternative the tier replaces, for contrast: the same point
+  lookup as a Spark job (filter + collect on the partition-pruned
+  read) — the path every oversized table fell to before this tier.
+
+Usage: python kv_bench.py [--accounts 10000000] [--tenants 25]
+                          [--lookups 500] [--out KV_BENCH.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import random
+import statistics
+import tempfile
+import threading
+import time
+
+
+def _pct(xs: list[float], q: float) -> float:
+    return round(
+        statistics.quantiles(xs, n=100, method="inclusive")[int(q) - 1], 6
+    ) if len(xs) > 1 else round(xs[0], 6)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--accounts", type=int, default=10_000_000)
+    ap.add_argument("--tenants", type=int, default=25)
+    ap.add_argument("--lookups", type=int, default=500)
+    ap.add_argument("--threads", type=int, default=32)
+    ap.add_argument("--out", default="KV_BENCH.json")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from data_warehouse_spark.api.serving_cache import ServingCache
+    from data_warehouse_spark.schemas import ACCOUNT_SCHEMA
+    from data_warehouse_spark.session import get_spark
+    from data_warehouse_spark.sources.tables import TableStore
+
+    spark = get_spark(app_name="dwh-kv-bench")
+    tmp = tempfile.mkdtemp(prefix="dwh-kv-")
+    store = TableStore(
+        spark,
+        os.path.join(tmp, "wh"),
+        {"account": ACCOUNT_SCHEMA},
+        partitions={"account": ["tenant"]},
+        cluster_by={"account": ["name"]},
+        block_size={"account": 1 * 1024 * 1024},
+    )
+
+    t0 = time.time()
+    df = (
+        spark.range(args.accounts)
+        .select(
+            F.concat(F.lit("t"), (F.col("id") % args.tenants).cast("string"))
+            .alias("tenant"),
+            F.format_string("ACC%09d", F.col("id")).alias("name"),
+            F.element_at(
+                F.array(F.lit("CZK"), F.lit("EUR"), F.lit("USD")),
+                (F.col("id") % 3 + 1).cast("int"),
+            ).alias("currency"),
+            F.format_string("FMT%d", (F.col("id") % 7)).alias("format"),
+            F.lit(0).cast("int").alias("last_syn_snapshot"),
+            F.lit(0).cast("int").alias("last_syn_event"),
+        )
+    )
+    store.overwrite("account", df)
+    gen_sec = round(time.time() - t0, 1)
+
+    cache = ServingCache(store, max_rows=0)  # snapshots refuse — KV carries
+    rng = random.Random(11)
+
+    def key(i: int) -> tuple[str, str]:
+        return (f"t{i % args.tenants}", f"ACC{i:09d}")
+
+    # --- index build (first lookup pays it; measured separately) --------
+    t0 = time.perf_counter()
+    first = cache.kv_account_details([key(0)])
+    index_build_sec = round(time.perf_counter() - t0, 3)
+    assert first and first[key(0)][0] in ("CZK", "EUR", "USD")
+
+    # --- sequential point lookups ---------------------------------------
+    ids = [rng.randrange(args.accounts) for _ in range(args.lookups)]
+    seq: list[float] = []
+    for i in ids:
+        t0 = time.perf_counter()
+        hit = cache.kv_account_details([key(i)])
+        seq.append(time.perf_counter() - t0)
+        assert hit is not None and key(i) in hit, i
+    misses = cache.kv_account_details([("t0", "NOPE"), key(1)])
+    assert ("t0", "NOPE") not in misses and key(1) in misses
+
+    # --- concurrent point lookups (the serving shape: request threads) --
+    conc: list[float] = []
+    lock = threading.Lock()
+
+    def worker(seed: int) -> None:
+        r = random.Random(seed)
+        mine = []
+        for _ in range(args.lookups // args.threads):
+            i = r.randrange(args.accounts)
+            t0 = time.perf_counter()
+            hit = cache.kv_account_details([key(i)])
+            dt = time.perf_counter() - t0
+            assert hit is not None and key(i) in hit
+            mine.append(dt)
+        with lock:
+            conc.extend(mine)
+
+    threads = [
+        threading.Thread(target=worker, args=(s,)) for s in range(args.threads)
+    ]
+    t0 = time.perf_counter()
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    conc_wall = round(time.perf_counter() - t0, 3)
+
+    # --- tenant page: first materialization vs LRU hit -------------------
+    t0 = time.perf_counter()
+    page = cache.kv_tenant_accounts("t7")
+    page_load_sec = round(time.perf_counter() - t0, 3)
+    assert page is not None and len(page) == args.accounts // args.tenants
+    t0 = time.perf_counter()
+    cache.kv_tenant_accounts("t7")
+    page_hit_sec = round(time.perf_counter() - t0, 6)
+
+    # --- the replaced alternative: one point lookup as a Spark job ------
+    spark_lat: list[float] = []
+    for i in ids[:5]:
+        t, n = key(i)
+        t0 = time.perf_counter()
+        rows = (
+            store.read("account")
+            .filter((F.col("tenant") == t) & (F.col("name") == n))
+            .collect()
+        )
+        spark_lat.append(time.perf_counter() - t0)
+        assert len(rows) == 1
+
+    report = {
+        "metric": "kv_point_lookup_p95",
+        "value": _pct(seq, 95),
+        "unit": "sec",
+        "accounts": args.accounts,
+        "tenants": args.tenants,
+        "fixture_gen_sec": gen_sec,
+        "snapshot_tier": "refused (max_rows=0 — the >2M-row regime)",
+        "index_build_sec": index_build_sec,
+        "point_seq": {
+            "n": len(seq),
+            "p50": _pct(seq, 50),
+            "p95": _pct(seq, 95),
+            "max": round(max(seq), 6),
+        },
+        "point_concurrent": {
+            "threads": args.threads,
+            "n": len(conc),
+            "p50": _pct(conc, 50),
+            "p95": _pct(conc, 95),
+            "wall_sec": conc_wall,
+            "lookups_per_sec": round(len(conc) / conc_wall, 1),
+        },
+        "rowgroups": {
+            "read": cache.counters["kv_rowgroups_read"],
+            "skipped": cache.counters["kv_rowgroups_skipped"],
+        },
+        "tenant_page": {
+            "rows": len(page),
+            "first_load_sec": page_load_sec,
+            "lru_hit_sec": page_hit_sec,
+        },
+        "spark_job_alternative": {
+            "n": len(spark_lat),
+            "p50": _pct(spark_lat, 50),
+            "note": "the pre-KV path for oversized tables: partition-pruned "
+            "Spark filter+collect per lookup (driver-serialized under "
+            "concurrency)",
+        },
+    }
+    line = json.dumps(report)
+    print(line)
+    with open(args.out, "w") as fh:
+        json.dump(report, fh, indent=1)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
