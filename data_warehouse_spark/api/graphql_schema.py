@@ -386,24 +386,28 @@ def _resolve_tenant(_src, info, tenant: str):
 def _resolve_accounts(_src, info, tenant: str, currency=None, format=None, limit=100, offset=0):  # noqa: A002
     ctx: WarehouseContext = info.context
     acc_snap = None if wh.COMPAT_INVERTED_FILTERS else ctx._snapshot("accounts")
-    rows = None
+    page_keys = None
     if acc_snap is not None:
         rows = acc_snap["by_tenant"].get(tenant, [])
-    elif (
-        not wh.COMPAT_INVERTED_FILTERS
-        and ctx.cache is not None
-        and hasattr(ctx.cache, "kv_tenant_accounts")
-    ):
-        # past the snapshot bound: ONE tenant partition read, LRU-kept
-        # (api/kv_tier.tenant_rows) — the page never touches other tenants
-        rows = ctx.cache.kv_tenant_accounts(tenant)
-    if rows is not None:
         if currency is not None:
             rows = [r for r in rows if r[1] == currency]
         if format is not None:
             rows = [r for r in rows if r[2] == format]
         page_keys = [(tenant, r[0]) for r in _page(rows, limit, offset)]
-    else:
+    elif (
+        not wh.COMPAT_INVERTED_FILTERS
+        and ctx.cache is not None
+        and hasattr(ctx.cache, "kv_accounts_page")
+    ):
+        # past the snapshot bound: the page slices an LRU-kept sorted
+        # Arrow materialization of ONE tenant partition (kv_tier) — other
+        # tenants are never touched, and only ≤ limit rows reach Python
+        kv_page = ctx.cache.kv_accounts_page(
+            tenant, currency=currency, format=format, limit=limit, offset=offset
+        )
+        if kv_page is not None:
+            page_keys = [(tenant, r[0]) for r in kv_page]
+    if page_keys is None:
         page = wh.accounts(
             ctx.accounts_df(), tenant=tenant, currency=currency, format=format,
             limit=limit, offset=offset,

@@ -138,7 +138,7 @@ class KVTier:
         store,
         key_col: str = "name",
         max_tenant_rows: int = 2_000_000,
-        max_tenants_cached: int = 16,
+        max_tenants_cached: int = 32,
     ):
         self.store = store
         self.key_col = key_col
@@ -301,17 +301,14 @@ class KVTier:
         return out
 
     # ---- tenant pages ----------------------------------------------------
-    def tenant_rows(
-        self,
-        table: str,
-        fingerprint: str | None,
-        tenant: str,
-        columns: list[str],
-    ) -> list[tuple] | None:
-        """All of one tenant's rows as tuples in ``columns`` order, sorted
-        by the key column (which must be ``columns[0]``) — the page source
-        for offset/limit.  LRU-bounded; None above ``max_tenant_rows`` or
-        on any freshness doubt."""
+    def _tenant_table(self, table: str, fingerprint: str | None, tenant: str,
+                      columns: list[str]):
+        """One tenant's rows as a pyarrow Table SORTED by the key column —
+        the LRU-cached page source.  Everything heavy (decode, tenant
+        filter on flat layouts, sort) runs in Arrow C++ with the GIL
+        released: materializing a 60k-row tenant measured ~1 s as Python
+        tuples (GIL-bound, stalling every request thread) vs ~50 ms here.
+        None above ``max_tenant_rows`` or on any freshness doubt."""
         assert columns[0] == self.key_col
         idx = self._index_for(table, fingerprint)
         if idx is None:
@@ -329,42 +326,76 @@ class KVTier:
         if total > self.max_tenant_rows:
             self.counters[f"kv_fallback:{table}"] += 1
             return None
+        import pyarrow as pa
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
-        rows: list[tuple] = []
         read_cols = list(dict.fromkeys([*columns, "tenant"]))
+        parts = []
         try:
             for entry in entries:
                 pf = pq.ParquetFile(entry.path)
                 data_cols = [c for c in read_cols if c in pf.schema_arrow.names]
                 tbl = pf.read(columns=data_cols)
-                cols = {c: tbl.column(c).to_pylist() for c in data_cols}
-                for i in range(tbl.num_rows):
-                    row_tenant = (
-                        entry.tenant
-                        if entry.tenant is not None
-                        else cols.get("tenant", [None] * tbl.num_rows)[i]
-                    )
-                    if row_tenant != tenant:
-                        continue  # flat layout: other tenants share the files
-                    rows.append(
-                        tuple(
-                            cols[c][i]
-                            if c in cols
-                            else (tenant if c == "tenant" else None)
-                            for c in columns
-                        )
-                    )
+                if entry.tenant is None:
+                    # flat layout: other tenants share the files
+                    if "tenant" not in data_cols:
+                        self.counters[f"kv_fallback:{table}"] += 1
+                        return None
+                    tbl = tbl.filter(pc.equal(tbl.column("tenant"), tenant))
+                # present exactly `columns`, filling hive-stripped ones
+                arrays = []
+                for c in columns:
+                    if c in data_cols:
+                        arrays.append(tbl.column(c))
+                    elif c == "tenant":
+                        arrays.append(pa.array([tenant] * tbl.num_rows))
+                    else:
+                        arrays.append(pa.nulls(tbl.num_rows))
+                parts.append(pa.table(dict(zip(columns, arrays))))
+            merged = pa.concat_tables(parts) if parts else pa.table(
+                {c: pa.array([], type=pa.string()) for c in columns}
+            )
+            merged = merged.sort_by([(self.key_col, "ascending")])
         except Exception:
             self.counters[f"kv_fallback:{table}"] += 1
             return None
-        rows.sort(key=lambda r: r[0])
         with self._lock:
-            self._tenant_rows[cache_key] = (fingerprint, rows)
+            self._tenant_rows[cache_key] = (fingerprint, merged)
             while len(self._tenant_rows) > self.max_tenants_cached:
                 self._tenant_rows.popitem(last=False)
         self.counters["kv_page_load"] += 1
-        return rows
+        return merged
+
+    def tenant_page(
+        self,
+        table: str,
+        fingerprint: str | None,
+        tenant: str,
+        columns: list[str],
+        eq_filters: dict | None = None,
+        limit: int | None = None,
+        offset: int = 0,
+    ) -> list[tuple] | None:
+        """OFFSET/LIMIT page of one tenant's rows ordered by the key
+        column, with optional equality filters — filters and slicing run
+        Arrow-side; only the ≤ limit page rows become Python tuples
+        (exactly ``pagination.paginate`` over the sorted unique key, so
+        the output is bit-identical to the Spark page)."""
+        import pyarrow.compute as pc
+
+        tbl = self._tenant_table(table, fingerprint, tenant, columns)
+        if tbl is None:
+            return None
+        for col, val in (eq_filters or {}).items():
+            if val is not None:
+                tbl = tbl.filter(pc.equal(tbl.column(col), val))
+        if limit is None:
+            page = tbl.slice(offset)
+        else:
+            page = tbl.slice(offset, limit)
+        cols = [page.column(c).to_pylist() for c in columns]
+        return list(zip(*cols))
 
     # ---- typed helpers (the two serving shapes) ---------------------------
     @staticmethod

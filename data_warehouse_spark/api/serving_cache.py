@@ -23,11 +23,15 @@ mismatch the caller falls back to the Spark path while the next access
 reloads.  A snapshot can be stale-and-unused, never stale-and-served —
 the contract pinned for the rollup extends to every snapshot here.
 
-Scale bound: snapshots hold O(rows) driver memory, so each loader
-refuses tables above ``max_rows`` (metadata row counts only — cheap)
-and the Spark path serves instead.  Beyond ~10M accounts a real
-deployment swaps this tier for a KV store fed by the same artifacts;
-the interface (fresh-or-None) is exactly that swap point.
+Scale bound: snapshots hold O(rows) driver memory AND cost O(rows) of
+GIL-bound load time on every reload (a tick cadence invalidates them
+each tick), so each loader refuses tables above ``max_rows`` (metadata
+row counts only — cheap; see ``__init__`` for the measured load-rate
+math behind the default).  Past the bound the KV tier
+(``api/kv_tier.py``) serves point lookups and tenant pages from the
+same artifacts via row-group-pruned pyarrow reads — O(row group) per
+read, O(file footers) per rebuild — with the Spark path as the final
+fallback.  The fresh-or-None interface is identical across all three.
 
 Parquet decode is pyarrow (no py4j round-trip); hive partition dirs are
 decoded with ``urllib.parse.unquote`` — the exact inverse of the
@@ -100,10 +104,23 @@ class ServingCache:
     def __init__(
         self,
         store,
-        max_rows: int = 2_000_000,
+        max_rows: int = 200_000,
         max_pages: int = 256,
         max_page_rows: int = 10_000,
     ):
+        # max_rows is a LOAD-TIME bound, not only a memory bound. The
+        # snapshot loader decodes parquet into Python dicts at ~200k
+        # rows/s of GIL-bound driver work, and every ingest tick moves
+        # the fingerprint — so with the 2 s tick cadence a snapshot
+        # reload must cost ~1 s or it stalls every request thread (the
+        # GIL serializes them). Measured at sf10 (1.5M accounts, just
+        # under the old 2M bound): 7.9 s account + 7.5 s rollup reload
+        # per tick → transfers p95 35 s, PAST the reference deadline;
+        # the KV tier answers the same 2000-key batch in 14 ms with a
+        # 50 ms metadata index rebuild per tick. 200k rows ≈ the 1 s
+        # reload the cadence absorbs; everything larger serves from
+        # the KV tier (api/kv_tier.py), which is O(row group) per read
+        # and O(file footers) per rebuild at any table size.
         self.store = store
         self.max_rows = max_rows
         self.max_pages = max_pages
@@ -379,14 +396,29 @@ class ServingCache:
             for k, v in hit.items()
         }
 
-    def kv_tenant_accounts(self, tenant: str) -> list | None:
-        """One tenant's [(name, currency, format)] sorted by name — the
-        accounts-page source past the snapshot bound (per-tenant lazy,
-        LRU-bounded; see kv_tier.tenant_rows)."""
+    def kv_accounts_page(
+        self,
+        tenant: str,
+        currency: str | None = None,
+        format: str | None = None,  # noqa: A002 — GraphQL arg name
+        limit: int | None = 100,
+        offset: int = 0,
+    ) -> list | None:
+        """One PAGE of a tenant's [(name, currency, format)] ordered by
+        name — the accounts-page source past the snapshot bound.  The
+        tenant's rows are materialized once per fingerprint epoch as a
+        sorted Arrow table (LRU-bounded); filters and OFFSET/LIMIT slice
+        Arrow-side, so only ≤ limit rows ever become Python objects."""
         try:
             fp = balance_view.table_fingerprint(self.store, "account")
         except Exception:
             return None
-        return self.kv.tenant_rows(
-            "account", fp, tenant, ["name", "currency", "format"]
+        return self.kv.tenant_page(
+            "account",
+            fp,
+            tenant,
+            ["name", "currency", "format"],
+            {"currency": currency, "format": format},
+            limit,
+            offset,
         )

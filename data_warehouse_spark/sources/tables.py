@@ -137,6 +137,21 @@ class TableStore:
         # raw walks (balance_view.table_fingerprint does so for stores
         # without the attribute).
         self.mutations: int = 0
+        # per-table twin of `mutations` (same start+end bump discipline):
+        # keys the read() DataFrame memo below so a write to table A does
+        # not force table B's next read to re-list its files
+        self.table_mutations: dict[str, int] = {}
+        # (name, keep_derived) → (table_mutations at build, DataFrame).
+        # A DataFrame's file index is a SNAPSHOT of the listing taken at
+        # build — on the (tenant, month) fact layout that listing walks
+        # ~2100 hive dirs (~2-4 s of driver work at sf10), and an
+        # ingestion tick reads each hot table several times. Memoizing
+        # per table-mutation epoch makes repeat reads free while any
+        # content change (swap OR in-place file adoption — version dirs
+        # are NOT immutable under merge_insert_missing) kills the memo
+        # at the counter compare. Single-writer assumption as for
+        # `mutations`; multi-writer deployments must read through.
+        self._df_memo: dict[tuple, tuple[int, DataFrame]] = {}
         # a typo'd or partition-column cluster key would silently disable
         # clustering forever (part files don't carry partition columns) —
         # fail construction instead
@@ -180,6 +195,7 @@ class TableStore:
         """Atomically point readers at ``new_version_dir``; keep the
         immediately-previous version for in-flight readers, prune older."""
         self.mutations += 1  # invalidate fingerprint memos before the swap
+        self.table_mutations[name] = self.table_mutations.get(name, 0) + 1
         tdir = self._table_dir(name)
         os.makedirs(tdir, exist_ok=True)
         prev = self._resolve(name)
@@ -201,6 +217,7 @@ class TableStore:
                 shutil.rmtree(os.path.join(tdir, entry), ignore_errors=True)
         self.spark.catalog.refreshByPath(new_version_dir)
         self.mutations += 1  # post-swap bump: memos taken mid-swap die too
+        self.table_mutations[name] = self.table_mutations.get(name, 0) + 1
 
     # ---- read surface --------------------------------------------------
 
@@ -228,7 +245,17 @@ class TableStore:
         """``keep_derived=True`` keeps the derived month-partition column in
         the result (callers that prune on it — the serving query layer —
         drop it again before output surfaces); default reads present the
-        declared schema only."""
+        declared schema only.
+
+        Repeat reads within one table-mutation epoch return the SAME
+        DataFrame (see ``_df_memo`` in ``__init__``): its file-index
+        snapshot is exactly as current as a fresh listing would be,
+        because every content change bumps the epoch first."""
+        mkey = (name, keep_derived)
+        memo = self._df_memo.get(mkey)
+        epoch = self.table_mutations.get(name, 0)
+        if memo is not None and memo[0] == epoch:
+            return memo[1]
         vdir = self._resolve(name)
         if vdir is None:
             df = self.spark.createDataFrame([], self._read_schema(name))
@@ -242,7 +269,9 @@ class TableStore:
         cols = [f.name for f in self.schemas[name].fields]
         if keep_derived and name in self.month_partitions:
             cols.append(self.month_partitions[name][0])
-        return df.select(*cols)
+        out = df.select(*cols)
+        self._df_memo[mkey] = (epoch, out)
+        return out
 
     def read_previous(self, name: str) -> DataFrame | None:
         """Time travel, depth 1: the table as of the snapshot BEFORE the
@@ -471,7 +500,9 @@ class TableStore:
         n_rows = 0
         adopted: list[str] = []
         os.makedirs(target, exist_ok=True)
+        tname = os.path.relpath(target, self.root).split(os.sep)[0]
         self.mutations += 1  # invalidate fingerprint memos before adopting
+        self.table_mutations[tname] = self.table_mutations.get(tname, 0) + 1
         for dirpath, _dirnames, filenames in os.walk(staging):
             rel = os.path.relpath(dirpath, staging)
             for fname in filenames:
@@ -486,6 +517,7 @@ class TableStore:
                 adopted.append(dest)
         self.last_adopted_files = adopted
         self.mutations += 1  # post-adopt bump (see __init__ note)
+        self.table_mutations[tname] = self.table_mutations.get(tname, 0) + 1
         return n_rows
 
     def merge_upsert(

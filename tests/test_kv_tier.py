@@ -141,19 +141,25 @@ def test_kv_rowgroup_pruning_on_sorted_table(spark, tmp_path):
     assert skipped > read, f"pruning inert: read={read} skipped={skipped}"
 
 
-def test_kv_tenant_rows_sorted_filtered_bounded(spark, tmp_path):
+def test_kv_accounts_page_sorted_filtered_bounded(spark, tmp_path):
     store = _ticked(spark, tmp_path)
     cache = _kv_only_cache(store)
-    rows = cache.kv_tenant_accounts("CACHE_TRN")
+    rows = cache.kv_accounts_page("CACHE_TRN", limit=None)
     assert [r[0] for r in rows] == ["CREDIT", "DEBIT", "IDLE"]  # name-sorted
     assert all(len(r) == 3 for r in rows)
+    # offset/limit slice the sorted order (the paginate contract)
+    assert [r[0] for r in cache.kv_accounts_page("CACHE_TRN", limit=1, offset=1)] == ["DEBIT"]
+    assert cache.kv_accounts_page("CACHE_TRN", limit=2, offset=5) == []
+    # equality filters apply BEFORE the page window, Arrow-side
+    assert cache.kv_accounts_page("CACHE_TRN", currency="XXX", limit=None) == []
+    assert len(cache.kv_accounts_page("CACHE_TRN", currency="CZK", limit=None)) == 3
     # other tenant's rows never leak into the page source
-    assert cache.kv_tenant_accounts("CACHE_ACC") == [("ZZ", "EUR", "FORMAT")]
-    # repeat serve is the LRU hit, not a re-read
-    cache.kv_tenant_accounts("CACHE_TRN")
+    assert cache.kv_accounts_page("CACHE_ACC", limit=None) == [("ZZ", "EUR", "FORMAT")]
+    # repeat serve slices the LRU-kept Arrow table, not a re-read
+    cache.kv_accounts_page("CACHE_TRN", limit=5)
     assert cache.counters["kv_page_hit"] >= 1
     # per-tenant bound: a tenant too large for the page cache refuses
     # (point lookups keep working at any size — asserted above)
     cache.kv.max_tenant_rows = 1
     cache.kv._tenant_rows.clear()
-    assert cache.kv_tenant_accounts("CACHE_TRN") is None
+    assert cache.kv_accounts_page("CACHE_TRN") is None
