@@ -151,6 +151,20 @@ def _make_action(sf: float | None):
     return run
 
 
+def _cap_explanations(explained: dict[str, dict], cap: int = 120) -> dict[str, dict]:
+    """Trim the free-text 'explained' reason for the emitted JSON line —
+    the driver's artifact keeps ~2 KB of output, and a paragraph-sized
+    explanation pushed BENCH_r07's JSON out of the buffer. Full text stays
+    in BENCH_REFERENCE.json."""
+    out = {}
+    for name, entry in explained.items():
+        e = dict(entry)
+        if isinstance(e.get("explained"), str) and len(e["explained"]) > cap:
+            e["explained"] = e["explained"][: cap - 1] + "…"
+        out[name] = e
+    return out
+
+
 def _bench_names() -> list[str]:
     """Apply SPARK_GRAFT_BENCH_ONLY (comma-separated subset) to the bench
     list — shared by the in-process and ``--isolate`` drivers."""
@@ -247,16 +261,17 @@ def isolated_main() -> int:
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": {k: round(v, 3) for k, v in timings.items()},
                 "sf": sf,
                 "isolated": True,
                 "regressions": regressions,
-                "explained_regressions": explained_regressions,
+                "explained_regressions": _cap_explanations(explained_regressions),
                 "timing": (
                     "best-of-n in a FRESH JVM per query (no cross-query "
                     "cache/GC interference; Spark startup untimed)"
                 ),
-            }
+            },
+            separators=(",", ":"),
         )
     )
     strict = "--check" in sys.argv or os.environ.get(
@@ -389,27 +404,26 @@ def main() -> None:
                         regressions[name] = entry
 
     total = round(sum(timings.values()), 4)
+    # the driver records only the last ~2 KB of output (BENCH_r07's JSON
+    # line outgrew it and arrived truncated/unparseable) — keep the line
+    # compact: 3-decimal timings, terse separators, explanation text capped
+    # (the full text lives in BENCH_REFERENCE.json's "explained" map)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": {k: round(v, 3) for k, v in timings.items()},
                 **({"failed": failed} if failed else {}),
                 "sf": sf,
                 "runs_per_query": runs,
                 "regressions": regressions,
-                "explained_regressions": explained_regressions,
-                "timing": "best-of-n (steady-state; first run pays one-time codegen)",
-                "note": (
-                    "single-row-group testdata parquet is rewritten once per "
-                    "bench session as multi-file scratch copies (fixture "
-                    "normalization — a row group is Spark's split unit, so "
-                    "the original layout serializes every scan through one "
-                    "local task; cluster parquet is naturally multi-row-group)"
-                ),
-            }
+                "explained_regressions": _cap_explanations(explained_regressions),
+                "timing": "best-of-n steady-state",
+                "note": "see bench.py docstring (fixture normalization, gate ritual)",
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

@@ -544,7 +544,13 @@ def paragraph_dedup(
     (paragraph-key → (doc_id, pos)) pairs — one window over the 60-bit key
     (equivalently a min-agg + semi-join), then one agg back to document
     grain. Never all-pairs, never a global sort; hot boilerplate keys skew
-    the key shuffle but each group reduces to a single min.
+    the key shuffle but each group reduces to a single min. The window is
+    an UNORDERED min-struct over the key partition (first occurrence =
+    minimum (doc_id, pos)), not row_number over an ordered frame: the
+    exchange then sorts on the 8-byte key alone instead of
+    (pkey, doc_id, pos), and the whole-partition min evaluates in one
+    O(group) pass — cheaper sort keys are real money when the corpus-wide
+    paragraph set is the widest shuffle of the cleaning pipeline.
     """
     paras = documents.select(
         F.col(id_col).alias("doc_id"),
@@ -553,8 +559,11 @@ def paragraph_dedup(
         F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias("pos", "para"),
     )
     keyed = paras.withColumn("pkey", X.h60(X.normalize("para")))
-    w = Window.partitionBy("pkey").orderBy("doc_id", "pos")
-    kept = keyed.withColumn("keep", (F.row_number().over(w) == 1).cast("int"))
+    w = Window.partitionBy("pkey")
+    first = F.min(F.struct("doc_id", "pos")).over(w)
+    kept = keyed.withColumn(
+        "keep", (F.struct("doc_id", "pos") == first).cast("int")
+    )
     return (
         kept.groupBy("doc_id")
         .agg(

@@ -298,17 +298,30 @@ def clean_corpus(
     content) → deterministic stratified sample.
 
     Composition is the point: three operators fuse into gate-filter →
-    hash → one agg shuffle → semi-join → map-side sample filter, with
-    Catalyst free to push the gate into the scan — a user never pays a
-    materialization boundary between pipeline stages.
+    hash → ONE agg shuffle (``min_by`` keeps the canonical row whole) →
+    map-side sample filter, with Catalyst free to push the gate into the
+    scan — a user never pays a materialization boundary between stages.
+    The canonical-per-key row is selected with ``min_by(struct, id)``
+    instead of a min-agg + semi-join back: one scan of the corpus instead
+    of two (the gate's regex metrics evaluate once, not once per join
+    side) and no join shuffle — at 100 TB that halves the gated-scan cost
+    and removes a corpus-sized exchange.
     """
     gated = quality_filter(documents, text_col=text_col)
-    keyed = gated.withColumn("__ck", X.h60(X.normalize(text_col)))
-    canon = keyed.groupBy("__ck").agg(F.min(id_col).alias(id_col))
-    kept = keyed.join(canon, ["__ck", id_col], "left_semi").drop("__ck")
+    slim = gated.select(
+        F.col(id_col).alias("doc_id"),
+        "lang",
+        F.col(text_col).alias(text_col),
+        X.h60(X.normalize(text_col)).alias("__ck"),
+    )
     # the cleaned corpus IS the deliverable here — carry the text through so
     # consumers don't re-join against documents to recover it
-    return stratified_hash_sample(kept, rates=rates, id_col=id_col, keep_cols=(text_col,))
+    canon = (
+        slim.groupBy("__ck")
+        .agg(F.min_by(F.struct("doc_id", "lang", text_col), F.col("doc_id")).alias("__r"))
+        .select("__r.*")
+    )
+    return stratified_hash_sample(canon, rates=rates, id_col="doc_id", keep_cols=(text_col,))
 
 
 def pii_scrub(
