@@ -172,6 +172,27 @@ class WarehouseContext:
                 self._snaps[kind] = self.cache.balances()
         return self._snaps[kind]
 
+    def _kv_pin(self, kind: str) -> str | None:
+        """Per-request pinned KV freshness witness — 'account' (table
+        fingerprint) or 'rollup' (freshness token), captured at the FIRST
+        KV use of this request and passed to every later KV call.  A 2 s
+        ingest tick landing mid-request then makes the KV path REFUSE
+        (serving_cache compares live vs pinned) instead of serving the
+        accounts page from version N and its details/balances from N+1 —
+        the same torn-read guard the memoized table reads give the Spark
+        path.  None (witness underivable) disables KV for this request."""
+        key = f"__kv_pin:{kind}"
+        if key not in self._snaps:
+            try:
+                self._snaps[key] = (
+                    balance_view.table_fingerprint(self.store, "account")
+                    if kind == "account"
+                    else balance_view.freshness_token(self.store)
+                )
+            except Exception:
+                self._snaps[key] = None
+        return self._snaps[key]
+
     def _table(self, name: str):
         if name not in self._dfs:
             df = None
@@ -238,8 +259,15 @@ class WarehouseContext:
         ):
             # the tier past the snapshot memory bound: row-group-pruned
             # point reads over the same artifact (api/kv_tier.py) — still
-            # zero Spark jobs when the account table outgrows the snapshot
-            acc_kv = self.cache.kv_account_details(uniq)
+            # zero Spark jobs when the account table outgrows the snapshot.
+            # Pinned to this request's first-use fingerprint (_kv_pin):
+            # a mid-request ingest tick → refuse, Spark path, no torn read
+            pin = self._kv_pin("account")
+            if pin is not None:
+                try:
+                    acc_kv = self.cache.kv_account_details(uniq, pinned=pin)
+                except TypeError:  # unit-fake caches without the kwarg
+                    acc_kv = self.cache.kv_account_details(uniq)
         rows: dict[tuple[str, str], dict] = {}
         if acc_snap is not None or acc_kv is not None:
             for k in uniq:
@@ -280,8 +308,15 @@ class WarehouseContext:
         if self.cache is not None and hasattr(self.cache, "kv_balances"):
             # KV point reads against the maintained rollup (same freshness
             # token as the snapshot); a key with no change rows is 0.00 —
-            # identical to the snapshot's .get(k, 0) coalesce
-            bal_kv = self.cache.kv_balances(sorted(rows))
+            # identical to the snapshot's .get(k, 0) coalesce.  Pinned to
+            # this request's first-use token, like the account details
+            bal_kv = None
+            pin = self._kv_pin("rollup")
+            if pin is not None:
+                try:
+                    bal_kv = self.cache.kv_balances(sorted(rows), pinned=pin)
+                except TypeError:  # unit-fake caches without the kwarg
+                    bal_kv = self.cache.kv_balances(sorted(rows))
             if bal_kv is not None:
                 for k, row in rows.items():
                     row["balance"] = bal_kv.get(k, _ZERO_MONEY)

@@ -139,19 +139,61 @@ class KVTier:
         key_col: str = "name",
         max_tenant_rows: int = 2_000_000,
         max_tenants_cached: int = 32,
+        max_cached_rows: int = 4_000_000,
     ):
         self.store = store
         self.key_col = key_col
         self.max_tenant_rows = max_tenant_rows
         self.max_tenants_cached = max_tenants_cached
+        # GLOBAL bound across all cached tenant pages: per-entry bounds
+        # alone allow 32 × 2M rows (multi-GB) — past the snapshot memory
+        # bound this tier exists to respect (r7 review finding)
+        self.max_cached_rows = max_cached_rows
         self._lock = threading.Lock()
         self._indexes: dict[str, _TableIndex] = {}  # table → index
         # (table, tenant) → sorted page rows, valid for one fingerprint
         self._tenant_rows: "collections.OrderedDict[tuple, tuple]" = (
             collections.OrderedDict()
         )
-        # observability: row groups read vs skipped (tests pin pruning)
+        self._cached_rows_total = 0
+        # parsed parquet footers, keyed by path: part files are immutable
+        # (copy-on-write store), so a footer never changes under a path —
+        # re-parsing it per lookup was the dominant fixed cost of a point
+        # read AND a GIL hot-spot under request concurrency (thrift
+        # deserialization); entries die with their table's index pin
+        self._footers: "collections.OrderedDict[str, object]" = (
+            collections.OrderedDict()
+        )
+        # observability: row groups read vs skipped (tests pin pruning).
+        # Counter += is read-modify-write — increments happen under
+        # _counter_lock (NOT _lock: counters must never serialize reads)
+        # so concurrent request threads don't lose updates (r7 review)
+        self._counter_lock = threading.Lock()
         self.counters: "collections.Counter[str]" = collections.Counter()
+
+    def _count(self, *pairs: tuple[str, int]) -> None:
+        with self._counter_lock:
+            for key, n in pairs:
+                self.counters[key] += n
+
+    _MAX_FOOTERS = 4096  # ~hundreds of bytes each; safety bound only
+
+    def _parquet_file(self, path: str):
+        """ParquetFile with the footer served from the immutable-path
+        cache — open cost becomes one file handle, not a footer parse."""
+        import pyarrow.parquet as pq
+
+        with self._lock:
+            md = self._footers.get(path)
+            if md is not None:
+                self._footers.move_to_end(path)
+        if md is None:
+            md = pq.read_metadata(path)
+            with self._lock:
+                self._footers[path] = md
+                while len(self._footers) > self._MAX_FOOTERS:
+                    self._footers.popitem(last=False)
+        return pq.ParquetFile(path, metadata=md)
 
     # ---- index ---------------------------------------------------------
     def _build_index(self, table: str, fingerprint: str) -> _TableIndex | None:
@@ -170,6 +212,11 @@ class KVTier:
             )
         for path in sorted(files):
             md = pq.read_metadata(path)
+            # warm the footer cache — lookups then never re-parse.
+            # Caller (_index_for) already holds self._lock (non-reentrant).
+            self._footers[path] = md
+            while len(self._footers) > self._MAX_FOOTERS:
+                self._footers.popitem(last=False)
             schema_names = md.schema.to_arrow_schema().names
             if self.key_col not in schema_names:
                 return None
@@ -219,7 +266,12 @@ class KVTier:
                 stale = [k for k in self._tenant_rows if k[0] == table]
                 for k in stale:
                     if self._tenant_rows[k][0] != fingerprint:
+                        self._cached_rows_total -= self._tenant_rows[k][1].num_rows
                         del self._tenant_rows[k]
+                # footers of retired versions: paths are immutable but a
+                # superseded version's files will never be read again
+                while len(self._footers) > self._MAX_FOOTERS:
+                    self._footers.popitem(last=False)
             return idx
 
     # ---- point reads -----------------------------------------------------
@@ -239,13 +291,14 @@ class KVTier:
 
         idx = self._index_for(table, fingerprint)
         if idx is None:
-            self.counters[f"kv_fallback:{table}"] += 1
+            self._count((f"kv_fallback:{table}", 1))
             return None
         requested = set(keys)
         by_tenant: dict[str, set] = {}
         for t, n in keys:
             by_tenant.setdefault(t, set()).add(n)
         out: dict = {}
+        rg_read = rg_skipped = 0
         # tenant rides along for unpartitioned layouts (hive layouts strip
         # the column from the files; entry.tenant carries it instead)
         read_cols = list(dict.fromkeys([self.key_col, "tenant", *columns]))
@@ -257,18 +310,23 @@ class KVTier:
                         for rg in entry.row_groups
                         if any(rg.may_contain(n) for n in names)
                     ]
-                    self.counters["kv_rowgroups_read"] += len(want)
-                    self.counters["kv_rowgroups_skipped"] += len(
-                        entry.row_groups
-                    ) - len(want)
+                    rg_read += len(want)
+                    rg_skipped += len(entry.row_groups) - len(want)
                     if not want:
                         continue
-                    pf = pq.ParquetFile(entry.path)
+                    pf = self._parquet_file(entry.path)
                     data_cols = [
                         c for c in read_cols if c in pf.schema_arrow.names
                     ]
+                    # use_threads=False: a point read decodes ~one row
+                    # group of a few columns — fanning that out on Arrow's
+                    # GLOBAL thread pool buys nothing per read and makes 32
+                    # concurrent request threads queue on the pool (the
+                    # 6.5× concurrent-p95 blowup KV_BENCH r7 recorded)
                     tbl = pf.read_row_groups(
-                        [rg.index for rg in want], columns=data_cols
+                        [rg.index for rg in want],
+                        columns=data_cols,
+                        use_threads=False,
                     )
                     mask = pc.is_in(
                         tbl.column(self.key_col),
@@ -295,9 +353,17 @@ class KVTier:
                         out[(row_tenant, name)] = row
         except Exception:
             # file retired mid-read, foreign layout, … → Spark path
-            self.counters[f"kv_fallback:{table}"] += 1
+            self._count(
+                (f"kv_fallback:{table}", 1),
+                ("kv_rowgroups_read", rg_read),
+                ("kv_rowgroups_skipped", rg_skipped),
+            )
             return None
-        self.counters[f"kv_lookup:{table}"] += 1
+        self._count(
+            (f"kv_lookup:{table}", 1),
+            ("kv_rowgroups_read", rg_read),
+            ("kv_rowgroups_skipped", rg_skipped),
+        )
         return out
 
     # ---- tenant pages ----------------------------------------------------
@@ -312,35 +378,34 @@ class KVTier:
         assert columns[0] == self.key_col
         idx = self._index_for(table, fingerprint)
         if idx is None:
-            self.counters[f"kv_fallback:{table}"] += 1
+            self._count((f"kv_fallback:{table}", 1))
             return None
         cache_key = (table, tenant)
         with self._lock:
             hit = self._tenant_rows.get(cache_key)
             if hit is not None and hit[0] == fingerprint:
                 self._tenant_rows.move_to_end(cache_key)
-                self.counters["kv_page_hit"] += 1
+                self._count(("kv_page_hit", 1))
                 return hit[1]
         entries = idx.files_for(tenant)
         total = sum(rg.num_rows for e in entries for rg in e.row_groups)
         if total > self.max_tenant_rows:
-            self.counters[f"kv_fallback:{table}"] += 1
+            self._count((f"kv_fallback:{table}", 1))
             return None
         import pyarrow as pa
         import pyarrow.compute as pc
-        import pyarrow.parquet as pq
 
         read_cols = list(dict.fromkeys([*columns, "tenant"]))
         parts = []
         try:
             for entry in entries:
-                pf = pq.ParquetFile(entry.path)
+                pf = self._parquet_file(entry.path)
                 data_cols = [c for c in read_cols if c in pf.schema_arrow.names]
                 tbl = pf.read(columns=data_cols)
                 if entry.tenant is None:
                     # flat layout: other tenants share the files
                     if "tenant" not in data_cols:
-                        self.counters[f"kv_fallback:{table}"] += 1
+                        self._count((f"kv_fallback:{table}", 1))
                         return None
                     tbl = tbl.filter(pc.equal(tbl.column("tenant"), tenant))
                 # present exactly `columns`, filling hive-stripped ones
@@ -358,13 +423,24 @@ class KVTier:
             )
             merged = merged.sort_by([(self.key_col, "ascending")])
         except Exception:
-            self.counters[f"kv_fallback:{table}"] += 1
+            self._count((f"kv_fallback:{table}", 1))
             return None
         with self._lock:
+            old = self._tenant_rows.pop(cache_key, None)
+            if old is not None:
+                self._cached_rows_total -= old[1].num_rows
             self._tenant_rows[cache_key] = (fingerprint, merged)
-            while len(self._tenant_rows) > self.max_tenants_cached:
-                self._tenant_rows.popitem(last=False)
-        self.counters["kv_page_load"] += 1
+            self._cached_rows_total += merged.num_rows
+            # evict oldest until BOTH bounds hold: entry count AND the
+            # global row budget (per-entry caps alone allowed ~64M cached
+            # rows worst case — r7 review finding)
+            while self._tenant_rows and (
+                len(self._tenant_rows) > self.max_tenants_cached
+                or self._cached_rows_total > self.max_cached_rows
+            ):
+                _, (_, evicted) = self._tenant_rows.popitem(last=False)
+                self._cached_rows_total -= evicted.num_rows
+        self._count(("kv_page_load", 1))
         return merged
 
     def tenant_page(

@@ -365,7 +365,13 @@ class ServingCache:
         )
 
     # ---- KV tier (past the snapshot memory bound) ----------------------
-    def kv_account_details(self, keys: list) -> dict | None:
+    # Each method takes an optional ``pinned`` fingerprint/token: a
+    # per-request caller (WarehouseContext) captures the witness at its
+    # FIRST KV use and passes it on every later one — if the live value
+    # has moved mid-request (a 2 s ingest tick landing between two
+    # resolver batches), the KV path refuses and the caller's memoized
+    # Spark tables serve one consistent version: no torn reads.
+    def kv_account_details(self, keys: list, pinned: str | None = None) -> dict | None:
         """{(tenant, name): (currency, format)} via row-group-pruned point
         reads — the account-detail path when the snapshot refused the
         table.  None on any freshness doubt (caller → Spark)."""
@@ -373,12 +379,14 @@ class ServingCache:
             fp = balance_view.table_fingerprint(self.store, "account")
         except Exception:
             return None
+        if pinned is not None and fp != pinned:
+            return None  # table moved mid-request — torn-read guard
         hit = self.kv.lookup("account", fp, keys, ["currency", "format"])
         if hit is None:
             return None
         return {k: (v["currency"], v["format"]) for k, v in hit.items()}
 
-    def kv_balances(self, keys: list) -> dict | None:
+    def kv_balances(self, keys: list, pinned: str | None = None) -> dict | None:
         """{(tenant, name): Decimal} from the maintained rollup via the KV
         tier — served ONLY under the rollup freshness token (same contract
         as the snapshot; a stale rollup is never consulted)."""
@@ -386,6 +394,8 @@ class ServingCache:
             token = balance_view.freshness_token(self.store)
         except Exception:
             return None
+        if pinned is not None and token != pinned:
+            return None  # rollup moved mid-request — torn-read guard
         hit = self.kv.lookup(
             balance_view.ROLLUP_TABLE, token, keys, ["nn_amount", "sum_amount"]
         )
@@ -403,6 +413,7 @@ class ServingCache:
         format: str | None = None,  # noqa: A002 — GraphQL arg name
         limit: int | None = 100,
         offset: int = 0,
+        pinned: str | None = None,
     ) -> list | None:
         """One PAGE of a tenant's [(name, currency, format)] ordered by
         name — the accounts-page source past the snapshot bound.  The
@@ -413,6 +424,8 @@ class ServingCache:
             fp = balance_view.table_fingerprint(self.store, "account")
         except Exception:
             return None
+        if pinned is not None and fp != pinned:
+            return None  # table moved mid-request — torn-read guard
         return self.kv.tenant_page(
             "account",
             fp,

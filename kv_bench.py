@@ -61,7 +61,7 @@ def main() -> int:
         {"account": ACCOUNT_SCHEMA},
         partitions={"account": ["tenant"]},
         cluster_by={"account": ["name"]},
-        block_size={"account": 1 * 1024 * 1024},
+        block_size={"account": 256 * 1024},  # warehouse_store's point-read row-group size
     )
 
     t0 = time.time()
@@ -93,7 +93,10 @@ def main() -> int:
     t0 = time.perf_counter()
     first = cache.kv_account_details([key(0)])
     index_build_sec = round(time.perf_counter() - t0, 3)
-    assert first and first[key(0)][0] in ("CZK", "EUR", "USD")
+    # explicit raises, not asserts: bench invariants must survive python -O,
+    # and a KV fallback (None) must report, not die with a TypeError
+    if not first or first.get(key(0), (None,))[0] not in ("CZK", "EUR", "USD"):
+        raise SystemExit(f"KV tier fell back on the first lookup: {first!r}")
 
     # --- sequential point lookups ---------------------------------------
     ids = [rng.randrange(args.accounts) for _ in range(args.lookups)]
@@ -102,9 +105,13 @@ def main() -> int:
         t0 = time.perf_counter()
         hit = cache.kv_account_details([key(i)])
         seq.append(time.perf_counter() - t0)
-        assert hit is not None and key(i) in hit, i
+        if hit is None or key(i) not in hit:
+            raise SystemExit(f"KV lookup fell back or missed for id {i}: {hit!r}")
     misses = cache.kv_account_details([("t0", "NOPE"), key(1)])
-    assert ("t0", "NOPE") not in misses and key(1) in misses
+    if misses is None:
+        raise SystemExit("KV tier fell back on the absent-key probe")
+    if ("t0", "NOPE") in misses or key(1) not in misses:
+        raise SystemExit(f"absent-key probe wrong: {misses!r}")
 
     # --- concurrent point lookups (the serving shape: request threads) --
     conc: list[float] = []
@@ -118,7 +125,8 @@ def main() -> int:
             t0 = time.perf_counter()
             hit = cache.kv_account_details([key(i)])
             dt = time.perf_counter() - t0
-            assert hit is not None and key(i) in hit
+            if hit is None or key(i) not in hit:
+                raise SystemExit(f"concurrent KV lookup failed for id {i}")
             mine.append(dt)
         with lock:
             conc.extend(mine)
@@ -137,7 +145,8 @@ def main() -> int:
     t0 = time.perf_counter()
     page = cache.kv_accounts_page("t7", limit=1000, offset=0)
     page_load_sec = round(time.perf_counter() - t0, 3)
-    assert page is not None and len(page) == min(1000, args.accounts // args.tenants)
+    if page is None or len(page) != min(1000, args.accounts // args.tenants):
+        raise SystemExit(f"tenant page wrong: {None if page is None else len(page)}")
     t0 = time.perf_counter()
     cache.kv_accounts_page("t7", limit=1000, offset=len(page))
     page_hit_sec = round(time.perf_counter() - t0, 6)
@@ -153,7 +162,8 @@ def main() -> int:
             .collect()
         )
         spark_lat.append(time.perf_counter() - t0)
-        assert len(rows) == 1
+        if len(rows) != 1:
+            raise SystemExit(f"Spark point lookup returned {len(rows)} rows")
 
     report = {
         "metric": "kv_point_lookup_p95",
