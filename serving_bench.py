@@ -171,7 +171,16 @@ def main() -> int:
         "dimension serving — the measured answer for tables past the "
         "snapshot's ~2M-row memory bound",
     )
+    ap.add_argument(
+        "--no-response-cache",
+        action="store_true",
+        help="disable the HTTP-layer LRU response cache (api/http.py layer "
+        "0) so every request pays full GraphQL execution — the cold arm "
+        "proving the 20 s deadline holds against the engine, not the cache",
+    )
     args = ap.parse_args()
+    if args.no_response_cache:
+        os.environ["SPARK_GRAFT_RESPONSE_CACHE"] = "0"
 
     from werkzeug.serving import make_server
 
@@ -278,6 +287,7 @@ def main() -> int:
     report = {
         "metric": "graphql_serving_p95",
         "mode": "kv_only" if args.kv_only else "snapshots",
+        "response_cache": "off" if args.no_response_cache else "on",
         "value": _pct(all_lat, 95),
         "unit": "sec",
         "deadline_sec": 20.0,

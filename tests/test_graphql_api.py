@@ -314,3 +314,26 @@ def test_response_cache_hits_and_invalidates(spark, tmp_path):
     names = [t["name"] for t in json.loads(after.data)["data"]["tenants"]]
     assert "RC2" in names
     assert app.serving_cache.counters["response_hit"] == hits0 + 1  # miss, re-executed
+
+
+def test_response_cache_env_disable(spark, tmp_path, monkeypatch):
+    """SPARK_GRAFT_RESPONSE_CACHE=0 (serving_bench --no-response-cache, the
+    cold-execution arm) turns layer 0 off entirely: repeats of the exact
+    request triple re-execute, response_hit stays 0, answers unchanged."""
+    monkeypatch.setenv("SPARK_GRAFT_RESPONSE_CACHE", "0")
+    root = str(tmp_path / "data")
+    write(
+        os.path.join(root, "t_RCOFF", "account", "A", "snapshot", "0000000000"),
+        "CZK FORMAT_T\n",
+    )
+    store = warehouse_store(spark, str(tmp_path / "wh"))
+    IngestionPipeline(spark, root, store).run_once()
+    app = build_app(store)
+    app.config["TESTING"] = True
+    client = app.test_client()
+    q = {"query": "query { tenants(limit: 10, offset: 0) { name } }"}
+    first = client.post("/graphql", json=q)
+    second = client.post("/graphql", json=q)
+    assert first.status_code == second.status_code == 200
+    assert second.data == first.data
+    assert app.serving_cache.counters["response_hit"] == 0
