@@ -173,15 +173,18 @@ def warehouse_store(spark: SparkSession, root: str) -> TableStore:
             "account": ["name"],
             balance_view.ROLLUP_TABLE: ["name"],
         },
-        # ~256 KB row groups on the point-served tables (see
+        # ~64 KB row groups on the point-served tables (see
         # TableStore.block_size): the KV tier decodes one small group per
         # lookup instead of a 128 MB file-wide group. Measured at 2 M
         # accounts: 1 MB groups → 4.8 ms point read p50 (decode-bound);
-        # 256 KB → 0.93 ms, with the metadata index still O(row groups)
-        # driver memory (~4× more groups, hundreds of bytes each)
+        # 256 KB → 0.93 ms; 64 KB + sorted-key bisect → ~0.2 ms. The
+        # decode is the GIL-held cost under 32 concurrent request
+        # threads, so group size sets the serving tier's concurrency
+        # ceiling; the metadata index stays O(row groups) driver memory
+        # (~16× more groups than 1 MB, hundreds of bytes each)
         block_size={
-            "account": 256 * 1024,
-            balance_view.ROLLUP_TABLE: 256 * 1024,
+            "account": 64 * 1024,
+            balance_view.ROLLUP_TABLE: 64 * 1024,
         },
     )
 
