@@ -117,13 +117,17 @@ def minhash_signatures(
 
     The stored artifact carries the hashed set, not the shingle strings:
     the verify stage's Jaccard runs on ``hset``, so the candidate join
-    shuffles fixed-width int64 arrays instead of ~24-byte-per-gram string
-    arrays (~4× lighter store and spill — at 1.5 M docs the string-array
-    verify spilled >50 GB through a single disk; this is the standard
-    hashed-shingle discipline of production dedup pipelines). Jaccard over
-    the 31-bit hashed space is exact modulo within-doc hash collisions
-    (~200²/2³¹ ≈ 2e-5 per doc); the DuckDB twin hashes with the same h31,
-    so cross-engine results stay bit-identical."""
+    shuffles fixed-width integers instead of ~24-byte-per-gram string
+    arrays (at 1.5 M docs the string-array verify spilled >50 GB through
+    a single disk; this is the standard hashed-shingle discipline of
+    production dedup pipelines). The h31 values fit 31 bits, so ``hset``
+    is stored as array<int> — HALF the shuffle/store width of the int64
+    form the verify first shipped with (the 64-bit width only ever
+    existed because the signature arithmetic needs 64-bit intermediates;
+    the SET doesn't). Jaccard over the 31-bit hashed space is exact
+    modulo within-doc hash collisions (~200²/2³¹ ≈ 2e-5 per doc); the
+    DuckDB twin hashes with the same h31, so cross-engine results stay
+    bit-identical."""
     sigs = X.minhash_signature(F.col("hs"))
     return (
         X.add_shingles(
@@ -135,7 +139,7 @@ def minhash_signatures(
         .withColumn("hs", X.hashed_shingles(F.col("shingles")))
         .select(
             "doc_id",
-            F.array_sort(F.array_distinct("hs")).alias("hset"),
+            F.array_sort(F.array_distinct(F.col("hs").cast("array<int>"))).alias("hset"),
             *[s.alias(f"sig_{i}") for i, s in enumerate(sigs)],
         )
     )
@@ -217,6 +221,7 @@ def minhash_lsh_duplicates(
     rows_per_band: int = 2,
     threshold_x1000: int = 600,
     signatures_cache_key: str | None = None,
+    verify_slices: int | None = None,
 ) -> DataFrame:
     """The full fuzzy-dedup pipeline: signatures → LSH candidates → verify.
 
@@ -228,10 +233,49 @@ def minhash_lsh_duplicates(
     :data:`_SIGNATURE_CACHE`) to reuse the checkpointed signature artifact
     across invocations — the stored-signature-table pattern of a production
     dedup pipeline; steady-state then pays a parquet read, not a rebuild.
+
+    ``verify_slices`` (default: env ``SPARK_GRAFT_MINHASH_VERIFY_SLICES``
+    or 1) bounds the verify join's TRANSIENT disk footprint: the
+    pair×hset intermediate is the pipeline's only super-corpus-sized
+    object (~2× candidate volume — it exhausted a single 252 GB test
+    volume at 5 M docs even with int32 hashed shingles), so with K > 1
+    the candidate pairs are checkpointed once and verified in K
+    sequential hash-disjoint slices, each slice's shuffle ≈ 1/K of the
+    whole and its files eligible for cleanup before the next slice runs.
+    On a cluster the same knob caps per-wave spill without changing the
+    plan shape; results are the exact union of the slices (the pair set
+    is hash-partitioned, never sampled).
     """
     sigs = _cached_signatures(documents, id_col, text_col, shingle_n, signatures_cache_key)
     cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
-    return jaccard_verify(cands, sigs, threshold_x1000).orderBy("doc_a", "doc_b")
+    if verify_slices is None:
+        import os
+
+        verify_slices = int(os.environ.get("SPARK_GRAFT_MINHASH_VERIFY_SLICES", "1"))
+    if verify_slices <= 1:
+        return jaccard_verify(cands, sigs, threshold_x1000).orderBy("doc_a", "doc_b")
+    spark = documents.sparkSession
+    cands_ck = _storage_checkpoint(cands)  # 2 int64s/row — tiny vs pair×hset
+    out_root = tempfile.mkdtemp(prefix="dwh-minhash-verify-")
+    atexit.register(shutil.rmtree, out_root, True)
+    slice_paths = []
+    for k in range(verify_slices):
+        part = cands_ck.filter(
+            F.pmod(F.xxhash64("doc_a", "doc_b"), F.lit(verify_slices)) == k
+        )
+        path = f"{out_root}/part_{k:04d}"
+        jaccard_verify(part, sigs, threshold_x1000).write.mode("overwrite").parquet(path)
+        slice_paths.append(path)
+        # this slice's survivors are on disk; drop our reference to its
+        # plan and nudge the JVM so ContextCleaner reclaims the slice's
+        # shuffle files before the next slice starts writing its own —
+        # the whole point of slicing is that at most ONE slice's shuffle
+        # exists at a time
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+    return spark.read.parquet(*slice_paths).orderBy("doc_a", "doc_b")
 
 
 def incremental_minhash_dedup(

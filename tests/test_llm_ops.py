@@ -1671,3 +1671,24 @@ def test_semantic_dedup_auto_matches_pinned_semantics(spark):
     }
     assert out.get(500) == 7
     assert 7 not in out
+
+
+def test_minhash_sliced_verify_equals_unsliced(spark):
+    """verify_slices=K partitions the verify join into K hash-disjoint
+    candidate slices (bounding the pair x hset transient to ~1/K of the
+    whole — the sf100 single-volume fix); the result is the exact union:
+    same pairs, same jaccard, regardless of K."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = dedup.minhash_lsh_duplicates(docs).collect()
+    assert base, "fixture must produce near-dup pairs"
+    sliced = dedup.minhash_lsh_duplicates(docs, verify_slices=3).collect()
+    key = lambda r: (r["doc_a"], r["doc_b"], r["jaccard_x1000"])
+    assert sorted(map(key, sliced)) == sorted(map(key, base))
+
+
+def test_minhash_hset_is_int32(spark):
+    """The stored signature artifact carries hset as array<int> — h31
+    values fit 31 bits, and the verify shuffle width is the sf100 disk
+    bound (half the int64 form)."""
+    sigs = dedup.minhash_signatures(_docs(spark))
+    assert dict(sigs.dtypes)["hset"] == "array<int>"
