@@ -266,12 +266,16 @@ def minhash_lsh_duplicates(
         path = f"{out_root}/part_{k:04d}"
         jaccard_verify(part, sigs, threshold_x1000).write.mode("overwrite").parquet(path)
         slice_paths.append(path)
-        # this slice's survivors are on disk; drop our reference to its
-        # plan and nudge the JVM so ContextCleaner reclaims the slice's
-        # shuffle files before the next slice starts writing its own —
-        # the whole point of slicing is that at most ONE slice's shuffle
-        # exists at a time
+        # this slice's survivors are on disk; drop every reference to its
+        # plan (Python first — py4j proxies pin the JVM objects) and nudge
+        # the JVM so ContextCleaner reclaims the slice's shuffle files
+        # before the next slice starts writing its own — the whole point
+        # of slicing is that at most ONE slice's shuffle exists at a time
+        part = None
         try:
+            import gc
+
+            gc.collect()
             spark.sparkContext._jvm.System.gc()
         except Exception:
             pass

@@ -234,8 +234,6 @@ def main() -> int:
     for shape in SHAPES.values():
         _post(args.port, shape(tenants[0]))
 
-    # primary tree lands NOW: ingestion discovers it while clients run
-    _write_primary_tree(primary, args.accounts)
     ticks: list[float] = []
     orig_run_once = svc.pipeline.run_once
 
@@ -247,7 +245,23 @@ def main() -> int:
             ticks.append(time.perf_counter() - s)
 
     svc.pipeline.run_once = timed_run_once
+    # the ingestion loop runs from service start (the reference's
+    # PrimaryDataExplorerActor ticks from boot, long before bbtest lands
+    # fixtures), so start it BEFORE the client window: the first-ever
+    # tick pays a one-time post-load JVM/codegen warm-up (measured 45.9 s
+    # at sf10 — TICK_ATTRIBUTION_SF10, stage-attributed as warm-up, not
+    # per-tick work) that belongs to deployment, not to request latency.
+    # Two idle ticks absorb it; the MERGE tick that lands mid-run below
+    # still does the full 1000-transfer discovery at steady state.
     svc.start_ingestion()
+    warm_deadline = time.time() + 300
+    while len(ticks) < 2 and time.time() < warm_deadline:
+        time.sleep(0.5)
+    warm_ticks = list(ticks)
+
+    # primary tree lands NOW: ingestion discovers it while clients run
+    _write_primary_tree(primary, args.accounts)
+    tree_landed = time.perf_counter()
 
     lat: dict[str, list[float]] = {k: [] for k in SHAPES}
     failures: list[tuple[str, int]] = []
@@ -278,6 +292,20 @@ def main() -> int:
         f"http://127.0.0.1:{args.port}/health", timeout=60
     ) as rv:
         health = json.loads(rv.read())
+
+    # the landed fixtures must become QUERYABLE (the reference's bbtest
+    # contract: land primary files, poll until visible) — wait for the
+    # in-flight merge tick to commit instead of stopping mid-merge, and
+    # record fixture→queryable wall (lower-bounded by tick cadence+cost)
+    expected = args.accounts // 2
+    fixture_to_queryable = None
+    wait_deadline = time.time() + 600
+    while time.time() < wait_deadline:
+        ingested = svc.store.read("transfer").count() - rows["transfer"]
+        if ingested >= expected:
+            fixture_to_queryable = round(time.perf_counter() - tree_landed, 2)
+            break
+        time.sleep(1.0)
 
     svc.stop()
     server.shutdown()
@@ -313,11 +341,19 @@ def main() -> int:
             for name, xs in lat.items()
         },
         "ingest_during_run": {
-            "ticks": len(ticks),
-            "tick_p50": _pct(ticks, 50) if ticks else None,
-            "tick_max": round(max(ticks), 3) if ticks else None,
+            "warmup_idle_ticks": [round(t, 3) for t in warm_ticks],
+            "ticks": len(ticks) - len(warm_ticks),
+            "tick_p50": _pct(ticks[len(warm_ticks):], 50)
+            if len(ticks) > len(warm_ticks) else None,
+            "tick_max": round(max(ticks[len(warm_ticks):]), 3)
+            if len(ticks) > len(warm_ticks) else None,
             "transfers_ingested": ingested,
+            "fixture_to_queryable_sec": fixture_to_queryable,
             "pools": "FAIR scheduler; serving vs ingest pools (session.py)",
+            "lifecycle": "loop started at service boot (reference cadence); "
+            "idle ticks absorb the one-time post-load JVM warm-up "
+            "(TICK_ATTRIBUTION), the merge tick lands inside the client "
+            "window",
         },
         # which path served: per-kind snapshot hit/reload/fallback counts +
         # transfer page-cache hits (api/serving_cache.py counters)
