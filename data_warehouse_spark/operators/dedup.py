@@ -139,7 +139,7 @@ def minhash_signatures(
         .withColumn("hs", X.hashed_shingles(F.col("shingles")))
         .select(
             "doc_id",
-            F.array_sort(F.array_distinct(F.col("hs").cast("array<int>"))).alias("hset"),
+            F.array_sort(F.array_distinct("hs")).alias("hset"),
             *[s.alias(f"sig_{i}") for i, s in enumerate(sigs)],
         )
     )
@@ -256,6 +256,10 @@ def minhash_lsh_duplicates(
         return jaccard_verify(cands, sigs, threshold_x1000).orderBy("doc_a", "doc_b")
     spark = documents.sparkSession
     cands_ck = _storage_checkpoint(cands)  # 2 int64s/row — tiny vs pair×hset
+    if cands_ck.limit(1).count() == 0:
+        # no candidates at all: parquet dirs with zero part files can't
+        # serve the union read's schema — the unsliced (empty) verify can
+        return jaccard_verify(cands_ck, sigs, threshold_x1000).orderBy("doc_a", "doc_b")
     out_root = tempfile.mkdtemp(prefix="dwh-minhash-verify-")
     atexit.register(shutil.rmtree, out_root, True)
     slice_paths = []
