@@ -1630,15 +1630,17 @@ def test_ivf_centroids_training_guard_at_large_geometry(spark):
 
 
 def test_assign_cells_join_and_literal_paths_agree(spark):
-    """The broadcast-join assignment (the plan-size-bounded shape used at
-    auto √N geometry) must reproduce the literal-expression assignment
-    bit-for-bit — same IEEE fold, same max-cos/max-cell tie rule — since a
-    stored index may be built by either shape."""
+    """The vectorized Arrow-batch assignment (the arithmetic-intensity
+    shape used at auto √N geometry — numpy left-fold accumulation, see
+    similarity._assign_cells_vectorized) must reproduce the
+    literal-expression assignment bit-for-bit — same IEEE fold, same
+    max-cos/max-cell tie rule — since a stored index may be built by
+    either shape."""
     import data_warehouse_spark.operators.similarity as sim
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     cents = similarity.ivf_centroids(emb, n_cells=40, train_iters=0)
-    assert len(cents) > sim._LITERAL_ASSIGN_MAX  # → join path
+    assert len(cents) > sim._LITERAL_ASSIGN_MAX  # → vectorized path
     via_join = sim._assign_cells(emb, cents, "vec_id", "embedding")
     old = sim._LITERAL_ASSIGN_MAX
     sim._LITERAL_ASSIGN_MAX = 10_000  # → literal path for the same centroids
@@ -1692,3 +1694,18 @@ def test_minhash_hset_is_int32(spark):
     bound (half the int64 form)."""
     sigs = dedup.minhash_signatures(_docs(spark))
     assert dict(sigs.dtypes)["hset"] == "array<int>"
+
+
+def test_pq_encode_vectorized_equals_expr(spark):
+    """The Arrow-batched numpy encode (the hot path — the unrolled
+    expression form exceeds Janino's codegen limit and ran interpreted,
+    ~82s per 600k vectors) must reproduce the literal-expression encode
+    code-for-code: same normalize fold, same left-to-right subspace
+    distance chains, same first-argmin tie rule."""
+    import data_warehouse_spark.operators.similarity as sim
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    words = similarity.pq_codewords(emb, train_iters=2)
+    fast = {r["vec_id"]: list(r["codes"]) for r in similarity.pq_encode(emb, words).collect()}
+    spec = {r["vec_id"]: list(r["codes"]) for r in sim._pq_encode_expr(emb, words).collect()}
+    assert fast == spec
