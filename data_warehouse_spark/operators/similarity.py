@@ -109,7 +109,118 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact cosine top-k neighbors for each query id (excluding self)."""
+    """Exact cosine top-k neighbors for each query id (excluding self).
+
+    One Arrow-batched vectorized scan: every (corpus row × query) cosine
+    in numpy float64 with the exact IEEE fold sequence of
+    :func:`vectors.cosine` (per-dim left-fold dot and norms,
+    ``norm(q)·norm(n)`` then one divide — parity pinned by
+    ``test_brute_force_vectorized_equals_expr`` against the retained
+    expression form, :func:`_brute_force_topk_expr`), then a per-batch
+    local top-k under the final total order so only partitions×|queries|×k
+    rows reach the global ranking window. The expression form's
+    interpreted cosine folds measured ~20 s for 600 k vectors × 5 queries
+    at sf30 (ANN_ATTRIBUTION ``bf``); the vectorized scan is I/O-bound.
+    NaN cosines (zero-norm vectors) are kept for the global window —
+    Spark orders NaN greatest — and only SUBSTITUTED with +inf inside the
+    local argselection so such a candidate can never be dropped early."""
+    import numpy as np
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    q_rows = (
+        embeddings.filter(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+        .collect()
+    )
+    id_field = [f for f in embeddings.schema.fields if f.name == id_col][0]
+    out_schema = StructType(
+        [
+            StructField("query_id", id_field.dataType),
+            StructField("neighbor_id", id_field.dataType),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+    if not q_rows:
+        return embeddings.sparkSession.createDataFrame([], out_schema).select(
+            "query_id", "neighbor_id", F.lit(0).cast("bigint").alias("rank")
+        )
+    qids = np.asarray([r["query_id"] for r in q_rows], dtype=np.int64)
+    qm = np.asarray(
+        [np.asarray(r["q_vec"], dtype=np.float64) for r in q_rows], dtype=np.float64
+    )
+    # norm2(q) with the same 0.0-init per-dim fold the expression runs
+    qacc = np.zeros(qm.shape[0], dtype=np.float64)
+    for d in range(qm.shape[1]):
+        qacc = qacc + qm[:, d] * qm[:, d]
+    qn = np.sqrt(qacc)
+
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec")
+    )
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["n_vec"]],
+                dtype=np.float64,
+            )
+            nid = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            dots = np.zeros((a.shape[0], qm.shape[0]), dtype=np.float64)
+            nacc = np.zeros(a.shape[0], dtype=np.float64)
+            for d in range(a.shape[1]):
+                col = a[:, d]
+                dots = dots + col[:, None] * qm[None, :, d]
+                nacc = nacc + col * col
+            nn = np.sqrt(nacc)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dots / (qn[None, :] * nn[:, None])
+            outs = []
+            for qi in range(qm.shape[0]):
+                c = cos[:, qi]
+                keep = nid != qids[qi]
+                sel = np.where(np.isnan(c), np.inf, c)[keep]
+                ids_k = nid[keep]
+                if ids_k.size == 0:
+                    continue
+                top = min(k, ids_k.size)
+                # final total order: cosine desc, neighbor_id asc
+                order = np.lexsort((ids_k, -sel))[:top]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(top, qids[qi], dtype=np.int64),
+                            "neighbor_id": ids_k[order],
+                            "cosine": c[keep][order],
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    reduced = corpus.mapInPandas(score, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        reduced.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _brute_force_topk_expr(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The expression form — the spec :func:`brute_force_topk` must match
+    row-for-row (retained for the parity pin; interpreted cosine folds
+    make it ~10× the vectorized scan at corpus scale)."""
     corpus = embeddings.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec")
     )

@@ -1709,3 +1709,17 @@ def test_pq_encode_vectorized_equals_expr(spark):
     fast = {r["vec_id"]: list(r["codes"]) for r in similarity.pq_encode(emb, words).collect()}
     spec = {r["vec_id"]: list(r["codes"]) for r in sim._pq_encode_expr(emb, words).collect()}
     assert fast == spec
+
+
+def test_brute_force_vectorized_equals_expr(spark):
+    """The vectorized brute-force scan (local top-k per Arrow batch +
+    global ranking window) must reproduce the expression form row-for-row:
+    same IEEE cosine folds, same (cosine desc, neighbor_id asc) order,
+    same self-exclusion."""
+    import data_warehouse_spark.operators.similarity as sim
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qids = [0, 1, 2, 3, 4]
+    fast = [tuple(r) for r in similarity.brute_force_topk(emb, qids, k=7).collect()]
+    spec = [tuple(r) for r in sim._brute_force_topk_expr(emb, qids, k=7).collect()]
+    assert fast == spec
