@@ -948,14 +948,13 @@ def semantic_dedup(
     Reuses the IVF index (trained centroids, map-only assignment,
     optionally cached via ``index_cache_key``), so at 100 TB the cluster
     assignment is amortized across dedup + ANN: one stored artifact, two
-    consumers. The pair join shuffles on the cell id only — via an
-    EXPLICIT ``repartition(n_cells, cell)`` rather than the join's own
-    exchange: AQE sizes shuffle partitions from input BYTES and would
-    coalesce this join to a couple of tasks (the corpus is small on disk),
-    but the join's OUTPUT explodes quadratically per cell and the per-pair
-    cosine is the actual cost — the measured sf1 failure mode was ~12M
-    pairs scored on 2 tasks. A user-specified repartition is exempt from
-    AQE coalescing, so each cell's pair work keeps its own task.
+    consumers. The corpus shuffles ONCE on the cell id into a per-cell
+    vectorized scoring pass (see the body) — pairs never exist as rows,
+    where the earlier self-join shipped |cell|² pair rows each carrying
+    both vectors through the exchange and scored them with interpreted
+    cosine folds (the measured sf1 failure mode was ~12M materialized
+    pairs; the r8 attribution showed interpreted folds cost ~1000× the
+    equivalent float64 vector math).
 
     ``n_cells=None`` (the default) derives √N geometry from the corpus
     count (:func:`auto_n_cells`) — THE scale knob: at a fixed cell count
@@ -964,35 +963,74 @@ def semantic_dedup(
     √N cells keep it ~linear. Pass an explicit ``n_cells`` to pin geometry
     (the catalog's pinned oracle arm does).
     """
+    import numpy as np
+    from pyspark.sql.types import LongType, StructField, StructType
+
     n_cells = _resolve_n_cells(embeddings, n_cells)
     _centroids, _cdf, corpus = ivf_index(
         embeddings, n_cells, id_col, vec_col, cache_key=index_cache_key,
         train_iters=train_iters,
     )
-    # one task per cell up to a cap (beyond ~1k tasks the per-task overhead
-    # dominates the per-cell pair work that the split exists to spread)
-    corpus = corpus.repartition(min(n_cells, 1024), "cell")
-    a = corpus.select(
-        "cell",
-        F.col("neighbor_id").alias("keep_id"),
-        F.col("n_vec").alias("a_vec"),
-        F.col("_vn").alias("a_n"),
+    # Within-cell pair scoring as ONE vectorized pass per cell
+    # (applyInPandas): the corpus shuffles ONCE on the cell id and the
+    # pairs never exist as rows — the previous self-join materialized
+    # |cell|² pair rows each carrying BOTH vectors through the exchange
+    # (the dominant shuffle at scale) and scored each with an interpreted
+    # cosine fold. Here each task computes its cell's cosine block
+    # G = Nv·Nvᵀ in float64 with the exact IEEE fold sequence of
+    # vectors.dot (per-dim left accumulation; norms precomputed by the
+    # index build; a_n·b_n then one divide — multiply commutes
+    # bit-exactly), in row blocks bounded to ~4M matrix entries so a
+    # skewed cell never holds |cell|² doubles at once. Only qualifying
+    # (dup, min-keep) rows leave the task. The emb_semantic_dedup oracle
+    # hash-proves the rewrite end-to-end at sf0.01.
+    threshold_f = float(threshold)
+    out_schema = StructType(
+        [StructField("dup_id", LongType()), StructField("keep_id", LongType())]
     )
-    b = corpus.select(
-        "cell",
-        F.col("neighbor_id").alias("dup_id"),
-        F.col("n_vec").alias("b_vec"),
-        F.col("_vn").alias("b_n"),
-    )
-    pairs = a.join(b, "cell").filter(F.col("keep_id") < F.col("dup_id"))
-    # same IEEE op sequence as the twin's _cos: dot / (norm · norm), with
-    # both norms precomputed once per row by the index build
-    cos = V.dot("a_vec", "b_vec") / (F.col("a_n") * F.col("b_n"))
+
+    def cell_pairs(pdf):
+        import pandas as pd
+
+        ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+        if ids.size < 2:
+            return pd.DataFrame({"dup_id": [], "keep_id": []}, dtype="int64")
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        a = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf["n_vec"].iloc[order]],
+            dtype=np.float64,
+        )
+        vn = pdf["_vn"].to_numpy(dtype=np.float64)[order]
+        n = ids.size
+        dup, keep = [], []
+        block = max(64, 4_000_000 // n)
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            acc = np.zeros((e - s, n), dtype=np.float64)
+            for d in range(a.shape[1]):
+                acc = acc + a[s:e, d : d + 1] * a[None, :, d]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = acc / (vn[s:e, None] * vn[None, :])
+            # keep candidates are the SMALLER ids: rows are id-sorted, so
+            # for dup j the candidates are columns strictly left of j's
+            # global position; emit per-dup the FIRST (= min-id) match —
+            # the cell is the dup's only cell, so this IS the answer
+            hit = (cos >= threshold_f) & (
+                np.arange(n)[None, :] < np.arange(s, e)[:, None]
+            )
+            anyrow = hit.any(axis=1)
+            first = np.argmax(hit, axis=1)
+            dup.append(ids[s:e][anyrow])
+            keep.append(ids[first[anyrow]])
+        return pd.DataFrame(
+            {"dup_id": np.concatenate(dup) if dup else np.asarray([], dtype=np.int64),
+             "keep_id": np.concatenate(keep) if keep else np.asarray([], dtype=np.int64)}
+        )
+
     return (
-        pairs.select("dup_id", "keep_id", cos.alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
-        .groupBy("dup_id")
-        .agg(F.min("keep_id").alias("keep_id"))
+        corpus.groupBy("cell")
+        .applyInPandas(cell_pairs, schema=out_schema)
         .orderBy("dup_id")
     )
 
