@@ -894,34 +894,70 @@ def embedding_near_duplicates(
     bucket with cosine ≥ threshold. Output is id pairs (rank-free, exact to
     compare); cosine itself stays internal.
 
-    The bucket join is explicitly co-partitioned on ``bucket`` for the
-    same reason semantic_dedup co-partitions on ``cell``: AQE would
-    coalesce the join's shuffle from input bytes, but the output explodes
-    quadratically per bucket and the per-pair cosine dominates — the
-    explicit repartition keeps each bucket's pair work on its own task.
+    Within-bucket pair scoring runs as one vectorized pass per bucket
+    (applyInPandas, the same shape as :func:`semantic_dedup`'s per-cell
+    pass): the corpus shuffles ONCE on the bucket id and pairs never
+    exist as rows — the earlier bucket self-join materialized |bucket|²
+    pair rows carrying both vectors and scored each with an interpreted
+    cosine fold. The numpy block replays :func:`vectors.cosine`'s exact
+    IEEE sequence (per-dim left-fold dot and norms, norm(a)·norm(b) then
+    one divide), so survivors are bit-identical to the expression form
+    (the emb_neardup_pairs oracle hash-proves it end-to-end).
 
     ``planes=None`` auto-sizes the plane count so the bucket space tracks
     √N (:func:`auto_n_planes`) — expected bucket occupancy O(√N), pair work
     ~linear; a pinned plane count is the measured quadratic failure mode."""
+    import numpy as np
+    from pyspark.sql.types import LongType, StructField, StructType
+
     planes = _resolve_planes(embeddings, planes)
-    # partition count: one per bucket up to a cap (at 16+ planes the bucket
-    # space outgrows any useful task count)
-    bucketed = bucketize(embeddings, id_col, vec_col, planes).repartition(
-        min(2 ** len(planes), 256), "bucket"
+    bucketed = bucketize(embeddings, id_col, vec_col, planes)
+    threshold_f = float(threshold)
+    out_schema = StructType(
+        [StructField("id_a", LongType()), StructField("id_b", LongType())]
     )
-    a = bucketed.select(
-        F.col("vec_id").alias("id_a"), F.col("vec").alias("vec_a"), "bucket"
-    )
-    b = bucketed.select(
-        F.col("vec_id").alias("id_b"), F.col("vec").alias("vec_b"), "bucket"
-    )
-    pairs = a.join(b, ["bucket"]).filter(F.col("id_a") < F.col("id_b"))
-    sim = V.cosine("vec_a", "vec_b")
+
+    def bucket_pairs(pdf):
+        import pandas as pd
+
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        if ids.size < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []}, dtype="int64")
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        a = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf["vec"].iloc[order]],
+            dtype=np.float64,
+        )
+        n = ids.size
+        # norm2 = sqrt of the 0.0-init per-dim square fold
+        acc = np.zeros(n, dtype=np.float64)
+        for d in range(a.shape[1]):
+            acc = acc + a[:, d] * a[:, d]
+        vn = np.sqrt(acc)
+        ia, ib = [], []
+        block = max(64, 4_000_000 // n)
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            dot = np.zeros((e - s, n), dtype=np.float64)
+            for d in range(a.shape[1]):
+                dot = dot + a[s:e, d : d + 1] * a[None, :, d]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dot / (vn[s:e, None] * vn[None, :])
+            hit = (cos >= threshold_f) & (
+                np.arange(n)[None, :] > np.arange(s, e)[:, None]
+            )
+            r, c = np.nonzero(hit)
+            ia.append(ids[s:e][r])
+            ib.append(ids[c])
+        return pd.DataFrame(
+            {"id_a": np.concatenate(ia) if ia else np.asarray([], dtype=np.int64),
+             "id_b": np.concatenate(ib) if ib else np.asarray([], dtype=np.int64)}
+        )
+
     return (
-        pairs.select("id_a", "id_b", sim.alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b")
-        .distinct()
+        bucketed.groupBy("bucket")
+        .applyInPandas(bucket_pairs, schema=out_schema)
         .orderBy("id_a", "id_b")
     )
 
