@@ -464,11 +464,16 @@ def clear_ivf_cache(cache_key: str | None = None) -> int:
     return len(doomed)
 
 
-# above this many centroids, assignment switches from literal-embedded
-# centroid expressions to a broadcast join: the literal path's expression
-# tree grows O(n_cells·dim) (Catalyst analysis cost per plan reference),
-# which is fine at the pinned 16 cells but pathological at auto √N geometry
-_LITERAL_ASSIGN_MAX = 32
+# above this many centroids, assignment uses the vectorized Arrow-batch
+# pass instead of literal-embedded centroid expressions. Set to 0: the
+# literal path's per-centroid cosine folds are higher-order functions and
+# never enter whole-stage codegen, so even at the pinned 16 cells the
+# expression form costs ~20 s per 600 k vectors of interpreted eval where
+# the numpy pass (bit-identical, see _assign_cells_vectorized) is seconds.
+# The expression path remains the SPEC, pinned by
+# test_assign_cells_join_and_literal_paths_agree (which raises this knob
+# to force it).
+_LITERAL_ASSIGN_MAX = 0
 
 
 def _assign_cells(
@@ -486,13 +491,14 @@ def _assign_cells(
     ``dot / (vn · cnorm)`` fold, so results are bit-equal):
 
       * ≤ :data:`_LITERAL_ASSIGN_MAX` centroids: map-only ``array_max``
-        over literal-centroid cosines — zero extra operators;
-      * larger (auto √N geometry): broadcast the tiny centroid table and
-        take ``max(struct(cos, cell, …))`` per vector — still no corpus
-        shuffle beyond the map-side-combined agg, and the plan stays
-        O(1)-sized however many cells the corpus demands. ``(cos, cell)``
-        is unique per (vector, centroid) pair, so the struct max is the
-        same total order as the twin's window.
+        over literal-centroid cosines — the expression SPEC, kept for the
+        parity pin (interpreted HOF folds make it ~10× the vectorized
+        pass, so the knob defaults to 0);
+      * otherwise (the default at ANY geometry): one vectorized
+        Arrow-batch pass (:func:`_assign_cells_vectorized`) — map-only,
+        no shuffle, plan O(1)-sized however many cells the corpus
+        demands, and the N×cells×dim arithmetic runs as float64 vector
+        math instead of per-element interpreted eval.
     """
     base = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
@@ -545,24 +551,40 @@ def _assign_cells_vectorized(base: DataFrame, centroids) -> DataFrame:
         list(base.schema.fields) + [StructField("cell", LongType())]
     )
 
+    dim = cmat.shape[1]
+
     def assign(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            a = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf["n_vec"]],
-                dtype=np.float64,
+            vecs = list(pdf["n_vec"])
+            # a row whose vector length ≠ centroid dim gets every cosine
+            # NULL under the expression spec (zip_with pads the shorter
+            # array with nulls, the fold propagates) and the struct-max
+            # tie then falls through to the MAX cell — replicate that so
+            # e.g. append_to_ivf_index's dim guard can still materialize
+            # the assignment and refuse cleanly
+            ok = np.asarray(
+                [v is not None and len(v) == dim for v in vecs], dtype=bool
             )
-            vn = pdf["_vn"].to_numpy(dtype=np.float64)
-            acc = np.zeros((a.shape[0], cmat.shape[0]), dtype=np.float64)
-            for d in range(cmat.shape[1]):
-                acc = acc + a[:, d : d + 1] * cmat[None, :, d]
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cos = acc / (vn[:, None] * cnorm[None, :])
-            cos[np.isnan(cos)] = np.inf
-            best = cos.shape[1] - 1 - np.argmax(cos[:, ::-1], axis=1)
+            cells = np.full(len(vecs), cids[-1], dtype=np.int64)
+            if ok.any():
+                a = np.asarray(
+                    [np.asarray(vecs[i], dtype=np.float64)
+                     for i in np.nonzero(ok)[0]],
+                    dtype=np.float64,
+                )
+                vn = pdf["_vn"].to_numpy(dtype=np.float64)[ok]
+                acc = np.zeros((a.shape[0], cmat.shape[0]), dtype=np.float64)
+                for d in range(dim):
+                    acc = acc + a[:, d : d + 1] * cmat[None, :, d]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = acc / (vn[:, None] * cnorm[None, :])
+                cos[np.isnan(cos)] = np.inf
+                best = cos.shape[1] - 1 - np.argmax(cos[:, ::-1], axis=1)
+                cells[ok] = cids[best]
             out = pdf.copy()
-            out["cell"] = cids[best]
+            out["cell"] = cells
             yield out
 
     return base.mapInPandas(assign, schema=out_schema)
@@ -771,13 +793,10 @@ def append_to_ivf_index(
     serving system needs: assign the new vectors to the STORED centroids
     (the same :func:`_assign_cells` dispatch as the index build — stored
     and appended assignments cannot diverge) and append them to the
-    cell-partitioned corpus. Assignment cost depends on geometry: at
-    ≤ :data:`_LITERAL_ASSIGN_MAX` centroids it is a map-only literal
-    expression; above that (the normal case at auto √N geometry) it is a
-    broadcast join against the centroid table ending in one map-side-
-    combined aggregation per batch — still no corpus shuffle, but a
-    streaming sink appending every micro-batch should budget that extra
-    aggregation stage per tick (size the trigger interval so batches
+    cell-partitioned corpus. Assignment is the map-only vectorized
+    Arrow-batch pass at any geometry (see :func:`_assign_cells`) — no
+    corpus shuffle, but a streaming sink appending every micro-batch
+    should budget the per-batch Arrow transfer (size the trigger so batches
     amortize it). Centroids stay fixed, so existing cell assignments,
     stored files, and in-flight probes are untouched; the classic
     operational rule applies — rebuild (re-quantize) only when drift makes
