@@ -247,12 +247,44 @@ def bucketize(
     vec_col: str = "embedding",
     planes: list[list[float]] | None = None,
 ) -> DataFrame:
+    """(vec_id, vec, bucket) — hyperplane-LSH bucket per vector, as one
+    vectorized Arrow-batch pass. The expression form
+    (:func:`vectors.hyperplane_signs` — N×planes interpreted dot folds
+    over the corpus) stays the spec and the per-query probe path; the
+    numpy pass replays its exact IEEE sequence (per-dim 0.0-init left
+    fold per plane, bit m set iff d > 0) — pinned by
+    ``test_bucketize_vectorized_equals_expr``."""
+    import numpy as np
+    from pyspark.sql.types import LongType, StructField, StructType
+
     planes = _resolve_planes(embeddings, planes)
-    return embeddings.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("vec"),
-        V.hyperplane_signs(vec_col, planes).alias("bucket"),
+    pm = np.asarray(planes, dtype=np.float64)  # (planes, dim)
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
     )
+    out_schema = StructType(
+        list(base.schema.fields) + [StructField("bucket", LongType())]
+    )
+    weights = np.asarray([2**m for m in range(pm.shape[0])], dtype=np.int64)
+
+    def bucketit(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["vec"]],
+                dtype=np.float64,
+            )
+            dots = np.zeros((a.shape[0], pm.shape[0]), dtype=np.float64)
+            for d in range(pm.shape[1]):
+                dots = dots + a[:, d : d + 1] * pm[None, :, d]
+            out = pdf.copy()
+            # Spark compares NaN greater than any value, so a NaN dot sets
+            # its bit under the expression spec; numpy's NaN > 0 is False
+            out["bucket"] = ((dots > 0) | np.isnan(dots)) @ weights
+            yield out
+
+    return base.mapInPandas(bucketit, schema=out_schema)
 
 
 def lsh_topk(

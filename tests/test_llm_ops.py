@@ -1723,3 +1723,22 @@ def test_brute_force_vectorized_equals_expr(spark):
     fast = [tuple(r) for r in similarity.brute_force_topk(emb, qids, k=7).collect()]
     spec = [tuple(r) for r in sim._brute_force_topk_expr(emb, qids, k=7).collect()]
     assert fast == spec
+
+
+def test_bucketize_vectorized_equals_expr(spark):
+    """The Arrow-batched bucketize must reproduce the hyperplane_signs
+    expression bucket-for-bucket (per-plane IEEE dot folds, bit set iff
+    d > 0)."""
+    from data_warehouse_spark.functions import vectors as V
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    planes = similarity.hyperplanes()
+    fast = {r["vec_id"]: r["bucket"]
+            for r in similarity.bucketize(emb, planes=planes).collect()}
+    spec = {r["vec_id"]: r["bucket"]
+            for r in emb.select(
+                F.col("vec_id"),
+                V.hyperplane_signs("embedding", planes).alias("bucket"),
+            ).collect()}
+    assert fast == spec
