@@ -256,7 +256,15 @@ class KVTier:
                 else:
                     hi = mid
             if lo < n and col[lo].as_py() == name:
-                taken.append(lo)
+                # duplicates are adjacent in a sorted column — a flat
+                # (unpartitioned) layout holds the SAME name for several
+                # tenants, and the lookup loop disambiguates by tenant, so
+                # every contiguous equal row must be returned (taking only
+                # col[lo] silently dropped the other tenants' rows)
+                i = lo
+                while i < n and col[i].as_py() == name:
+                    taken.append(i)
+                    i += 1
             else:
                 # absent — or the column isn't sorted; only a scan can
                 # tell the difference, so take the correct path

@@ -40,10 +40,18 @@ def dot_py(a: list[float], b: list[float]) -> float:
 
 
 def cos_py(a: list[float], b: list[float]) -> float:
-    """Driver-side twin of :func:`cosine` (same op order: dot / (sqrt·sqrt))."""
+    """Driver-side twin of :func:`cosine` (same op order: dot / (sqrt·sqrt)).
+
+    Division is IEEE like the Spark/DuckDB double division it twins —
+    a zero-norm operand yields NaN (0/0) or ±inf, never a Python
+    ``ZeroDivisionError`` (which the engines cannot raise)."""
     import math
 
-    return dot_py(a, b) / (math.sqrt(dot_py(a, a)) * math.sqrt(dot_py(b, b)))
+    num = dot_py(a, b)
+    den = math.sqrt(dot_py(a, a)) * math.sqrt(dot_py(b, b))
+    if den == 0.0:
+        return math.nan if num == 0.0 else math.copysign(math.inf, num)
+    return num / den
 
 
 def to_double(vec: Column | str) -> Column:

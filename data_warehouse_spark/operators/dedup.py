@@ -283,7 +283,23 @@ def minhash_lsh_duplicates(
             spark.sparkContext._jvm.System.gc()
         except Exception:
             pass
-    return spark.read.parquet(*slice_paths).orderBy("doc_a", "doc_b")
+    # a slice whose verify survived zero pairs may write a dir with NO
+    # part files (AQE empty-relation propagation) — such dirs can't serve
+    # schema inference, so only read slices that actually hold data; if
+    # every slice came up empty, the unsliced path's empty result (with
+    # schema) is the answer (r8 review finding)
+    import os as _os
+
+    nonempty = [
+        p
+        for p in slice_paths
+        if any(f.endswith(".parquet") for f in _os.listdir(p))
+    ]
+    if not nonempty:
+        return jaccard_verify(cands_ck.limit(0), sigs, threshold_x1000).orderBy(
+            "doc_a", "doc_b"
+        )
+    return spark.read.parquet(*nonempty).orderBy("doc_a", "doc_b")
 
 
 def incremental_minhash_dedup(

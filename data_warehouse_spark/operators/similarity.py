@@ -364,8 +364,11 @@ def kmeans_refine(
     for _ in range(iters):
         members: dict[int, list[tuple[int, list[float]]]] = {c: [] for c, _ in cents}
         for vid, v in sample:
+            # NaN cosine (zero-norm vector) → +inf: the same NaN-greatest
+            # rule every assignment consumer applies (ties → larger cell)
             _best_cos, best_cid = max(
-                (V.cos_py(v, cv), cid) for cid, cv in cents
+                (float("inf") if c != c else c, cid)
+                for c, cid in ((V.cos_py(v, cv), cid) for cid, cv in cents)
             )
             members[best_cid].append((vid, v))
         nxt = []
@@ -995,6 +998,11 @@ def embedding_near_duplicates(
                 dot = dot + a[s:e, d : d + 1] * a[None, :, d]
             with np.errstate(divide="ignore", invalid="ignore"):
                 cos = dot / (vn[s:e, None] * vn[None, :])
+            # NaN (zero-norm pair) → +inf: the retained Spark expression
+            # orders NaN greatest, so `cosine >= threshold` PASSES for
+            # zero-norm vectors — same substitution as brute_force_topk
+            # and _assign_cells_vectorized (bit-parity with the spec form)
+            cos = np.where(np.isnan(cos), np.inf, cos)
             hit = (cos >= threshold_f) & (
                 np.arange(n)[None, :] > np.arange(s, e)[:, None]
             )
@@ -1006,8 +1014,14 @@ def embedding_near_duplicates(
              "id_b": np.concatenate(ib) if ib else np.asarray([], dtype=np.int64)}
         )
 
+    # explicit repartition on the group key: AQE coalesces shuffle
+    # partitions by input BYTES, but per-group work here is quadratic in
+    # rows — letting AQE pack many buckets onto a few tasks serializes
+    # the O(|bucket|²) scoring (r7 lesson, reinstated after the r8 rewrite
+    # dropped it)
     return (
-        bucketed.groupBy("bucket")
+        bucketed.repartition(min(2 ** len(planes), 256), "bucket")
+        .groupBy("bucket")
         .applyInPandas(bucket_pairs, schema=out_schema)
         .orderBy("id_a", "id_b")
     )
@@ -1099,6 +1113,9 @@ def semantic_dedup(
                 acc = acc + a[s:e, d : d + 1] * a[None, :, d]
             with np.errstate(divide="ignore", invalid="ignore"):
                 cos = acc / (vn[s:e, None] * vn[None, :])
+            # NaN (zero-norm pair) → +inf, matching the retained Spark
+            # expression's NaN-greatest ordering (see bucket_pairs)
+            cos = np.where(np.isnan(cos), np.inf, cos)
             # keep candidates are the SMALLER ids: rows are id-sorted, so
             # for dup j the candidates are columns strictly left of j's
             # global position; emit per-dup the FIRST (= min-id) match —
@@ -1115,8 +1132,11 @@ def semantic_dedup(
              "keep_id": np.concatenate(keep) if keep else np.asarray([], dtype=np.int64)}
         )
 
+    # explicit repartition on the cell id: AQE coalesces by bytes while
+    # per-cell work is quadratic — keep cells spread across tasks
     return (
-        corpus.groupBy("cell")
+        corpus.repartition(min(n_cells, 1024), "cell")
+        .groupBy("cell")
         .applyInPandas(cell_pairs, schema=out_schema)
         .orderBy("dup_id")
     )

@@ -163,3 +163,56 @@ def test_kv_accounts_page_sorted_filtered_bounded(spark, tmp_path):
     cache.kv.max_tenant_rows = 1
     cache.kv._tenant_rows.clear()
     assert cache.kv_accounts_page("CACHE_TRN") is None
+
+
+def test_kv_match_rows_returns_all_duplicate_names():
+    """Flat (unpartitioned) layouts hold the SAME name for several tenants
+    in one sorted file; the bisect must return EVERY contiguous equal row,
+    not just the first — the lookup loop disambiguates by tenant, so a
+    one-row take silently served only one tenant (r8 review finding)."""
+    import pyarrow as pa
+
+    from data_warehouse_spark.api.kv_tier import KVTier
+
+    class _Shim:
+        key_col = "name"
+
+    tbl = pa.table(
+        {
+            "name": ["A", "B", "B", "B", "C"],
+            "tenant": ["t1", "t1", "t2", "t3", "t1"],
+        }
+    )
+    got = KVTier._match_rows(_Shim(), tbl, {"B"})
+    assert got.num_rows == 3
+    assert sorted(got.column("tenant").to_pylist()) == ["t1", "t2", "t3"]
+    # multiple names, mixed multiplicity
+    got2 = KVTier._match_rows(_Shim(), tbl, {"A", "B"})
+    assert got2.num_rows == 4
+
+
+def test_kv_lookup_same_name_two_tenants_flat_layout(spark, tmp_path):
+    """End-to-end witness on a real flat store: two tenants sharing an
+    account name must BOTH be served by a single KV lookup."""
+    from data_warehouse_spark.api.serving_cache import ServingCache
+    from data_warehouse_spark.schemas import ACCOUNT_SCHEMA
+    from data_warehouse_spark.sources.tables import TableStore
+
+    # no partition spec → flat layout (one sorted file, tenant as a column)
+    store = TableStore(
+        spark,
+        str(tmp_path / "wh"),
+        {"account": ACCOUNT_SCHEMA},
+        cluster_by={"account": ["name"]},
+    )
+    rows = [
+        ("t1", "SHARED", "CZK", "F1", 0, 0),
+        ("t2", "SHARED", "EUR", "F2", 0, 0),
+        ("t1", "OTHER", "USD", "F3", 0, 0),
+    ]
+    store.overwrite("account", spark.createDataFrame(rows, ACCOUNT_SCHEMA))
+    cache = ServingCache(store, max_rows=0)
+    got = cache.kv_account_details([("t1", "SHARED"), ("t2", "SHARED")])
+    assert got is not None
+    assert got[("t1", "SHARED")] == ("CZK", "F1")
+    assert got[("t2", "SHARED")] == ("EUR", "F2")

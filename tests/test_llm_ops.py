@@ -1742,3 +1742,59 @@ def test_bucketize_vectorized_equals_expr(spark):
                 V.hyperplane_signs("embedding", planes).alias("bucket"),
             ).collect()}
     assert fast == spec
+
+
+def test_neardup_zero_norm_vectors_pass_threshold(spark):
+    """Bit-parity with the retained expression spec: Spark orders NaN
+    greater than any value, so a zero-norm pair's NaN cosine PASSES
+    ``cosine >= threshold``. The vectorized pass must apply the same
+    NaN→+inf substitution before thresholding (r8 review finding — numpy's
+    ``NaN >= t`` is False, which silently dropped zero-norm pairs)."""
+    rows = [
+        (1, [0.0] * 8),
+        (2, [0.0] * 8),
+        (3, [1.0] + [0.0] * 7),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    planes = [[1.0 if d == p else 0.0 for d in range(8)] for p in range(4)]
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_near_duplicates(
+            emb, threshold=0.9, planes=planes
+        ).collect()
+    }
+    assert (1, 2) in pairs
+
+
+def test_semantic_dedup_zero_norm_vectors_dedup(spark):
+    """Same NaN-greatest parity for semantic_dedup's per-cell pass: a
+    zero-norm vector's cosine is NaN against EVERY partner, and NaN orders
+    greatest, so it must dedup (to its cell's smallest id) rather than
+    silently survive (numpy ``NaN >= t`` is False — the r8 finding)."""
+    import random
+
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(20)]
+    rows += [(100, [0.0] * 8), (101, [0.0] * 8)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r["dup_id"]: r["keep_id"]
+        for r in similarity.semantic_dedup(emb, threshold=0.95, n_cells=4).collect()
+    }
+    # both zero-norm vectors are duplicates of their cell's min id (the
+    # NaN cosine passes the threshold against every partner)
+    assert 100 in out and 101 in out
+    assert out[100] < 100 and out[101] < 100
+
+
+def test_minhash_sliced_verify_all_slices_empty(spark):
+    """Candidates exist but no pair survives an impossible threshold: every
+    slice writes zero part files (AQE empty-relation propagation), which
+    used to break the union read's schema inference — must return the
+    unsliced-style EMPTY result instead (r8 review finding)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = dedup.minhash_lsh_duplicates(
+        docs, verify_slices=3, threshold_x1000=1001
+    )
+    assert out.collect() == []
+    assert set(out.columns) >= {"doc_a", "doc_b"}
