@@ -197,6 +197,20 @@ class KVTier:
         self._footers: "collections.OrderedDict[str, object]" = (
             collections.OrderedDict()
         )
+        # decoded row-group LRU: (path, rg_index, cols) → pa.Table. The
+        # pyarrow decode is the GIL-held cost that sets the 32-thread
+        # serving ceiling (KV_BENCH r8: 2748/s at 1 thread vs 1044/s at
+        # 32 — a CPython decode convoy, not a tier lock); hot groups now
+        # decode ONCE and repeat lookups run GIL-cheap bisect+take over
+        # the cached Arrow table. Paths are immutable (copy-on-write
+        # store), so entries can never go stale — only cold. Bounded by
+        # a global row budget like the tenant pages (64 KB groups ≈
+        # 1–2k rows each → the default caps at ~100–200 MB).
+        self._rg_cache: "collections.OrderedDict[tuple, object]" = (
+            collections.OrderedDict()
+        )
+        self._rg_rows_total = 0
+        self.max_rg_cached_rows = 4_000_000
         # observability: row groups read vs skipped (tests pin pruning).
         # Counter += is read-modify-write — increments happen under
         # _counter_lock (NOT _lock: counters must never serialize reads)
@@ -226,7 +240,55 @@ class KVTier:
                 self._footers[path] = md
                 while len(self._footers) > self._MAX_FOOTERS:
                     self._footers.popitem(last=False)
-        return pq.ParquetFile(path, metadata=md)
+        # memory_map: column chunks page in via mmap instead of read()
+        # syscalls + userspace copies — less time holding the GIL per
+        # decode (the serving tier's concurrency ceiling)
+        return pq.ParquetFile(path, metadata=md, memory_map=True)
+
+    def _read_groups_cached(self, path: str, indices: list[int], read_cols):
+        """Concatenated rows of the given row groups, each group's decode
+        served from the LRU when hot (paths are immutable, so a cached
+        decode can never be stale). Returns (table, present_columns)."""
+        import pyarrow as pa
+
+        pf = None
+        data_cols = None
+        parts = []
+        misses = 0
+        for idx in indices:
+            key = (path, idx, tuple(read_cols))
+            with self._lock:
+                t = self._rg_cache.get(key)
+                if t is not None:
+                    self._rg_cache.move_to_end(key)
+            if t is None:
+                if pf is None:
+                    pf = self._parquet_file(path)
+                    data_cols = [
+                        c for c in read_cols if c in pf.schema_arrow.names
+                    ]
+                # use_threads=False: a 64 KB group gains nothing from
+                # Arrow's GLOBAL pool and 32 request threads queueing on
+                # it was the r7 6.5× concurrent-p95 blowup
+                t = pf.read_row_group(idx, columns=data_cols, use_threads=False)
+                misses += 1
+                with self._lock:
+                    if key not in self._rg_cache:
+                        self._rg_cache[key] = t
+                        self._rg_rows_total += t.num_rows
+                        while (
+                            self._rg_cache
+                            and self._rg_rows_total > self.max_rg_cached_rows
+                        ):
+                            _, ev = self._rg_cache.popitem(last=False)
+                            self._rg_rows_total -= ev.num_rows
+            parts.append(t)
+        self._count(
+            ("kv_rg_cache_hit", len(indices) - misses),
+            ("kv_rg_cache_miss", misses),
+        )
+        tbl = parts[0] if len(parts) == 1 else pa.concat_tables(parts)
+        return tbl, list(tbl.column_names)
 
     def _match_rows(self, tbl, names: set):
         """Rows of ``tbl`` whose ``key_col`` is in ``names``.
@@ -391,19 +453,8 @@ class KVTier:
                     rg_skipped += len(entry.row_groups) - len(want)
                     if not want:
                         continue
-                    pf = self._parquet_file(entry.path)
-                    data_cols = [
-                        c for c in read_cols if c in pf.schema_arrow.names
-                    ]
-                    # use_threads=False: a point read decodes ~one row
-                    # group of a few columns — fanning that out on Arrow's
-                    # GLOBAL thread pool buys nothing per read and makes 32
-                    # concurrent request threads queue on the pool (the
-                    # 6.5× concurrent-p95 blowup KV_BENCH r7 recorded)
-                    tbl = pf.read_row_groups(
-                        [rg.index for rg in want],
-                        columns=data_cols,
-                        use_threads=False,
+                    tbl, data_cols = self._read_groups_cached(
+                        entry.path, [rg.index for rg in want], read_cols
                     )
                     tbl = self._match_rows(tbl, here)
                     cols = {c: tbl.column(c).to_pylist() for c in data_cols}

@@ -113,3 +113,148 @@ def event_files(spark: SparkSession, root: str, snapshot_dirs: DataFrame) -> Dat
 
     rdd = snapshot_dirs.select("tenant", "account", "version").rdd.flatMap(scan_events)
     return spark.createDataFrame(rdd, EVENT_FILE_SCHEMA)
+
+
+# --- per-directory mtime watermark cache (idle ticks O(changed dirs)) --------
+class ListingCache:
+    """Makes a steady-state ingest tick **O(changed directories)** instead of
+    O(tree width).
+
+    The reference re-walks the whole account tree every 2 s tick
+    (PrimaryDataExplorationService.scala:107-178); that is the measured
+    O(tree-width) floor at warehouse scale (TICK_ATTRIBUTION_SF10: a sf10
+    idle tick spent 3.2 s listing having read zero files). This cache
+    replaces the re-walk with a directory-mtime watermark sweep:
+
+    * per account we record the mtime of every directory whose content can
+      change the tick's outcome — ``snapshot/`` (new snapshot files),
+      ``events/`` (new version dirs), and each ``events/<version>/``
+      (new event files). POSIX bumps a directory's mtime exactly when an
+      entry is added/removed in it, so an unchanged mtime set proves the
+      subtree the tick would list is byte-identical to last examination.
+    * a tick is a **deterministic pure function of (tree, account marks)**;
+      marks only move when the tick reads something. So an account whose
+      examination read nothing and moved nothing reaches a fixed point:
+      re-examining it is a no-op until one of its tracked mtimes changes.
+      ``pending`` records the complement — accounts whose last tick DID
+      read/move stay pending and are re-examined regardless of mtimes
+      (covers take(2) leftovers: consuming 2 of 5 snapshots changes no
+      dir, but marks moved, so the account stays hot).
+
+    Concurrency guard: an mtime recorded within ``GUARD_NS`` of the scan is
+    untrusted (a concurrent writer can land inside the same timestamp after
+    our scandir) — the dir is treated as changed until a sweep observes it
+    quiet. Crash safety: state is in-memory; a restarted pipeline does one
+    full scan (first tick) and re-converges — the cache is an optimization,
+    never a correctness input.
+
+    Scale: the sweep is O(accounts) *stat calls* (no scandir, no content),
+    threadable because ``os.stat`` releases the GIL; the expensive parts —
+    scandir + Spark joins — are O(changed ∪ pending). At extreme width the
+    deployment story stays the committed one (INGEST_BENCH: shard tenants
+    across ingest workers), each worker sweeping its shard.
+    """
+
+    GUARD_NS = 2_000_000_000  # 2 s — mtime resolution + writer-race window
+
+    def __init__(self) -> None:
+        self.primed = False
+        # tenant -> mtime_ns of t_<tenant>/account parent (None = rescan)
+        self._parents: dict[str, int | None] = {}
+        # (tenant, account) -> [dirs: dict[path -> mtime_ns|None], pending]
+        self._accounts: dict[tuple[str, str], list] = {}
+
+    # -- helpers ---------------------------------------------------------
+    @staticmethod
+    def _mtime(path: str, now_ns: int) -> int | None:
+        """mtime_ns, or None when missing OR too fresh to trust."""
+        try:
+            ns = os.stat(path).st_mtime_ns
+        except OSError:
+            return None
+        return None if ns > now_ns - ListingCache.GUARD_NS else ns
+
+    def _account_names(self, root: str, tenant: str, now_ns: int) -> list[str]:
+        """Account dir names for a tenant; scandir only when the parent dir
+        changed (account creation/deletion bumps the parent mtime), else
+        the cached key set."""
+        base = os.path.join(root, f"t_{tenant}", "account")
+        cur = self._mtime(base, now_ns)
+        if cur is not None and cur == self._parents.get(tenant):
+            return [a for (t, a) in self._accounts if t == tenant]
+        names: list[str] = []
+        try:
+            with os.scandir(base) as it:
+                names = [e.name for e in it if e.is_dir()]
+        except (FileNotFoundError, NotADirectoryError):
+            pass
+        self._parents[tenant] = cur
+        for a in names:
+            self._accounts.setdefault((tenant, a), [{}, True])
+        return names
+
+    # -- lifecycle -------------------------------------------------------
+    def prime(self, keys) -> None:
+        """Register accounts found by a full (first-tick) inventory scan as
+        pending — they settle to dormant after one examined-idle tick."""
+        for t, a in keys:
+            self._accounts.setdefault((t, a), [{}, True])
+        self.primed = True
+
+    def sweep(self, root: str, tenants: list[str], now_ns: int) -> list[tuple[str, str]]:
+        """(tenant, account) keys needing examination this tick: pending
+        ones, plus any whose tracked dir mtimes moved (or are untrusted)."""
+        changed: list[tuple[str, str]] = []
+        for tenant in tenants:
+            self._account_names(root, tenant, now_ns)
+        for key, (dirs, pending) in self._accounts.items():
+            if pending or not dirs:
+                changed.append(key)
+                continue
+            for path, stored in dirs.items():
+                if stored is None or self._mtime(path, now_ns) != stored:
+                    changed.append(key)
+                    break
+        return changed
+
+    def rescan_account(
+        self, root: str, tenant: str, account: str, now_ns: int
+    ) -> list[tuple[str, str, int, str]]:
+        """Fresh snapshot-file rows for one account (SNAPSHOT_FILE_SCHEMA
+        shape), refreshing the tracked mtime set: snapshot/, events/, and
+        every events/<version>/ present."""
+        adir = os.path.join(root, f"t_{tenant}", "account", account)
+        snap_dir = os.path.join(adir, "snapshot")
+        ev_dir = os.path.join(adir, "events")
+        dirs: dict[str, int | None] = {
+            snap_dir: self._mtime(snap_dir, now_ns),
+            ev_dir: self._mtime(ev_dir, now_ns),
+        }
+        rows: list[tuple[str, str, int, str]] = []
+        try:
+            with os.scandir(snap_dir) as it:
+                for e in it:
+                    if e.is_file() and e.name.isdigit():
+                        rows.append((tenant, account, int(e.name), e.path))
+        except (FileNotFoundError, NotADirectoryError):
+            pass
+        try:
+            with os.scandir(ev_dir) as it:
+                for e in it:
+                    if e.is_dir():
+                        dirs[e.path] = self._mtime(e.path, now_ns)
+        except (FileNotFoundError, NotADirectoryError):
+            pass
+        state = self._accounts.setdefault((tenant, account), [{}, True])
+        state[0] = dirs
+        return rows
+
+    def settle(self, examined, active) -> None:
+        """After a SUCCESSFUL tick: examined accounts that read nothing and
+        moved no marks are dormant; active ones stay pending. Never called
+        on a failed tick — pending survives, the retry re-examines."""
+        active = set(active)
+        for key in examined:
+            state = self._accounts.get(key)
+            if state is not None:
+                state[1] = key in active

@@ -80,20 +80,27 @@ def _empty(spark: SparkSession, schema: T.StructType) -> DataFrame:
     return spark.createDataFrame([], schema)
 
 
+def tenant_names(root: str) -> list[str]:
+    """Tenant names from one scandir of the root level (S1+S2) — driver-side
+    so an idle ingest tick can check for new tenants without a Spark job."""
+    names: list[str] = []
+    try:
+        with os.scandir(root) as it:
+            for e in it:
+                if e.is_dir() and e.name.startswith("t_") and len(e.name) > 2:
+                    names.append(e.name[2:])
+    except FileNotFoundError:
+        pass  # reference: empty stream on missing dir (PrimaryPersistence.scala:27-52)
+    return names
+
+
 def discover_tenants(spark: SparkSession, root: str) -> DataFrame:
     """Tenant = directory ``t_<name>`` under the root (S1+S2).
 
     Directory names are metadata — one scandir of a single level, the same
     listing Spark's FileIndex would perform; rows then distribute normally.
     """
-    names = []
-    try:
-        with os.scandir(root) as it:
-            for e in it:
-                if e.is_dir() and e.name.startswith("t_") and len(e.name) > 2:
-                    names.append((e.name[2:],))
-    except FileNotFoundError:
-        pass  # reference: empty stream on missing dir (PrimaryPersistence.scala:27-52)
+    names = [(n,) for n in tenant_names(root)]
     schema = T.StructType([T.StructField("tenant", T.StringType(), False)])
     return spark.createDataFrame(names, schema) if names else _empty(spark, schema)
 

@@ -237,12 +237,22 @@ def _signed_changes(transfers: DataFrame) -> DataFrame:
 
 class IngestionPipeline:
     def __init__(
-        self, spark: SparkSession, primary_root: str, store: TableStore, strict: bool = True
+        self,
+        spark: SparkSession,
+        primary_root: str,
+        store: TableStore,
+        strict: bool = True,
+        listing_cache: bool = True,
     ):
         self.spark = spark
         self.root = primary_root
         self.store = store
         self.strict = strict
+        # per-directory mtime watermarks: steady-state ticks examine only
+        # changed-or-pending accounts (O(changed dirs), the reference's 2 s
+        # cadence target at warehouse width). False = re-walk every tick.
+        self._cache = listing.ListingCache() if listing_cache else None
+        self._merged_tenants: set[str] = set()
 
     # ------------------------------------------------------------------
     def run_once(self) -> TickMetrics:
@@ -253,22 +263,66 @@ class IngestionPipeline:
         spark, root, store = self.spark, self.root, self.store
 
         # --- tenants (D3 get-else-insert); names reused for listing -----
-        tenants_df = primary.discover_tenants(spark, root)
-        tenant_names = [r["tenant"] for r in tenants_df.collect()]
-        m.tenants_discovered = store.merge_insert_missing(
-            "tenant", tenants_df.select(F.col("tenant").alias("name")), PRIMARY_KEYS["tenant"]
-        )
+        # insert-missing MERGE only when a tenant dir is NEW — the merge
+        # reads the table, so skipping it keeps idle ticks Spark-free; the
+        # cached set only grows after a SUCCESSFUL merge
+        tenant_names = primary.tenant_names(root)
+        if set(tenant_names) - self._merged_tenants:
+            tenants_df = primary.discover_tenants(spark, root)
+            m.tenants_discovered = store.merge_insert_missing(
+                "tenant",
+                tenants_df.select(F.col("tenant").alias("name")),
+                PRIMARY_KEYS["tenant"],
+            )
+            self._merged_tenants |= set(tenant_names)
         clock.lap("tenants")
 
         # --- snapshot inventory: directory names only, zero content -----
         # (persist+count materializes the listing ONCE here, so the stage
         # clock attributes it to "listing", not to its first consumer)
-        inv = listing.snapshot_inventory(spark, root, tenant_names).persist()
+        scan_keys: list[tuple[str, str]] | None = None
+        if self._cache is not None and self._cache.primed:
+            now_ns = time.time_ns()
+            scan_keys = self._cache.sweep(root, tenant_names, now_ns)
+            if not scan_keys:
+                # idle fast-path: no dir changed, no account pending — the
+                # tick is a fixed point (pure function of (tree, marks));
+                # zero Spark jobs, zero reads, zero writes
+                clock.lap("listing")
+                balance_view.maintain(store)
+                clock.lap("rollup_converge_check")
+                return m
+            rows: list = []
+            for tenant, account in scan_keys:
+                rows.extend(
+                    self._cache.rescan_account(root, tenant, account, now_ns)
+                )
+            inv = spark.createDataFrame(
+                rows, listing.SNAPSHOT_FILE_SCHEMA
+            ).persist()
+        else:
+            inv = listing.snapshot_inventory(spark, root, tenant_names).persist()
         inv.count()
         clock.lap("listing")
+        ok = False
         try:
-            return self._tick_body(m, files_read, inv, clock)
+            result = self._tick_body(m, files_read, inv, clock, scan_keys=scan_keys)
+            ok = True
+            return result
         finally:
+            if self._cache is not None:
+                if scan_keys is None:
+                    # first (full) scan: every discovered account starts
+                    # pending and settles after one examined-idle tick
+                    self._cache.prime(
+                        (r["tenant"], r["account"])
+                        for r in inv.select("tenant", "account").distinct().collect()
+                    )
+                elif ok:
+                    # failed ticks never settle — pending survives, the
+                    # supervisor's retry re-examines everything it touched
+                    self._cache.settle(scan_keys, m.extra.pop("_active_keys", ()))
+            m.extra.pop("_active_keys", None)
             inv.unpersist()
             # convergence check for the serving balance rollup: pure-Python
             # noop when fresh (the idle-tick zero-write contract holds);
@@ -283,21 +337,40 @@ class IngestionPipeline:
         files_read: dict,
         inv: DataFrame,
         clock: _StageClock | None = None,
+        scan_keys: list[tuple[str, str]] | None = None,
     ) -> TickMetrics:
         spark, root, store = self.spark, self.root, self.store
         clock = clock or _StageClock(m)
+        active_keys: set[tuple[str, str]] = set()
+        m.extra["_active_keys"] = active_keys
+
+        # with a listing-cache delta, the inventory covers only the
+        # changed/pending accounts — push those keys into every account-
+        # table read: the tenant predicate prunes partitions, the name
+        # in-list prunes row groups (cluster_by name), so a small delta
+        # never pays a full scan of a warehouse-wide account table
+        def _keys_pushdown(df: DataFrame) -> DataFrame:
+            if scan_keys is None or not scan_keys:
+                return df
+            tenants = sorted({t for t, _ in scan_keys})
+            df = df.filter(F.col("tenant").isin(tenants))
+            names = sorted({a for _, a in scan_keys})
+            if len(names) <= 10_000:  # bounded in-list; wide deltas scan
+                df = df.filter(F.col("name").isin(names))
+            return df
 
         # --- account discovery: meta content read ONLY for new accounts --
-        known = store.read("account").select(
+        known = _keys_pushdown(store.read("account")).select(
             "tenant", F.col("name").alias("account")
         )
-        new_meta_paths = [
-            r["path"]
-            for r in inv.filter(F.col("version") == 0)
+        new_meta = (
+            inv.filter(F.col("version") == 0)
             .join(known, ["tenant", "account"], "left_anti")
-            .select("path")
+            .select("tenant", "account", "path")
             .collect()
-        ]
+        )
+        active_keys.update((r["tenant"], r["account"]) for r in new_meta)
+        new_meta_paths = [r["path"] for r in new_meta]
         files_read["meta"] = len(new_meta_paths)
         if new_meta_paths:
             meta = primary.read_account_meta_paths(spark, new_meta_paths).select(
@@ -313,7 +386,7 @@ class IngestionPipeline:
             )
         clock.lap("account_discovery")
 
-        accounts = store.read("account")
+        accounts = _keys_pushdown(store.read("account"))
         acc_marks = accounts.select(
             "tenant",
             F.col("name").alias("account"),
@@ -345,7 +418,9 @@ class IngestionPipeline:
                 | (F.col("n_files") > F.col("last_syn_event"))
             )
         )
-        ev_paths = [r["path"] for r in qual_files.select("path").collect()]
+        qual_rows = qual_files.select("tenant", "account", "path").collect()
+        active_keys.update((r["tenant"], r["account"]) for r in qual_rows)
+        ev_paths = [r["path"] for r in qual_rows]
         files_read["events"] = len(ev_paths)
         clock.lap("event_listing")
         if not ev_paths:

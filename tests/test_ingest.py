@@ -369,3 +369,85 @@ def test_missing_trailing_newline_parses(pipeline):
     write(os.path.join(root, t, "account", "N", "events", "0000000000", "1_1_TN"), "1")
     m = pipe.run_once()
     assert m.transfers_discovered == 1
+
+
+# --- listing cache: idle ticks O(changed dirs) -------------------------------
+def _backdate(root: str) -> None:
+    """Age every mtime past the ListingCache guard window (tests write
+    'now'; production trees are quiet between ticks)."""
+    import time
+
+    old = time.time() - 10
+    for dirpath, _dirs, filenames in os.walk(root):
+        os.utime(dirpath, (old, old))
+        for f in filenames:
+            os.utime(os.path.join(dirpath, f), (old, old))
+
+
+def test_listing_cache_idle_fast_path_and_reawaken(pipeline):
+    """Tick 1 ingests (full scan); tick 2 examines the pending accounts and
+    settles them; tick 3 is the idle FAST PATH — zero Spark stages beyond
+    the stage clock's bookends (the O(changed dirs) contract, r8 verdict
+    item #1). New files after dormancy must still be detected and the
+    resulting warehouse must be identical to an uncached pipeline's."""
+    pipe, root, store = pipeline
+    _write_transfer_fixture(root)
+    _backdate(root)
+    pipe.run_once()
+    m2 = pipe.run_once()  # examines pending accounts, reads nothing
+    assert m2.extra["files_read"] == {"meta": 0, "events": 0, "transactions": 0}
+    m3 = pipe.run_once()  # fast path: sweep found nothing
+    assert m3.extra["files_read"] == {"meta": 0, "events": 0, "transactions": 0}
+    assert set(m3.extra["stage_sec"]) == {
+        "tenants",
+        "listing",
+        "rollup_converge_check",
+    }, m3.extra["stage_sec"]
+
+    # reawaken: a new transaction lands while the account is dormant
+    t = "t_TENANT_TRN"
+    write(
+        os.path.join(root, t, "transaction", "TRN9"),
+        "committed\nTRX9 TENANT_TRN DEBIT TENANT_TRN CREDIT 2020-03-01T00:00:00Z 2.25 CZK\n",
+    )
+    write(os.path.join(root, t, "account", "CREDIT", "events", "0000000000", "1_-2.25_TRN9"), "2\n")
+    write(os.path.join(root, t, "account", "DEBIT", "events", "0000000000", "1_2.25_TRN9"), "2\n")
+    m4 = pipe.run_once()
+    assert m4.transfers_discovered == 1
+    assert store.read("transfer").count() == 2
+
+
+def test_listing_cache_matches_uncached_pipeline(spark, tmp_path):
+    """Same fixture, two pipelines (cache on/off), interleaved new data:
+    identical final tables — the cache is an optimization, never a
+    correctness input."""
+    roots, stores = {}, {}
+    for mode in ("cached", "uncached"):
+        root = str(tmp_path / f"data_{mode}")
+        os.makedirs(root, exist_ok=True)
+        _write_transfer_fixture(root)
+        _backdate(root)
+        roots[mode] = root
+        stores[mode] = warehouse_store(spark, str(tmp_path / f"wh_{mode}"))
+    pipes = {
+        "cached": IngestionPipeline(spark, roots["cached"], stores["cached"]),
+        "uncached": IngestionPipeline(
+            spark, roots["uncached"], stores["uncached"], listing_cache=False
+        ),
+    }
+    for mode in pipes:
+        pipes[mode].run_once()
+        pipes[mode].run_once()  # settle / replay
+        t = "t_TENANT_TRN"
+        write(
+            os.path.join(roots[mode], t, "transaction", "TRN2"),
+            "committed\nTRX2 TENANT_TRN DEBIT TENANT_TRN CREDIT 2020-02-01T00:00:00Z 3.50 CZK\n",
+        )
+        write(os.path.join(roots[mode], t, "account", "CREDIT", "events", "0000000000", "1_-3.5_TRN2"), "2\n")
+        write(os.path.join(roots[mode], t, "account", "DEBIT", "events", "0000000000", "1_3.5_TRN2"), "2\n")
+        pipes[mode].run_once()
+        pipes[mode].run_once()
+    for table in ("tenant", "account", "transfer", "account_balance_change"):
+        a = sorted(map(tuple, stores["cached"].read(table).collect()))
+        b = sorted(map(tuple, stores["uncached"].read(table).collect()))
+        assert a == b, table

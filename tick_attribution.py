@@ -12,7 +12,9 @@ balance rollup (deployment step), lands the serving bench's exact primary
 tree (--accounts fresh accounts, accounts/2 transfers), then runs
 
   tick1  discovery + full merge path (the 42 s tick),
-  tick2  idle (pure listing/watermark overhead),
+  tick2  second merge wave (steady-state merge cost),
+  tick3  idle (examines last wave's pending accounts, reads nothing),
+  tick4  idle steady state (ListingCache fast path: zero Spark jobs),
 
 and prints each tick's ``TickMetrics.extra["stage_sec"]`` — the per-stage
 wall clock the pipeline itself records (streaming/ingest.py::_StageClock).
@@ -89,7 +91,11 @@ def main() -> int:
     pipe = IngestionPipeline(spark, primary, store)
 
     ticks = []
-    for label in ("merge_tick", "merge_tick2", "idle_tick"):
+    # idle_tick examines the accounts the previous merge touched (they are
+    # pending until one examined-idle tick); idle_tick2 is the steady-state
+    # fast path — the ListingCache sweep finds nothing and the tick runs
+    # zero Spark jobs (r9: the O(changed dirs) contract)
+    for label in ("merge_tick", "merge_tick2", "idle_tick", "idle_tick2"):
         if label == "merge_tick2":
             _delta_tree(primary, args.accounts, args.accounts)
         t0 = time.time()
