@@ -187,7 +187,10 @@ class WarehouseContext:
                 self._snaps[key] = (
                     balance_view.table_fingerprint(self.store, "account")
                     if kind == "account"
-                    else balance_view.freshness_token(self.store)
+                    # serving_token: fresh rollup token OR the stale-window
+                    # token (rollup + Arrow-delta stays KV-served across
+                    # the maintenance gap a tick opens — same pin contract)
+                    else balance_view.serving_token(self.store)
                 )
             except Exception:
                 self._snaps[key] = None
@@ -470,6 +473,27 @@ def _resolve_transfers(
     ctx: WarehouseContext = info.context
 
     def _load():
+        # tenant + eq-filter shapes first try the Arrow fact-page tier
+        # (bounded row-group reads, no Spark job) — the page source that
+        # survives ingest-tick fingerprint moves without queueing behind
+        # the tick's own Spark jobs; range shapes keep the Spark path
+        # (COMPAT_INVERTED_FILTERS + month pruning live there)
+        no_ranges = all(
+            v is None
+            for v in (
+                amount_lt, amount_lte, amount_gt, amount_gte,
+                valueDate_lt, valueDate_lte, valueDate_gt, valueDate_gte,
+            )
+        )
+        if no_ranges and ctx.cache is not None and hasattr(
+            ctx.cache, "kv_transfers_page"
+        ):
+            rows = ctx.cache.kv_transfers_page(
+                tenant, currency=currency, status=status,
+                limit=limit, offset=offset,
+            )
+            if rows is not None:
+                return rows
         return wh.transfers(
             ctx.transfers_df(), tenant=tenant, currency=currency,
             status=status,  # already coerced by the Status scalar

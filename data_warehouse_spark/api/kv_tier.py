@@ -52,6 +52,7 @@ from __future__ import annotations
 
 import bisect
 import collections
+import datetime
 import decimal
 import os
 import threading
@@ -489,6 +490,207 @@ class KVTier:
             ("kv_rowgroups_skipped", rg_skipped),
         )
         return out
+
+    # ---- append-window delta sums ------------------------------------------
+    def delta_sums(
+        self, paths: list[str], keys: list[tuple[str, str]], value_col: str
+    ) -> dict | None:
+        """{(tenant, name): (count, Decimal sum)} of ``value_col`` over the
+        given immutable part files, restricted to the requested keys — the
+        exact Arrow delta the stale-window balance path adds on top of the
+        maintained rollup (balance_view.stale_window). Files are one
+        tick's appends (O(batch) rows); each decodes once into the
+        row-group LRU. Decimal aggregation is exact (order-free), so
+        rollup + delta ≡ the direct Spark SUM bit-for-bit."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        by_tenant: dict[str, set] = {}
+        for t, n in keys:
+            by_tenant.setdefault(t, set()).add(n)
+        out: dict = {}
+        try:
+            for path in paths:
+                tenant = None
+                for part in path.split(os.sep):
+                    if part.startswith("tenant="):
+                        raw = part[len("tenant="):]
+                        tenant = (
+                            None if raw == HIVE_NULL_PARTITION
+                            else urllib.parse.unquote(raw)
+                        )
+                        break
+                names = by_tenant.get(tenant)
+                if tenant is not None and not names:
+                    continue  # no requested key in this tenant's files
+                md = self._parquet_file(path)
+                t, _cols = self._read_groups_cached(
+                    path,
+                    list(range(md.metadata.num_row_groups)),
+                    [self.key_col, "tenant", value_col],
+                )
+                if tenant is None:
+                    # flat layout: tenant rides in the column
+                    if "tenant" not in t.column_names:
+                        return None
+                    want = pa.array(sorted({f"{a}\x00{b}" for a, b in keys}))
+                    joint = pc.binary_join_element_wise(
+                        pc.cast(t.column("tenant"), pa.string()),
+                        pc.cast(t.column(self.key_col), pa.string()),
+                        "\x00",
+                    )
+                    t = t.filter(pc.is_in(joint, value_set=want))
+                else:
+                    t = t.filter(
+                        pc.is_in(
+                            t.column(self.key_col),
+                            value_set=pa.array(sorted(names)),
+                        )
+                    )
+                if t.num_rows == 0:
+                    continue
+                nm = t.column(self.key_col).to_pylist()
+                tn = (
+                    t.column("tenant").to_pylist()
+                    if tenant is None
+                    else [tenant] * t.num_rows
+                )
+                vals = t.column(value_col).to_pylist()
+                for tt, name, v in zip(tn, nm, vals):
+                    c, s = out.get((tt, name), (0, decimal.Decimal(0)))
+                    out[(tt, name)] = (c + 1, s + (v or decimal.Decimal(0)))
+        except Exception:
+            self._count(("kv_delta_fallback", 1))
+            return None
+        self._count(("kv_delta_sum", 1))
+        return out
+
+    # ---- sorted fact pages -----------------------------------------------
+    def _file_prefix_cached(self, path, read_cols, eq_filters, need):
+        """First ``need`` rows of one (cluster_by-sorted) file that pass the
+        eq filters, decoded via STREAMED Arrow batches — a month file holds
+        one ~file-sized row group, so a row-group-granular read decoded the
+        whole file (measured: 250k rows per cold 1000-row page at sf1,
+        enough to blow the LRU budget and saturate the CPU under load).
+        Batches stop as soon as ``need`` filtered rows accumulate. The
+        bounded prefix is LRU-cached against the immutable path: a merge
+        moves the TABLE fingerprint but leaves every untouched tenant's
+        file paths alive, so repeat pages across ticks decode nothing."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        eq_key = tuple(sorted((eq_filters or {}).items()))
+        key = (path, tuple(read_cols), eq_key, need)
+        with self._lock:
+            hit = self._rg_cache.get(key)
+            if hit is not None:
+                self._rg_cache.move_to_end(key)
+        if hit is not None:
+            self._count(("kv_rg_cache_hit", 1))
+            return hit
+        pf = self._parquet_file(path)
+        cols = [c for c in read_cols if c in pf.schema_arrow.names]
+        taken = []
+        got = 0
+        for batch in pf.iter_batches(
+            batch_size=max(256, min(need, 4096)), columns=cols, use_threads=False
+        ):
+            t = pa.Table.from_batches([batch])
+            for c, v in (eq_filters or {}).items():
+                t = t.filter(pc.equal(t.column(c), pa.scalar(v)))
+            if t.num_rows:
+                taken.append(t)
+                got += t.num_rows
+            if got >= need:
+                break
+        out = (
+            pa.concat_tables(taken).slice(0, need)
+            if taken
+            else pf.schema_arrow.empty_table().select(cols)
+        )
+        self._count(("kv_rg_cache_miss", 1))
+        with self._lock:
+            if key not in self._rg_cache:
+                self._rg_cache[key] = out
+                self._rg_rows_total += out.num_rows
+                while self._rg_cache and self._rg_rows_total > self.max_rg_cached_rows:
+                    _, ev = self._rg_cache.popitem(last=False)
+                    self._rg_rows_total -= ev.num_rows
+        return out
+
+    def sorted_page(
+        self,
+        table: str,
+        fingerprint: str | None,
+        tenant: str,
+        sort_cols: list[str],
+        columns: list[str],
+        eq_filters: dict | None = None,
+        limit: int | None = None,
+        offset: int = 0,
+        max_page_rows: int = 10_000,
+    ) -> list | None:
+        """First ``limit`` rows after ``offset`` of one tenant's rows
+        ordered by ``sort_cols`` with optional equality filters — the
+        fact-table page shape (``transfers(tenant, …, limit, offset)``)
+        served by BOUNDED Arrow reads instead of a Spark job.
+
+        Why it exists: every ingest tick moves the fact fingerprint,
+        invalidating the page cache; under concurrent load each page
+        reload was a Spark job queueing behind the tick's own jobs — the
+        measured contention spiral (r9 serving bench: 41 page-load jobs
+        stretched the client window 7×). This path reads O(files ×
+        (offset+limit)) rows, GIL-light, regardless of fact size.
+
+        Correctness: the table is cluster_by ``sort_cols``, so each
+        file's row groups stream in sort order; the global first
+        offset+limit matching rows are contained in the union of each
+        file's first offset+limit matching rows. The final Arrow sort is
+        over that bounded union only. None (→ Spark path) on any doubt:
+        unbounded limit, page past ``max_page_rows``, missing index,
+        mid-read file retirement."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        if limit is None or offset + limit > max_page_rows:
+            return None
+        idx = self._index_for(table, fingerprint)
+        if idx is None:
+            self._count((f"kv_fallback:{table}", 1))
+            return None
+        need = offset + limit
+        read_cols = list(dict.fromkeys(
+            [*sort_cols, *columns, *(eq_filters or {})]
+        ))
+        parts = []
+        try:
+            for entry in idx.files_for(tenant):
+                t = self._file_prefix_cached(
+                    entry.path, read_cols, eq_filters, need
+                )
+                if t.num_rows:
+                    parts.append(t)
+            if not parts:
+                self._count((f"kv_page:{table}", 1))
+                return []
+            merged = pa.concat_tables(parts)
+            merged = merged.sort_by([(c, "ascending") for c in sort_cols])
+            rows = merged.slice(offset, limit).to_pylist()
+        except Exception:
+            self._count((f"kv_fallback:{table}", 1))
+            return None
+        for r in rows:
+            # hive layouts strip the partition column from the files
+            r.setdefault("tenant", tenant)
+            for c in list(r):
+                v = r[c]
+                # Spark collect() yields session-local NAIVE datetimes;
+                # Arrow yields tz-aware — normalize to naive UTC (the
+                # store's session runs UTC; equivalence pytest-pinned)
+                if hasattr(v, "tzinfo") and getattr(v, "tzinfo", None) is not None:
+                    r[c] = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        self._count((f"kv_page:{table}", 1))
+        return rows
 
     # ---- tenant pages ----------------------------------------------------
     def _tenant_table(self, table: str, fingerprint: str | None, tenant: str,

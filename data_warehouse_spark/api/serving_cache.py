@@ -146,6 +146,12 @@ class ServingCache:
         # instead of per-request Spark jobs; shares this cache's counters
         self.kv = kv_tier.KVTier(store)
         self.kv.counters = self.counters
+        # fact-page tier: transfer pages keyed/sorted by (transaction,
+        # transfer) served as bounded Arrow reads — without it every
+        # post-tick page reload is a Spark job on the request path (the
+        # measured contention spiral under concurrent load)
+        self.kv_transfer = kv_tier.KVTier(store, key_col="transaction")
+        self.kv_transfer.counters = self.counters
 
     # ---- machinery ---------------------------------------------------
     def _get(self, key: str, fingerprint, loader):
@@ -387,24 +393,100 @@ class ServingCache:
         return {k: (v["currency"], v["format"]) for k, v in hit.items()}
 
     def kv_balances(self, keys: list, pinned: str | None = None) -> dict | None:
-        """{(tenant, name): Decimal} from the maintained rollup via the KV
-        tier — served ONLY under the rollup freshness token (same contract
-        as the snapshot; a stale rollup is never consulted)."""
+        """{(tenant, name): Decimal} — FRESH balances from the KV tier.
+
+        Fresh rollup: row-group-pruned point reads under the freshness
+        token (same contract as the snapshot). Stale-but-append-only
+        window (the (abc commit → rollup maintained) gap every ingest
+        tick opens): maintained rollup + exact Arrow delta over the
+        appended files (balance_view.stale_window) — values identical to
+        the direct Spark SUM, still zero Spark jobs. Any other staleness
+        (mid-rewrite rollup, compaction swap) → None (Spark path).
+        ``pinned`` compares against balance_view.serving_token — a tick
+        landing mid-request flips the token and the tier refuses."""
         try:
             token = balance_view.freshness_token(self.store)
         except Exception:
             return None
-        if pinned is not None and token != pinned:
-            return None  # rollup moved mid-request — torn-read guard
-        hit = self.kv.lookup(
-            balance_view.ROLLUP_TABLE, token, keys, ["nn_amount", "sum_amount"]
-        )
-        if hit is None:
+        if token is not None:
+            if pinned is not None and token != pinned:
+                return None  # rollup moved mid-request — torn-read guard
+            hit = self.kv.lookup(
+                balance_view.ROLLUP_TABLE, token, keys, ["nn_amount", "sum_amount"]
+            )
+            if hit is None:
+                return None
+            return {
+                k: kv_tier.KVTier.quantize_balance(v["nn_amount"], v["sum_amount"])
+                for k, v in hit.items()
+            }
+        try:
+            win = balance_view.stale_window(self.store)
+        except Exception:
+            win = None
+        if win is None:
             return None
-        return {
-            k: kv_tier.KVTier.quantize_balance(v["nn_amount"], v["sum_amount"])
-            for k, v in hit.items()
-        }
+        win_token, rollup_fp, new_paths = win
+        if pinned is not None and win_token != pinned:
+            return None  # another tick landed mid-request
+        base = self.kv.lookup(
+            balance_view.ROLLUP_TABLE, rollup_fp, keys, ["nn_amount", "sum_amount"]
+        )
+        if base is None:
+            return None
+        delta = self.kv.delta_sums(new_paths, keys, "amount")
+        if delta is None:
+            return None
+        out: dict = {}
+        for k in set(base) | set(delta):
+            b = base.get(k)
+            nn = (b["nn_amount"] if b else 0) or 0
+            s = (b["sum_amount"] if b else None) or decimal.Decimal(0)
+            dn, ds = delta.get(k, (0, decimal.Decimal(0)))
+            out[k] = kv_tier.KVTier.quantize_balance(nn + dn, s + ds)
+        self.counters["kv_balance_window"] += 1
+        return out
+
+    def kv_transfers_page(
+        self,
+        tenant: str,
+        currency: str | None = None,
+        status: int | None = None,
+        limit: int | None = 100,
+        offset: int = 0,
+    ) -> list | None:
+        """One transfers(...) page via bounded Arrow reads (KVTier.
+        sorted_page) — the request path stays Spark-free across ingest
+        ticks. Supports the tenant + eq-filter shapes; range-filtered
+        shapes return None (Spark path, where COMPAT_INVERTED_FILTERS
+        and month pruning live). Fingerprint-pinned like every tier."""
+        try:
+            fp = balance_view.table_fingerprint(self.store, "transfer")
+        except Exception:
+            return None
+        if fp is None:
+            return None
+        eq: dict = {}
+        if currency is not None:
+            eq["currency"] = currency
+        if status is not None:
+            eq["status"] = status
+        return self.kv_transfer.sorted_page(
+            "transfer",
+            fp,
+            tenant,
+            ["transaction", "transfer"],
+            [
+                "transaction", "transfer", "status",
+                "credit_tenant", "credit_name",
+                "debit_tenant", "debit_name",
+                "amount", "currency", "value_date",
+            ],
+            eq_filters=eq,
+            limit=limit,
+            offset=offset,
+            max_page_rows=self.max_page_rows,
+        )
 
     def kv_accounts_page(
         self,

@@ -70,6 +70,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import threading
 import uuid
 
 from pyspark.sql import DataFrame
@@ -125,6 +126,29 @@ def table_fingerprint(store, name: str) -> str | None:
         hit = memo.get(name)
         if hit is not None and hit[0] == mut:
             return hit[1]
+        # SINGLE-FLIGHT the walk: during a merge the mutation counter
+        # bumps per sub-operation, and on every new epoch all 32 request
+        # threads used to start the same O(dirs) walk concurrently —
+        # each stretched ~Nx by the GIL convoy (stack-sampled at ~70% of
+        # total thread time in serving_bench --stacks). One thread walks,
+        # the rest block on the lock (GIL released) and read the memo.
+        locks = getattr(store, "_fp_locks", None)
+        if locks is None:
+            locks = store._fp_locks = {}
+        lock = locks.setdefault(name, threading.Lock())
+        with lock:
+            mut = getattr(store, "mutations", None)
+            hit = memo.get(name)
+            if hit is not None and hit[0] == mut:
+                return hit[1]
+            fp = _walk_fingerprint(store, name)
+            if mut is not None and mut == getattr(store, "mutations", None):
+                memo[name] = (mut, fp)
+            return fp
+    return _walk_fingerprint(store, name)
+
+
+def _walk_fingerprint(store, name: str) -> str | None:
     vdir = store._resolve(name)
     if vdir is None:
         return None
@@ -139,11 +163,7 @@ def table_fingerprint(store, name: str) -> str | None:
                 )
     for path, size in sorted(entries):
         h.update(f"{path}\x00{size}\x01".encode())
-    fp = h.hexdigest()
-    if mut is not None and mut == getattr(store, "mutations", None):
-        # memo only when no mutation started or finished during the walk
-        memo[name] = (mut, fp)
-    return fp
+    return h.hexdigest()
 
 
 def abc_fingerprint(store) -> str | None:
@@ -168,15 +188,49 @@ def _state_path(store) -> str:
 
 def _read_state(store) -> dict | None:
     """The (abc, rollup) fingerprint pair the last completed maintenance
-    recorded, or None (never maintained / unreadable)."""
+    recorded, or None (never maintained / unreadable).
+
+    Memoized on the state file's (mtime_ns, size): the state now carries
+    the applied-file inventory (O(files) JSON), and every request's
+    freshness check reads it — re-parsing per request under 32 threads
+    was measured as a GIL hot-spot. Atomic-replace publication means a
+    changed state always changes the (mtime_ns, size) witness."""
     import json
 
+    path = _state_path(store)
     try:
-        with open(_state_path(store)) as fh:
+        stat = os.stat(path)
+    except OSError:
+        return None
+    key = (stat.st_mtime_ns, stat.st_size)
+    memo = getattr(store, "_state_memo", None)
+    if memo is not None and memo[0] == key:
+        return memo[1]
+    try:
+        with open(path) as fh:
             st = json.load(fh)
-        return st if isinstance(st, dict) and "abc" in st and "rollup" in st else None
+        st = st if isinstance(st, dict) and "abc" in st and "rollup" in st else None
     except (OSError, ValueError):
         return None
+    try:
+        store._state_memo = (key, st)
+    except AttributeError:
+        pass  # stores with __slots__ — just skip the memo
+    return st
+
+
+def _abc_inventory(vdir: str) -> dict[str, int]:
+    """{relative path: size} of the change table's parquet part files —
+    the applied-file record the stale-window serving path diffs against."""
+    inv: dict[str, int] = {}
+    for dirpath, _dirs, files in os.walk(vdir):
+        rel = os.path.relpath(dirpath, vdir)
+        for f in files:
+            if f.endswith(".parquet"):
+                inv[os.path.join(rel, f)] = os.path.getsize(
+                    os.path.join(dirpath, f)
+                )
+    return inv
 
 
 def _write_state(store, abc_fp: str) -> None:
@@ -184,15 +238,29 @@ def _write_state(store, abc_fp: str) -> None:
     table state it summarized and the rollup state it wrote.  Written
     AFTER the merges complete — a crash before this line leaves a state
     whose rollup fingerprint mismatches the live rollup, disabling the
-    fast path until the next maintenance repairs."""
+    fast path until the next maintenance repairs.
+
+    Also records the change table's FILE INVENTORY (relpath → size) so
+    the serving tier can answer fresh balances during the next tick's
+    (abc commit → rollup maintained) window as rollup + exact Arrow
+    delta over the appended files (:func:`stale_window`). The inventory
+    is only recorded when the fingerprint still matches after the walk —
+    a concurrent append (impossible under the single-flight tick, but
+    unit tests drive maintain directly) then merely disables the window
+    path until the next maintenance, never misrepresents it."""
     import json
 
+    state: dict = {"abc": abc_fp, "rollup": table_fingerprint(store, ROLLUP_TABLE)}
+    vdir = store._resolve(ABC_TABLE)
+    if vdir is not None:
+        inv = _abc_inventory(vdir)
+        if abc_fingerprint(store) == abc_fp:
+            state["abc_vdir"] = os.path.basename(vdir)
+            state["abc_files"] = inv
     os.makedirs(store._table_dir(ROLLUP_TABLE), exist_ok=True)
     tmp = f"{_state_path(store)}.tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as fh:
-        json.dump(
-            {"abc": abc_fp, "rollup": table_fingerprint(store, ROLLUP_TABLE)}, fh
-        )
+        json.dump(state, fh)
     os.replace(tmp, _state_path(store))
 
 
@@ -210,6 +278,70 @@ def freshness_token(store) -> str | None:
     if st["rollup"] != table_fingerprint(store, ROLLUP_TABLE):
         return None
     return st["rollup"]
+
+
+def stale_window(store) -> tuple[str, str, list[str]] | None:
+    """The serving tier's bridge across the (change-table commit → rollup
+    maintained) gap: when the ONLY divergence since the last maintenance
+    is APPENDED change files, return ``(token, rollup_fp, new_paths)`` —
+    a fresh balance is then the maintained rollup plus an exact Arrow
+    delta over those immutable new files, with no Spark job and no
+    staleness (the values equal what the direct SUM would compute).
+
+    None when the window does not hold: rollup rewritten mid-maintain,
+    change-table version swap (compaction/overwrite — files replaced,
+    not appended), an applied file mutated, or a pre-inventory state
+    file. The token hashes the exact new-file set, so a pinned caller
+    (torn-read guard) refuses if another tick lands mid-request.
+
+    Memoized on the store's mutation counter (same discipline as
+    table_fingerprint): the inventory diff walks O(partition dirs), and
+    under 32 request threads a per-request walk was the measured GIL
+    convoy that starved the ingest tick's driver thread."""
+    mut = getattr(store, "mutations", None)
+    memo = getattr(store, "_window_memo", None)
+    if mut is not None and memo is not None and memo[0] == mut:
+        return memo[1]
+    result = _stale_window_uncached(store)
+    if mut is not None and mut == getattr(store, "mutations", None):
+        store._window_memo = (mut, result)
+    return result
+
+
+def _stale_window_uncached(store) -> tuple[str, str, list[str]] | None:
+    st = _read_state(store)
+    if not st or "abc_files" not in st:
+        return None
+    if st["rollup"] != table_fingerprint(store, ROLLUP_TABLE):
+        return None
+    vdir = store._resolve(ABC_TABLE)
+    if vdir is None or os.path.basename(vdir) != st.get("abc_vdir"):
+        return None
+    cur = _abc_inventory(vdir)
+    applied = st["abc_files"]
+    for rel, size in applied.items():
+        if cur.get(rel) != size:
+            return None
+    new_rels = sorted(set(cur) - set(applied))
+    if not new_rels:
+        return None  # fresh — the normal token path serves
+    h = hashlib.sha256()
+    for rel in new_rels:
+        h.update(f"{rel}\x00{cur[rel]}\x01".encode())
+    token = f"window:{st['rollup']}:{h.hexdigest()}"
+    return token, st["rollup"], [os.path.join(vdir, r) for r in new_rels]
+
+
+def serving_token(store) -> str | None:
+    """The balance-serving witness: the freshness token when the rollup is
+    fresh, else the stale-window token when the append-only window holds,
+    else None (Spark path). Equal tokens ⇒ identical serving state —
+    the per-request pin contract."""
+    token = freshness_token(store)
+    if token is not None:
+        return token
+    win = stale_window(store)
+    return win[0] if win is not None else None
 
 
 def maintain(

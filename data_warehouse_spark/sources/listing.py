@@ -116,6 +116,81 @@ def event_files(spark: SparkSession, root: str, snapshot_dirs: DataFrame) -> Dat
 
 
 # --- per-directory mtime watermark cache (idle ticks O(changed dirs)) --------
+def _guarded_mtime(path: str, now_ns: int, guard_ns: int) -> int | None:
+    """mtime_ns, or None when missing OR within the concurrency guard
+    window (a writer can land inside the same timestamp after our scan)."""
+    try:
+        ns = os.stat(path).st_mtime_ns
+    except OSError:
+        return None
+    return None if ns > now_ns - guard_ns else ns
+
+
+def _scan_account_dirs(
+    root: str, tenant: str, account: str, now_ns: int,
+    guard_ns: int = 2_000_000_000,
+) -> tuple[list, list, dict]:
+    """One account's fresh (snapshot rows, event-file rows, tracked-dir
+    mtimes) — the unit of a delta rescan; runs driver-side for small
+    deltas and inside an RDD map for wide ones (executor processes — zero
+    driver GIL time). Event files are listed for EVERY version dir here
+    (a superset of the watermark-selected set — the tick filters later),
+    so the delta path needs no second listing job."""
+    adir = os.path.join(root, f"t_{tenant}", "account", account)
+    snap_dir = os.path.join(adir, "snapshot")
+    ev_dir = os.path.join(adir, "events")
+    dirs: dict[str, int | None] = {
+        snap_dir: _guarded_mtime(snap_dir, now_ns, guard_ns),
+        ev_dir: _guarded_mtime(ev_dir, now_ns, guard_ns),
+    }
+    rows: list[tuple[str, str, int, str]] = []
+    ev_rows: list[tuple[str, str, int, str, str]] = []
+    try:
+        with os.scandir(snap_dir) as it:
+            for e in it:
+                if e.is_file() and e.name.isdigit():
+                    rows.append((tenant, account, int(e.name), e.path))
+    except (FileNotFoundError, NotADirectoryError):
+        pass
+    try:
+        with os.scandir(ev_dir) as it:
+            version_dirs = [e for e in it if e.is_dir()]
+    except (FileNotFoundError, NotADirectoryError):
+        version_dirs = []
+    for vd in version_dirs:
+        dirs[vd.path] = _guarded_mtime(vd.path, now_ns, guard_ns)
+        if not vd.name.isdigit():
+            continue
+        version = int(vd.name)
+        try:
+            with os.scandir(vd.path) as vit:
+                for f in vit:
+                    if f.is_file() and f.name:
+                        ev_rows.append(
+                            (tenant, account, version, f.name, f.path)
+                        )
+        except (FileNotFoundError, NotADirectoryError):
+            pass
+    return rows, ev_rows, dirs
+
+
+def rescan_accounts_distributed(
+    spark: SparkSession, root: str, keys: list, now_ns: int
+) -> list:
+    """[(tenant, account, snap_rows, ev_rows, dirs)] for a WIDE delta,
+    scanned on executors: a few thousand driver-side scandirs are ~0.25 s
+    of pure Python, but under 32 concurrent request threads the GIL
+    round-robin stretched that to ~8 s (serving bench, sf1). Executor
+    processes have their own interpreters — the driver only collects."""
+    sc = spark.sparkContext
+
+    def scan(key):
+        tenant, account = key
+        return (tenant, account, *_scan_account_dirs(root, tenant, account, now_ns))
+
+    return sc.parallelize(keys, _slices(len(keys))).map(scan).collect()
+
+
 class ListingCache:
     """Makes a steady-state ingest tick **O(changed directories)** instead of
     O(tree width).
@@ -168,11 +243,7 @@ class ListingCache:
     @staticmethod
     def _mtime(path: str, now_ns: int) -> int | None:
         """mtime_ns, or None when missing OR too fresh to trust."""
-        try:
-            ns = os.stat(path).st_mtime_ns
-        except OSError:
-            return None
-        return None if ns > now_ns - ListingCache.GUARD_NS else ns
+        return _guarded_mtime(path, now_ns, ListingCache.GUARD_NS)
 
     def _account_names(self, root: str, tenant: str, now_ns: int) -> list[str]:
         """Account dir names for a tenant; scandir only when the parent dir
@@ -220,34 +291,18 @@ class ListingCache:
     def rescan_account(
         self, root: str, tenant: str, account: str, now_ns: int
     ) -> list[tuple[str, str, int, str]]:
-        """Fresh snapshot-file rows for one account (SNAPSHOT_FILE_SCHEMA
-        shape), refreshing the tracked mtime set: snapshot/, events/, and
-        every events/<version>/ present."""
-        adir = os.path.join(root, f"t_{tenant}", "account", account)
-        snap_dir = os.path.join(adir, "snapshot")
-        ev_dir = os.path.join(adir, "events")
-        dirs: dict[str, int | None] = {
-            snap_dir: self._mtime(snap_dir, now_ns),
-            ev_dir: self._mtime(ev_dir, now_ns),
-        }
-        rows: list[tuple[str, str, int, str]] = []
-        try:
-            with os.scandir(snap_dir) as it:
-                for e in it:
-                    if e.is_file() and e.name.isdigit():
-                        rows.append((tenant, account, int(e.name), e.path))
-        except (FileNotFoundError, NotADirectoryError):
-            pass
-        try:
-            with os.scandir(ev_dir) as it:
-                for e in it:
-                    if e.is_dir():
-                        dirs[e.path] = self._mtime(e.path, now_ns)
-        except (FileNotFoundError, NotADirectoryError):
-            pass
+        """Fresh (snapshot rows, event-file rows) for one account —
+        SNAPSHOT_FILE_SCHEMA / EVENT_FILE_SCHEMA shapes — refreshing the
+        tracked mtime set: snapshot/, events/, every events/<version>/."""
+        rows, ev_rows, dirs = _scan_account_dirs(root, tenant, account, now_ns)
+        self.adopt(tenant, account, dirs)
+        return rows, ev_rows
+
+    def adopt(self, tenant: str, account: str, dirs: dict) -> None:
+        """Install an externally-scanned mtime set (the RDD rescan path
+        collects (rows, dirs) from executors — no driver GIL time)."""
         state = self._accounts.setdefault((tenant, account), [{}, True])
         state[0] = dirs
-        return rows
 
     def settle(self, examined, active) -> None:
         """After a SUCCESSFUL tick: examined accounts that read nothing and

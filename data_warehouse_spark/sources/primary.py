@@ -153,6 +153,42 @@ def read_account_meta_paths(spark: SparkSession, paths: list[str]) -> DataFrame:
     return parse_account_meta(spark, read_paths(spark, paths))
 
 
+def read_account_meta_rows(paths: list[str]) -> list[tuple[str, str, str, str]]:
+    """Driver-side twin of :func:`read_account_meta_paths` for BOUNDED
+    new-account batches: (tenant, name, currency, format) rows.
+
+    A tick's meta batch is one 1-line file per NEW account; spinning a
+    Spark text job over a few thousand tiny files cost ~10 s under
+    concurrent serving load (GIL-stretched driver coordination) vs ~50 ms
+    of direct reads. Semantics identical to the Spark form, pinned by
+    test_ingest: same framing bound on EVERY line (FramingException),
+    same substring parse, same path-derived tenant/account."""
+    import re
+
+    out = []
+    for p in paths:
+        with open(p, "rb") as fh:
+            text = fh.read().decode("utf-8", errors="replace")
+        lines = text.split("\n")
+        if any(len(line.encode("utf-8")) > MAX_LINE_BYTES for line in lines):
+            raise ValueError(
+                f"FramingException: account meta line exceeds "
+                f"{MAX_LINE_BYTES} bytes in {p}"
+            )
+        line1 = lines[0]
+        tenant = re.search(r"/t_([^/]+)/account/", p)
+        name = re.search(r"/account/([^/]+)/snapshot/", p)
+        out.append(
+            (
+                tenant.group(1) if tenant else "",
+                name.group(1) if name else "",
+                line1[:3],
+                line1[4 : 4 + max(len(line1) - 6, 0)],
+            )
+        )
+    return out
+
+
 def parse_account_meta(spark: SparkSession, raw: DataFrame | None) -> DataFrame:
     if raw is None:
         return _empty(spark, ACCOUNT_META_SCHEMA)
@@ -213,6 +249,59 @@ def read_account_events(spark: SparkSession, root: str) -> DataFrame:
 def read_account_event_paths(spark: SparkSession, paths: list[str]) -> DataFrame:
     """S5 over an explicit event-file path list (watermark/count-selected)."""
     return parse_account_events(spark, read_paths(spark, paths))
+
+
+def _int_cast(s: str, where: str) -> int:
+    """ANSI ``cast('int')`` twin: trimmed integral string, or raise —
+    Spark 4 sessions run ANSI mode, where a malformed cast FAILS the job
+    (CAST_INVALID_INPUT), and the twins must fail the tick identically."""
+    try:
+        return int(s.strip())
+    except (ValueError, AttributeError):
+        raise ValueError(
+            f"CAST_INVALID_INPUT: {s!r} is not an INT in {where}"
+        ) from None
+
+
+def read_account_event_rows(paths: list[str]) -> list[tuple]:
+    """Driver/executor twin of :func:`read_account_event_paths`:
+    (tenant, account, status, transaction, snapshot_version, version)
+    rows, exactly the ACCOUNT_EVENT_SCHEMA shape (None where the Spark
+    casts yield NULL). Same framing bound, same split('_', 3) semantics
+    (hint may be empty; transaction keeps embedded underscores). Exists
+    for the same reason as :func:`read_account_meta_rows`: a tick's
+    event batch is thousands of 1-line files, and both a Spark text job
+    and a GIL-starved driver loop measured seconds under serving load —
+    an RDD map over path chunks reads them executor-side."""
+    import re
+
+    out = []
+    for p in paths:
+        with open(p, "rb") as fh:
+            text = fh.read().decode("utf-8", errors="replace")
+        lines = text.split("\n")
+        if any(len(line.encode("utf-8")) > MAX_LINE_BYTES for line in lines):
+            raise ValueError(
+                f"FramingException: event line exceeds {MAX_LINE_BYTES} "
+                f"bytes in {p}"
+            )
+        fname = p.rsplit("/", 1)[-1]
+        tenant = re.search(r"/t_([^/]+)/account/", p)
+        account = re.search(r"/account/([^/]+)/events/", p)
+        snap = re.search(r"/events/(\d+)/", p)
+        status = re.match(r"^([^_]+)_", fname)
+        txn = re.match(r"^[^_]+_[^_]*_(.+)$", fname)
+        out.append(
+            (
+                tenant.group(1) if tenant else "",
+                account.group(1) if account else "",
+                _int_cast(status.group(1) if status else "", p),
+                txn.group(1) if txn else "",
+                _int_cast(snap.group(1) if snap else "", p),
+                _int_cast(lines[0], p),
+            )
+        )
+    return out
 
 
 def parse_account_events(spark: SparkSession, raw: DataFrame | None) -> DataFrame:

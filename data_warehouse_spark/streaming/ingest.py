@@ -293,10 +293,25 @@ class IngestionPipeline:
                 clock.lap("rollup_converge_check")
                 return m
             rows: list = []
-            for tenant, account in scan_keys:
-                rows.extend(
-                    self._cache.rescan_account(root, tenant, account, now_ns)
-                )
+            ev_rows: list | None = []
+            if len(scan_keys) > 256:
+                # wide delta: scan on executors (driver-side scandir loops
+                # are GIL-starved under concurrent serving load)
+                for tenant, account, acc_rows, acc_ev, dirs in (
+                    listing.rescan_accounts_distributed(
+                        spark, root, scan_keys, now_ns
+                    )
+                ):
+                    self._cache.adopt(tenant, account, dirs)
+                    rows.extend(acc_rows)
+                    ev_rows.extend(acc_ev)
+            else:
+                for tenant, account in scan_keys:
+                    acc_rows, acc_ev = self._cache.rescan_account(
+                        root, tenant, account, now_ns
+                    )
+                    rows.extend(acc_rows)
+                    ev_rows.extend(acc_ev)
             inv = spark.createDataFrame(
                 rows, listing.SNAPSHOT_FILE_SCHEMA
             ).persist()
@@ -306,7 +321,10 @@ class IngestionPipeline:
         clock.lap("listing")
         ok = False
         try:
-            result = self._tick_body(m, files_read, inv, clock, scan_keys=scan_keys)
+            result = self._tick_body(
+                m, files_read, inv, clock, scan_keys=scan_keys,
+                ev_rows=ev_rows if scan_keys is not None else None,
+            )
             ok = True
             return result
         finally:
@@ -338,6 +356,7 @@ class IngestionPipeline:
         inv: DataFrame,
         clock: _StageClock | None = None,
         scan_keys: list[tuple[str, str]] | None = None,
+        ev_rows: list | None = None,
     ) -> TickMetrics:
         spark, root, store = self.spark, self.root, self.store
         clock = clock or _StageClock(m)
@@ -346,17 +365,29 @@ class IngestionPipeline:
 
         # with a listing-cache delta, the inventory covers only the
         # changed/pending accounts — push those keys into every account-
-        # table read: the tenant predicate prunes partitions, the name
-        # in-list prunes row groups (cluster_by name), so a small delta
-        # never pays a full scan of a warehouse-wide account table
+        # table read. The tenant predicate prunes partitions (literal
+        # in-list: tenants are few); the name restriction uses a literal
+        # in-list only for SMALL deltas (row-group pruning via
+        # cluster_by name) and a broadcast semi-join above that — a
+        # thousands-literal In bloats every re-analysis of the plan
+        # (measured: sf1 merge tick 14 s → 25 s with a 2000-name in-list)
+        keys_df = None
+        if scan_keys and len(scan_keys) > 64:
+            keys_df = spark.createDataFrame(
+                sorted(set(scan_keys)), "tenant string, name string"
+            )
+
         def _keys_pushdown(df: DataFrame) -> DataFrame:
             if scan_keys is None or not scan_keys:
                 return df
             tenants = sorted({t for t, _ in scan_keys})
             df = df.filter(F.col("tenant").isin(tenants))
-            names = sorted({a for _, a in scan_keys})
-            if len(names) <= 10_000:  # bounded in-list; wide deltas scan
-                df = df.filter(F.col("name").isin(names))
+            if keys_df is None:
+                df = df.filter(
+                    F.col("name").isin(sorted({a for _, a in scan_keys}))
+                )
+            else:
+                df = df.join(F.broadcast(keys_df), ["tenant", "name"], "left_semi")
             return df
 
         # --- account discovery: meta content read ONLY for new accounts --
@@ -373,13 +404,26 @@ class IngestionPipeline:
         new_meta_paths = [r["path"] for r in new_meta]
         files_read["meta"] = len(new_meta_paths)
         if new_meta_paths:
-            meta = primary.read_account_meta_paths(spark, new_meta_paths).select(
-                "tenant",
-                "name",
-                "currency",
-                "format",
-                F.lit(0).cast("int").alias("last_syn_snapshot"),
-                F.lit(0).cast("int").alias("last_syn_event"),
+            # 1-line meta reads via read_account_meta_rows (the semantics
+            # twin of the Spark text parse, framing included) — driver-side
+            # for small batches, executor-side RDD map for wide ones: both
+            # a Spark text JOB over thousands of tiny files (~10 s) and a
+            # driver python loop (~7 s GIL-starved) measured far slower
+            # under concurrent serving load (serving_bench --stacks)
+            if len(new_meta_paths) <= 256:
+                meta_rows = primary.read_account_meta_rows(new_meta_paths)
+            else:
+                chunks = [new_meta_paths[i::32] for i in range(32)]
+                meta_rows = [
+                    r
+                    for rs in spark.sparkContext.parallelize(chunks, len(chunks))
+                    .map(primary.read_account_meta_rows)
+                    .collect()
+                    for r in rs
+                ]
+            meta = spark.createDataFrame(
+                [(t, n, c, f, 0, 0) for t, n, c, f in meta_rows],
+                ACCOUNT_SCHEMA,
             )
             m.accounts_discovered = store.merge_insert_missing(
                 "account", meta, PRIMARY_KEYS["account"]
@@ -406,9 +450,25 @@ class IngestionPipeline:
         # --- event listing over selected dirs + the reference count-skip
         #     (read a boundary dir only when it holds more files than the
         #     event watermark; newer snapshots read fully) ----------------
-        ev_list = listing.event_files(
-            spark, root, selected_snaps.select("tenant", "account", "version")
-        )
+        if ev_rows is not None:
+            # delta mode: the rescan already listed every version dir of
+            # the changed accounts (executor-side) — restrict that superset
+            # to the watermark-selected snapshots instead of paying a
+            # second RDD listing job
+            ev_all = spark.createDataFrame(ev_rows, listing.EVENT_FILE_SCHEMA)
+            ev_list = ev_all.join(
+                selected_snaps.select(
+                    "tenant",
+                    "account",
+                    F.col("version").alias("snapshot_version"),
+                ),
+                ["tenant", "account", "snapshot_version"],
+                "left_semi",
+            )
+        else:
+            ev_list = listing.event_files(
+                spark, root, selected_snaps.select("tenant", "account", "version")
+            )
         wcnt = Window.partitionBy("tenant", "account", "snapshot_version")
         qual_files = (
             ev_list.join(acc_marks, ["tenant", "account"])
@@ -426,7 +486,26 @@ class IngestionPipeline:
         if not ev_paths:
             return m  # idle tick: no content reads, no writes
 
-        events = primary.read_account_event_paths(spark, ev_paths)
+        # tiny-file event reads: same tiered strategy as the meta batch —
+        # driver loop when small, executor RDD map when wide (a Spark text
+        # job over thousands of 1-line files and a GIL-starved driver loop
+        # both measured ~5 s under concurrent serving load)
+        ev_schema = T.StructType(
+            [T.StructField(f.name, f.dataType, True)
+             for f in primary.ACCOUNT_EVENT_SCHEMA.fields]
+        )
+        if len(ev_paths) <= 256:
+            ev_rows = primary.read_account_event_rows(ev_paths)
+        else:
+            ev_chunks = [ev_paths[i::32] for i in range(32)]
+            ev_rows = [
+                r
+                for rs in spark.sparkContext.parallelize(ev_chunks, len(ev_chunks))
+                .map(primary.read_account_event_rows)
+                .collect()
+                for r in rs
+            ]
+        events = spark.createDataFrame(ev_rows, ev_schema)
         snap_keys = selected_snaps.select(
             "tenant",
             "account",

@@ -32,6 +32,7 @@ import json
 import os
 import random
 import statistics
+import sys
 import tempfile
 import threading
 import time
@@ -105,10 +106,10 @@ def _load_warehouse(spark, store, sf_dir: str) -> dict[str, int]:
     return rows
 
 
-def _write_primary_tree(root: str, n_accounts: int) -> None:
+def _write_primary_tree(root: str, n_accounts: int, tenant: str = "LOADGEN") -> None:
     """A primary-storage tree the ingestion loop discovers DURING the bench
     (fresh tenants/accounts/transfers — every tick does real merge work)."""
-    t = "t_LOADGEN"
+    t = f"t_{tenant}"
     for i in range(n_accounts):
         a = f"LOAD{i:05d}"
         d = os.path.join(root, t, "account", a)
@@ -121,7 +122,7 @@ def _write_primary_tree(root: str, n_accounts: int) -> None:
         trn = f"TLOAD{i:05d}"
         with open(os.path.join(root, t, "transaction", trn), "w") as fh:
             fh.write(
-                f"committed\nTX{i} LOADGEN LOAD{i:05d} LOADGEN "
+                f"committed\nTX{i} {tenant} LOAD{i:05d} {tenant} "
                 f"LOAD{i + 1:05d} 2020-01-01T00:00:00Z 1 CZK\n"
             )
         for a, v in ((f"LOAD{i:05d}", "1_1_"), (f"LOAD{i + 1:05d}", "1_-1_")):
@@ -170,6 +171,13 @@ def main() -> int:
         "tier (api/kv_tier.py row-group-pruned point reads) carries the "
         "dimension serving — the measured answer for tables past the "
         "snapshot's ~2M-row memory bound",
+    )
+    ap.add_argument(
+        "--stacks",
+        action="store_true",
+        help="sample every thread's Python stack at 4 Hz during the client "
+        "window and print the hottest frames to stderr — the attribution "
+        "tool for request latency under the merge tick",
     )
     ap.add_argument(
         "--no-response-cache",
@@ -235,14 +243,27 @@ def main() -> int:
         _post(args.port, shape(tenants[0]))
 
     ticks: list[float] = []
+    tick_stages: list[dict] = []
+    discovered = {"transfers": 0}
     orig_run_once = svc.pipeline.run_once
 
     def timed_run_once():
         s = time.perf_counter()
+        m = None
         try:
-            return orig_run_once()
+            m = orig_run_once()
+            return m
         finally:
             ticks.append(time.perf_counter() - s)
+            if m is not None:
+                discovered["transfers"] += m.transfers_discovered
+                tick_stages.append(
+                    {
+                        "sec": round(time.perf_counter() - s, 2),
+                        "stage_sec": m.extra.get("stage_sec", {}),
+                        "files_read": m.extra.get("files_read", {}),
+                    }
+                )
 
     svc.pipeline.run_once = timed_run_once
     # the ingestion loop runs from service start (the reference's
@@ -254,14 +275,60 @@ def main() -> int:
     # Two idle ticks absorb it; the MERGE tick that lands mid-run below
     # still does the full 1000-transfer discovery at steady state.
     svc.start_ingestion()
+    # explicit warm-up canary: a 2-account/1-transfer fixture consumed by a
+    # real merge tick BEFORE the client window. r8's bench absorbed the
+    # one-time JVM/codegen warm-up of the merge path in its idle ticks
+    # (each re-ran the full listing plans); the ListingCache's idle fast
+    # path runs zero Spark jobs, so without a canary the first merge tick
+    # would pay ~all codegen compile inside the client window — deployment
+    # cost billed to requests. The canary is the deployment step made
+    # explicit (same category as the rollup bootstrap above).
+    _write_primary_tree(primary, 2, tenant="WARMUP")
+    # wait on the pipeline's OWN discovery counter — a poll that reads the
+    # store would itself be a Spark job every 500 ms (file-listing the
+    # month-partitioned fact ~2100 dirs each time), contending with the
+    # very tick it waits for
     warm_deadline = time.time() + 300
-    while len(ticks) < 2 and time.time() < warm_deadline:
+    while discovered["transfers"] < 1 and time.time() < warm_deadline:
         time.sleep(0.5)
+    # re-snapshot the baseline AFTER the canary so ingested-counts below
+    # measure only the client-window wave
+    rows = {
+        name: svc.store.read(name).count()
+        for name in rows
+    }
     warm_ticks = list(ticks)
 
     # primary tree lands NOW: ingestion discovers it while clients run
     _write_primary_tree(primary, args.accounts)
     tree_landed = time.perf_counter()
+
+    # --stacks: sample every thread's Python stack during the client
+    # window (sys._current_frames, 4 Hz) and report the hottest frames —
+    # the attribution tool for "requests are slow under the merge tick"
+    stack_counts: dict = {}
+    stop_sampling = threading.Event()
+    if args.stacks:
+        import collections as _c
+        import sys as _sys
+
+        stack_counts = _c.Counter()
+
+        def _sampler():
+            while not stop_sampling.is_set():
+                for tid, frame in _sys._current_frames().items():
+                    parts = []
+                    f = frame
+                    while f is not None and len(parts) < 3:
+                        parts.append(
+                            f"{f.f_code.co_filename.rsplit('/', 1)[-1]}:"
+                            f"{f.f_code.co_name}"
+                        )
+                        f = f.f_back
+                    stack_counts[" < ".join(parts)] += 1
+                time.sleep(0.25)
+
+        threading.Thread(target=_sampler, daemon=True).start()
 
     lat: dict[str, list[float]] = {k: [] for k in SHAPES}
     failures: list[tuple[str, int]] = []
@@ -300,12 +367,30 @@ def main() -> int:
     expected = args.accounts // 2
     fixture_to_queryable = None
     wait_deadline = time.time() + 600
+    base_discovered = discovered["transfers"]
     while time.time() < wait_deadline:
-        ingested = svc.store.read("transfer").count() - rows["transfer"]
-        if ingested >= expected:
-            fixture_to_queryable = round(time.perf_counter() - tree_landed, 2)
-            break
-        time.sleep(1.0)
+        # cheap wait on the pipeline's own counter (a store-read poll is a
+        # Spark job per 1 s, contending with the merge it waits for) —
+        # then confirm end-to-end with ONE real read: queryable means a
+        # QUERY sees the rows, so the confirming count is inside the clock
+        if discovered["transfers"] - base_discovered >= expected:
+            ingested = svc.store.read("transfer").count() - rows["transfer"]
+            if ingested >= expected:
+                fixture_to_queryable = round(
+                    time.perf_counter() - tree_landed, 2
+                )
+                break
+        time.sleep(0.5)
+
+    stop_sampling.set()
+    if stack_counts:
+        import sys as _sys
+
+        print("== hottest sampled frames ==", file=_sys.stderr)
+        for frame, n in sorted(
+            stack_counts.items(), key=lambda kv: -kv[1]
+        )[:25]:
+            print(f"{n:6d}  {frame}", file=_sys.stderr)
 
     svc.stop()
     server.shutdown()
@@ -349,11 +434,15 @@ def main() -> int:
             if len(ticks) > len(warm_ticks) else None,
             "transfers_ingested": ingested,
             "fixture_to_queryable_sec": fixture_to_queryable,
+            "tick_stages": [
+                t for t in tick_stages if any(t["files_read"].values())
+            ][:6],
             "pools": "FAIR scheduler; serving vs ingest pools (session.py)",
             "lifecycle": "loop started at service boot (reference cadence); "
-            "idle ticks absorb the one-time post-load JVM warm-up "
-            "(TICK_ATTRIBUTION), the merge tick lands inside the client "
-            "window",
+            "an explicit WARMUP canary fixture pays the one-time merge-path "
+            "codegen before the client window (deployment step, like the "
+            "rollup bootstrap); the merge tick that lands mid-run is "
+            "steady-state",
         },
         # which path served: per-kind snapshot hit/reload/fallback counts +
         # transfer page-cache hits (api/serving_cache.py counters)

@@ -451,3 +451,66 @@ def test_listing_cache_matches_uncached_pipeline(spark, tmp_path):
         a = sorted(map(tuple, stores["cached"].read(table).collect()))
         b = sorted(map(tuple, stores["uncached"].read(table).collect()))
         assert a == b, table
+
+
+def test_driver_side_file_readers_match_spark_parsers(spark, tmp_path):
+    """read_account_meta_rows / read_account_event_rows are the driver/
+    executor twins of the Spark text parses (S4/S5) — row-identical on
+    tricky shapes: empty hint segment, embedded underscores, non-integer
+    fields (cast → NULL), and the 256-byte framing bound raising."""
+    import pytest as _pytest
+
+    from data_warehouse_spark.sources import primary
+
+    root = str(tmp_path)
+    metas = []
+    for tenant, acc, content in [
+        ("T1", "A1", "CZK FORMAT_X\n"),
+        ("T1", "A_2", "EUR F\n"),
+        ("T2", "B", "USD LONGER_FORMAT_NAME\nsecond line\n"),
+    ]:
+        p = os.path.join(root, f"t_{tenant}", "account", acc, "snapshot", "0000000000")
+        write(p, content)
+        metas.append(p)
+    got = primary.read_account_meta_rows(metas)
+    want = [
+        (r["tenant"], r["name"], r["currency"], r["format"])
+        for r in primary.read_account_meta_paths(spark, metas).collect()
+    ]
+    assert sorted(got) == sorted(want)
+
+    events = []
+    for tenant, acc, ver, fname, content in [
+        ("T1", "A1", 0, "1_0.5_TRN", "1\n"),
+        ("T1", "A1", 0, "2__TRN_WITH_UNDERSCORES", "2\n"),
+        ("T2", "B", 3, "0_-1.25_X", "7\n"),
+    ]:
+        p = os.path.join(
+            root, f"t_{tenant}", "account", acc, "events", f"{ver:010d}", fname
+        )
+        write(p, content)
+        events.append(p)
+    got_ev = primary.read_account_event_rows(events)
+    want_ev = [
+        (
+            r["tenant"], r["account"], r["status"], r["transaction"],
+            r["snapshot_version"], r["version"],
+        )
+        for r in primary.read_account_event_paths(spark, events).collect()
+    ]
+    assert sorted(got_ev, key=str) == sorted(want_ev, key=str)
+
+    # framing: both paths fail a >256-byte line, parsed or not
+    big = os.path.join(root, "t_T9", "account", "C", "snapshot", "0000000000")
+    write(big, "CZK F\n" + "x" * 300 + "\n")
+    with _pytest.raises(Exception, match="FramingException"):
+        primary.read_account_meta_rows([big])
+
+    # ANSI cast twin: a malformed version line fails BOTH paths (Spark 4
+    # ANSI cast raises CAST_INVALID_INPUT; the driver twin mirrors it)
+    bad = os.path.join(root, "t_T9", "account", "C", "events", "0000000003", "1_h_TX")
+    write(bad, "nope\n")
+    with _pytest.raises(Exception, match="CAST_INVALID_INPUT"):
+        primary.read_account_event_rows([bad])
+    with _pytest.raises(Exception, match="CAST_INVALID_INPUT"):
+        primary.read_account_event_paths(spark, [bad]).collect()

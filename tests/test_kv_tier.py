@@ -83,23 +83,40 @@ def test_kv_point_lookups_and_missing_keys(spark, tmp_path):
     assert ("CACHE_ACC", "ZZ") not in balances
 
 
-def test_kv_balances_refuse_stale_rollup(spark, tmp_path):
-    """Same witness as the snapshot: a change-table merge the maintenance
-    has not folded flips the freshness token and the KV tier refuses —
-    stale-and-served is impossible on this path too."""
+def test_kv_balances_fresh_across_maintenance_gap(spark, tmp_path):
+    """A change-table merge the maintenance has not folded used to force
+    the Spark fallback; the stale-window path now serves the FRESH value
+    (maintained rollup + exact Arrow delta over the appended files) with
+    zero Spark jobs — stale-and-served stays impossible because the
+    served value equals the direct SUM, and the window token pins it."""
     store = _ticked(spark, tmp_path)
     cache = _kv_only_cache(store)
-    assert cache.kv_balances([("CACHE_TRN", "CREDIT")]) is not None
+    assert cache.kv_balances([("CACHE_TRN", "CREDIT")]) == {
+        ("CACHE_TRN", "CREDIT"): decimal.Decimal("1.00")
+    }
     batch = spark.createDataFrame(
         [("CACHE_TRN", "CREDIT", datetime.datetime(2020, 1, 2),
           decimal.Decimal("2"), "CACHE_TRN", "TRN9", "t1", "c")],
         ingest_abc_schema(),
     )
     store.merge_insert_missing(balance_view.ABC_TABLE, batch, ABC_PRIMARY_KEYS)
-    assert cache.kv_balances([("CACHE_TRN", "CREDIT")]) is None
+    # rollup is stale, yet the tier answers the FRESH value via the window
+    assert balance_view.freshness_token(store) is None
+    win = balance_view.stale_window(store)
+    assert win is not None and win[0].startswith("window:")
+    mid = cache.kv_balances([("CACHE_TRN", "CREDIT")])
+    assert mid == {("CACHE_TRN", "CREDIT"): decimal.Decimal("3.00")}
+    assert cache.counters["kv_balance_window"] >= 1
+    # a pin from the fresh epoch refuses (torn-read guard)
+    assert cache.kv_balances([("CACHE_TRN", "CREDIT")], pinned="stale-pin") is None
     balance_view.maintain(store)
     fresh = cache.kv_balances([("CACHE_TRN", "CREDIT")])
     assert fresh[("CACHE_TRN", "CREDIT")] == decimal.Decimal("3.00")
+    # after an overwrite (version swap — not an append) the window refuses
+    store.overwrite(
+        balance_view.ABC_TABLE, store.read(balance_view.ABC_TABLE)
+    )
+    assert balance_view.stale_window(store) is None
 
 
 def test_kv_account_mutation_visible_after_fingerprint_move(spark, tmp_path):
@@ -216,3 +233,90 @@ def test_kv_lookup_same_name_two_tenants_flat_layout(spark, tmp_path):
     assert got is not None
     assert got[("t1", "SHARED")] == ("CZK", "F1")
     assert got[("t2", "SHARED")] == ("EUR", "F2")
+
+
+def test_kv_transfers_page_equals_spark_page(spark, tmp_path):
+    """The Arrow fact-page tier must reproduce wh.transfers row-for-row on
+    every supported shape (tenant page, currency/status eq, offset) across
+    a MULTI-FILE month-partitioned layout — files stream in cluster_by
+    order and the page is the bounded union's sort, so equality here pins
+    the 'first offset+limit rows per file suffice' argument."""
+    import datetime as dt
+    import decimal as dec
+    import random
+
+    from data_warehouse_spark.api.serving_cache import ServingCache
+    from data_warehouse_spark.operators import queries as wh
+    from data_warehouse_spark.streaming.ingest import warehouse_store
+
+    store = warehouse_store(spark, str(tmp_path / "wh"))
+    rng = random.Random(5)
+    rows = []
+    for i in range(600):
+        t = f"T{i % 3}"
+        rows.append(
+            (
+                t,
+                f"TRN{rng.randrange(400):04d}",
+                f"TRX{i:04d}",
+                rng.choice([0, 1, 2]),
+                t,
+                f"A{i % 7}",
+                t,
+                f"B{i % 5}",
+                dec.Decimal(str(rng.randrange(1, 9999))) / 100,
+                rng.choice(["CZK", "EUR"]),
+                dt.datetime(2020, 1 + (i % 12), 1 + (i % 28)),
+            )
+        )
+    df = spark.createDataFrame(rows, store.schemas["transfer"])
+    store.overwrite("transfer", df)
+    cache = ServingCache(store)
+    tdf = store.read("transfer", keep_derived=True)
+
+    def spark_page(**kw):
+        return [
+            (
+                r["transaction"], r["transfer"], r["status"], r["amount"],
+                r["currency"], r["value_date"],
+                r["credit_tenant"], r["credit_name"],
+                r["debit_tenant"], r["debit_name"],
+            )
+            for r in wh.transfers(tdf, **kw).collect()
+        ]
+
+    def kv_page(**kw):
+        got = cache.kv_transfers_page(
+            kw["tenant"], currency=kw.get("currency"),
+            status=kw.get("status"), limit=kw.get("limit"),
+            offset=kw.get("offset", 0),
+        )
+        assert got is not None
+        return [
+            (
+                r["transaction"], r["transfer"], r["status"], r["amount"],
+                r["currency"], r["value_date"],
+                r["credit_tenant"], r["credit_name"],
+                r["debit_tenant"], r["debit_name"],
+            )
+            for r in got
+        ]
+
+    shapes = [
+        {"tenant": "T0", "limit": 50},
+        {"tenant": "T1", "limit": 25, "offset": 10},
+        {"tenant": "T2", "limit": 1000},
+        {"tenant": "T0", "currency": "CZK", "limit": 40},
+        {"tenant": "T1", "status": 1, "limit": 30, "offset": 5},
+        {"tenant": "T2", "currency": "EUR", "status": 2, "limit": 20},
+        {"tenant": "MISSING", "limit": 10},
+    ]
+    for kw in shapes:
+        assert kv_page(**kw) == spark_page(**kw), kw
+    # range shapes are declined (Spark path owns COMPAT semantics)
+    assert (
+        cache.kv_transfer.sorted_page(
+            "transfer", None, "T0", ["transaction"], ["transfer"], limit=5
+        )
+        is None
+    )

@@ -121,7 +121,7 @@ def test_rescan_rows_match_full_listing_shape(tmp_path):
     _mk(root, "A", "acc1", snaps=(0, 3), events={0: ["1_x_T"], 3: ["1_y_T2"]})
     _age(root)
     cache = ListingCache()
-    rows = cache.rescan_account(root, "A", "acc1", time.time_ns())
+    rows, _ev = cache.rescan_account(root, "A", "acc1", time.time_ns())
     assert sorted((t, a, v) for t, a, v, _p in rows) == [
         ("A", "acc1", 0),
         ("A", "acc1", 3),
