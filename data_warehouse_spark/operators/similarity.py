@@ -937,6 +937,62 @@ def recall_vs_exact(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _max_group_rows() -> int:
+    """Per-pandas-group row cap for the pairwise-scoring passes — the
+    memory bound under cell/bucket skew (env SPARK_GRAFT_MAX_CELL_ROWS).
+    100k rows × 64 float64 dims ≈ 51 MB of vectors per task plus the
+    blocked score matrices — comfortably inside an executor slot."""
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_MAX_CELL_ROWS", "100000"))
+
+
+def _salted_pair_tasks(
+    df: DataFrame, group_col: str, id_col: str, cap: int,
+    total_rows: int | None = None,
+):
+    """Exact cross-split of oversized groups for pairwise scoring.
+
+    A group with n ≤ cap rows stays one task. A skewed group splits into
+    k = ⌈n/cap⌉ hash salts, and every unordered salt pair (ti ≤ tj)
+    becomes a task holding the union of the two salts' rows — each row
+    replicated into its k tasks. Every within-group PAIR lands in exactly
+    one task (the sorted pair of its endpoints' salts), so scoring tasks
+    independently and unioning is pair-for-pair identical to scoring the
+    whole group at once — same threshold, same IEEE cosine — while no
+    task ever holds more than ~2·cap rows (the skew memory bound the r8
+    verdict asked to pin).
+
+    Returns df with ``_s`` (row salt), ``_ti``/``_tj`` (task id) — group
+    the result by (group_col, _ti, _tj); scoring masks pairs to
+    (min(sa,sb), max(sa,sb)) == (ti, tj) so replicas never double-count.
+
+    ``total_rows`` (when the caller already counted for auto-geometry)
+    short-circuits the machinery: a corpus of ≤ cap rows cannot hold an
+    oversized group, so the counts join + explode (a fixed ~0.4 s at
+    bench scale) is skipped and every row is its own single task."""
+    if total_rows is not None and total_rows <= cap:
+        return (
+            df.withColumn("_s", F.lit(0))
+            .withColumn("_ti", F.lit(0))
+            .withColumn("_tj", F.lit(0))
+        )
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    df = df.join(F.broadcast(counts), group_col)
+    k = F.greatest(F.lit(1), F.ceil(F.col("_n") / F.lit(cap))).cast("int")
+    df = df.withColumn("_k", k).withColumn(
+        "_s", F.pmod(F.xxhash64(F.col(id_col)), F.col("_k")).cast("int")
+    )
+    tasks = df.withColumn(
+        "_t", F.explode(F.sequence(F.lit(0), F.col("_k") - 1))
+    )
+    return (
+        tasks.withColumn("_ti", F.least("_s", "_t"))
+        .withColumn("_tj", F.greatest("_s", "_t"))
+        .drop("_t", "_k", "_n")
+    )
+
+
 def embedding_near_duplicates(
     embeddings: DataFrame,
     threshold: float = 0.95,
@@ -964,8 +1020,16 @@ def embedding_near_duplicates(
     import numpy as np
     from pyspark.sql.types import LongType, StructField, StructType
 
-    planes = _resolve_planes(embeddings, planes)
-    bucketed = bucketize(embeddings, id_col, vec_col, planes)
+    n_total = embeddings.count()  # drives auto-geometry AND the skew cap
+    if planes is None:
+        planes = hyperplanes(n=auto_n_planes(n_total))
+    bucketed = _salted_pair_tasks(
+        bucketize(embeddings, id_col, vec_col, planes),
+        "bucket",
+        "vec_id",
+        _max_group_rows(),
+        total_rows=n_total,
+    )
     threshold_f = float(threshold)
     out_schema = StructType(
         [StructField("id_a", LongType()), StructField("id_b", LongType())]
@@ -979,6 +1043,9 @@ def embedding_near_duplicates(
             return pd.DataFrame({"id_a": [], "id_b": []}, dtype="int64")
         order = np.argsort(ids, kind="stable")
         ids = ids[order]
+        salts = pdf["_s"].to_numpy(dtype=np.int64)[order]
+        ti = int(pdf["_ti"].iloc[0])
+        tj = int(pdf["_tj"].iloc[0])
         a = np.asarray(
             [np.asarray(v, dtype=np.float64) for v in pdf["vec"].iloc[order]],
             dtype=np.float64,
@@ -1006,6 +1073,12 @@ def embedding_near_duplicates(
             hit = (cos >= threshold_f) & (
                 np.arange(n)[None, :] > np.arange(s, e)[:, None]
             )
+            # a pair belongs to exactly ONE task — the sorted pair of its
+            # endpoints' salts; masking here keeps replicated rows from
+            # double-counting pairs across the group's salt tasks
+            sp = np.minimum(salts[s:e, None], salts[None, :])
+            sq = np.maximum(salts[s:e, None], salts[None, :])
+            hit &= (sp == ti) & (sq == tj)
             r, c = np.nonzero(hit)
             ia.append(ids[s:e][r])
             ib.append(ids[c])
@@ -1020,8 +1093,8 @@ def embedding_near_duplicates(
     # the O(|bucket|²) scoring (r7 lesson, reinstated after the r8 rewrite
     # dropped it)
     return (
-        bucketed.repartition(min(2 ** len(planes), 256), "bucket")
-        .groupBy("bucket")
+        bucketed.repartition(min(2 ** len(planes), 256), "bucket", "_ti", "_tj")
+        .groupBy("bucket", "_ti", "_tj")
         .applyInPandas(bucket_pairs, schema=out_schema)
         .orderBy("id_a", "id_b")
     )
@@ -1067,7 +1140,8 @@ def semantic_dedup(
     import numpy as np
     from pyspark.sql.types import LongType, StructField, StructType
 
-    n_cells = _resolve_n_cells(embeddings, n_cells)
+    n_total = embeddings.count()  # drives auto-geometry AND the skew cap
+    n_cells = int(n_cells) if n_cells is not None else auto_n_cells(n_total)
     _centroids, _cdf, corpus = ivf_index(
         embeddings, n_cells, id_col, vec_col, cache_key=index_cache_key,
         train_iters=train_iters,
@@ -1098,6 +1172,9 @@ def semantic_dedup(
             return pd.DataFrame({"dup_id": [], "keep_id": []}, dtype="int64")
         order = np.argsort(ids, kind="stable")
         ids = ids[order]
+        salts = pdf["_s"].to_numpy(dtype=np.int64)[order]
+        ti = int(pdf["_ti"].iloc[0])
+        tj = int(pdf["_tj"].iloc[0])
         a = np.asarray(
             [np.asarray(v, dtype=np.float64) for v in pdf["n_vec"].iloc[order]],
             dtype=np.float64,
@@ -1118,11 +1195,16 @@ def semantic_dedup(
             cos = np.where(np.isnan(cos), np.inf, cos)
             # keep candidates are the SMALLER ids: rows are id-sorted, so
             # for dup j the candidates are columns strictly left of j's
-            # global position; emit per-dup the FIRST (= min-id) match —
-            # the cell is the dup's only cell, so this IS the answer
+            # global position; emit per-dup the FIRST (= min-id) match
+            # within THIS salt task — the final min over tasks is taken
+            # by the groupBy(dup_id).min(keep_id) downstream, so the
+            # salt split changes memory shape, never the answer
             hit = (cos >= threshold_f) & (
                 np.arange(n)[None, :] < np.arange(s, e)[:, None]
             )
+            sp = np.minimum(salts[s:e, None], salts[None, :])
+            sq = np.maximum(salts[s:e, None], salts[None, :])
+            hit &= (sp == ti) & (sq == tj)
             anyrow = hit.any(axis=1)
             first = np.argmax(hit, axis=1)
             dup.append(ids[s:e][anyrow])
@@ -1132,12 +1214,20 @@ def semantic_dedup(
              "keep_id": np.concatenate(keep) if keep else np.asarray([], dtype=np.int64)}
         )
 
-    # explicit repartition on the cell id: AQE coalesces by bytes while
-    # per-cell work is quadratic — keep cells spread across tasks
+    # explicit repartition on the task key: AQE coalesces by bytes while
+    # per-task work is quadratic — keep tasks spread across cores
+    tasks = _salted_pair_tasks(
+        corpus, "cell", "neighbor_id", _max_group_rows(), total_rows=n_total
+    )
     return (
-        corpus.repartition(min(n_cells, 1024), "cell")
-        .groupBy("cell")
+        tasks.repartition(min(n_cells, 1024), "cell", "_ti", "_tj")
+        .groupBy("cell", "_ti", "_tj")
         .applyInPandas(cell_pairs, schema=out_schema)
+        # a dup present in several salt tasks reports one min-id keep per
+        # task; the global answer is the min over them — identical to the
+        # unsplit per-cell scan
+        .groupBy("dup_id")
+        .agg(F.min("keep_id").alias("keep_id"))
         .orderBy("dup_id")
     )
 

@@ -359,6 +359,116 @@ def read_transaction_paths(spark: SparkSession, paths: list[str]) -> DataFrame:
     return parse_transactions(spark, read_paths(spark, paths))
 
 
+class TwinUnsupported(Exception):
+    """The driver-side transaction twin met an input shape it cannot
+    mirror bit-for-bit (an exotic timestamp form Spark's to_timestamp
+    accepts) — the caller must use the Spark parse for this batch."""
+
+
+_AMOUNT_RE = None
+_TS_RE = None
+
+
+def _parse_ts_twin(s: str):
+    """``F.to_timestamp`` twin for the ISO-8601 shapes the primary format
+    uses (UTC session): 'YYYY-MM-DD[T ]HH:MM:SS[.f][Z|±HH[:MM]]' → naive
+    UTC datetime, None for unparseable (to_timestamp's NULL), and
+    :class:`TwinUnsupported` for anything fromisoformat can't take but
+    Spark might (keeps the twin honest — fall back, never guess)."""
+    import datetime as _dt
+    import re
+
+    global _TS_RE
+    if _TS_RE is None:
+        _TS_RE = re.compile(
+            r"^\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}"
+            r"(\.\d{1,6})?(Z|[+-]\d{2}(:?\d{2})?)?$"
+        )
+    s = s.strip()
+    if not _TS_RE.match(s):
+        raise TwinUnsupported(s)
+    try:
+        dt = _dt.datetime.fromisoformat(s.replace("Z", "+00:00"))
+    except ValueError:
+        return None
+    if dt.tzinfo is not None:
+        dt = dt.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    return dt
+
+
+def read_transaction_rows(paths: list[str]) -> list[tuple]:
+    """Driver/executor twin of :func:`read_transaction_paths` (S6:
+    header + transfer lines) — TRANSFER_ROW_SCHEMA-shaped tuples.
+
+    Same file-wide strictness as the Spark form: the frame bound on every
+    line, the ≥8-token + numeric-amount + parseable-timestamp line gate
+    (a malformed line FAILS the read — a silently NULL amount would
+    vanish from SUM balances), HALF_UP decimal(28,10) quantization, and
+    header → status mapping. Raises :class:`TwinUnsupported` on timestamp
+    shapes it cannot mirror exactly; the caller then uses the Spark path
+    for the batch. Exists because a tick's transaction batch is hundreds
+    of tiny files — the tiny-file tier of the meta/event readers."""
+    import decimal
+    import re
+
+    global _AMOUNT_RE
+    if _AMOUNT_RE is None:
+        _AMOUNT_RE = re.compile(r"^[+-]?[0-9]+(\.[0-9]+)?([eE][+-]?[0-9]+)?$")
+    q10 = decimal.Decimal(1).scaleb(-10)
+    out: list[tuple] = []
+    for p in paths:
+        with open(p, "rb") as fh:
+            text = fh.read().decode("utf-8", errors="replace")
+        lines = text.split("\n")
+        if any(len(line.encode("utf-8")) > MAX_LINE_BYTES for line in lines):
+            raise ValueError(
+                f"FramingException: transaction line exceeds "
+                f"{MAX_LINE_BYTES} bytes in {p}"
+            )
+        header = lines[0].strip()
+        status = 1 if header == "committed" else 2 if header == "rollbacked" else 0
+        tenant_m = re.search(r"/t_([^/]+)/transaction/", p)
+        txn_m = re.search(r"/transaction/([^/]+)$", p)
+        tenant = tenant_m.group(1) if tenant_m else ""
+        txn = txn_m.group(1) if txn_m else ""
+        for line in lines[1:]:
+            t = line.strip()
+            if not t:
+                continue
+            parts = t.split(" ")
+            ok = (
+                len(parts) >= 8
+                and _AMOUNT_RE.match(parts[6])
+                and _parse_ts_twin(parts[5]) is not None
+            )
+            if not ok:
+                raise ValueError(f"malformed transfer line in {p}: {t}")
+            amount = decimal.Decimal(parts[6]).quantize(
+                q10, rounding=decimal.ROUND_HALF_UP
+            )
+            if amount.adjusted() >= 18:
+                raise ValueError(
+                    f"NUMERIC_VALUE_OUT_OF_RANGE: {parts[6]} overflows "
+                    f"DECIMAL(28,10) in {p}"
+                )
+            out.append(
+                (
+                    tenant,
+                    txn,
+                    status,
+                    parts[0],
+                    parts[1],
+                    parts[2],
+                    parts[3],
+                    parts[4],
+                    _parse_ts_twin(parts[5]),
+                    amount,
+                    parts[7],
+                )
+            )
+    return out
+
+
 def parse_transactions(spark: SparkSession, raw: DataFrame | None) -> DataFrame:
     if raw is None:
         return _empty(spark, TRANSFER_ROW_SCHEMA)

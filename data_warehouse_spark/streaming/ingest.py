@@ -253,6 +253,7 @@ class IngestionPipeline:
         # cadence target at warehouse width). False = re-walk every tick.
         self._cache = listing.ListingCache() if listing_cache else None
         self._merged_tenants: set[str] = set()
+        self._kv = None  # lazy KVTier for driver-side watermark lookups
 
     # ------------------------------------------------------------------
     def run_once(self) -> TickMetrics:
@@ -312,6 +313,28 @@ class IngestionPipeline:
                     )
                     rows.extend(acc_rows)
                     ev_rows.extend(acc_ev)
+            # driver-side watermark path: marks via KV Arrow reads, D4/D5
+            # as python set logic — removes ~6 contended Spark actions
+            # from the merge tick; falls back to the Spark joins when the
+            # KV tier can't serve (foreign layout, mid-swap)
+            marks = self._kv_marks(sorted(set(scan_keys)))
+            if marks is not None:
+                clock.lap("listing")
+                ok = False
+                try:
+                    result = self._tick_body_delta(
+                        m, files_read, rows, ev_rows, marks, clock, scan_keys
+                    )
+                    ok = True
+                    return result
+                finally:
+                    if ok:
+                        self._cache.settle(
+                            scan_keys, m.extra.pop("_active_keys", ())
+                        )
+                    m.extra.pop("_active_keys", None)
+                    balance_view.maintain(store)
+                    clock.lap("rollup_converge_check")
             inv = spark.createDataFrame(
                 rows, listing.SNAPSHOT_FILE_SCHEMA
             ).persist()
@@ -348,6 +371,296 @@ class IngestionPipeline:
             # table) or a crash between merge and maintenance
             balance_view.maintain(store)
             clock.lap("rollup_converge_check")
+
+    # ------------------------------------------------------------------
+    def _kv_marks(self, keys: list[tuple[str, str]]) -> dict | None:
+        """Account watermarks for the delta keys via the KV tier's
+        row-group-pruned Arrow reads — no Spark job. {} when the account
+        table does not exist yet (nothing is known); None when the tier
+        cannot serve (caller falls back to the Spark joins)."""
+        try:
+            from ..api.kv_tier import KVTier
+
+            if self._kv is None:
+                self._kv = KVTier(self.store)
+            fp = balance_view.table_fingerprint(self.store, "account")
+            if fp is None:
+                return {}
+            return self._kv.lookup(
+                "account",
+                fp,
+                keys,
+                ["currency", "format", "last_syn_snapshot", "last_syn_event"],
+            )
+        except Exception:
+            return None
+
+    def _read_meta_rows_tiered(self, paths: list[str]) -> list:
+        """1-line meta reads via the read_account_meta_rows twin — driver
+        loop for small batches, executor RDD map for wide ones (a Spark
+        text JOB over thousands of tiny files measured ~10 s under
+        concurrent serving load; a driver loop ~7 s GIL-starved)."""
+        if len(paths) <= 256:
+            return primary.read_account_meta_rows(paths)
+        chunks = [paths[i::32] for i in range(32)]
+        return [
+            r
+            for rs in self.spark.sparkContext.parallelize(chunks, len(chunks))
+            .map(primary.read_account_meta_rows)
+            .collect()
+            for r in rs
+        ]
+
+    def _read_event_rows_tiered(self, paths: list[str]) -> list:
+        """Same tiering for the 1-line event files (read_account_event_rows)."""
+        if len(paths) <= 256:
+            return primary.read_account_event_rows(paths)
+        chunks = [paths[i::32] for i in range(32)]
+        return [
+            r
+            for rs in self.spark.sparkContext.parallelize(chunks, len(chunks))
+            .map(primary.read_account_event_rows)
+            .collect()
+            for r in rs
+        ]
+
+    def _tick_body_delta(
+        self,
+        m: TickMetrics,
+        files_read: dict,
+        snap_rows: list,
+        ev_rows: list,
+        marks: dict,
+        clock: _StageClock,
+        scan_keys: list[tuple[str, str]],
+    ) -> TickMetrics:
+        """Delta tick with DRIVER-side watermark logic: the listing rows
+        and account marks are already small local data (O(changed
+        accounts)), so snapshot selection (D4), the count-skip (D5) and
+        the picked-event filter run as plain Python set logic instead of
+        five Spark jobs of joins/windows/collects — under 32 concurrent
+        serving clients each Spark action costs 1.5–3 s of contended
+        scheduling regardless of data size, and this path removes ~6 of
+        them from the merge tick. Spark keeps what it is for: the content
+        reads and the keyed MERGE writes. Semantics are the exact mirror
+        of :meth:`_tick_body` (same watermark rules, same boundary
+        replay), pinned by the cached≡uncached pipeline test."""
+        spark, store = self.spark, self.store
+        active_keys: set[tuple[str, str]] = set()
+        m.extra["_active_keys"] = active_keys
+        # per key: [last_syn_snapshot, last_syn_event, currency, format]
+        marks = {
+            k: (
+                int(v["last_syn_snapshot"]),
+                int(v["last_syn_event"]),
+                v.get("currency"),
+                v.get("format"),
+            )
+            for k, v in marks.items()
+        }
+
+        # --- account discovery (anti-join in python: known = KV marks) --
+        new_meta = [
+            (t, a, p)
+            for (t, a, v, p) in snap_rows
+            if v == 0 and (t, a) not in marks
+        ]
+        files_read["meta"] = len(new_meta)
+        if new_meta:
+            active_keys.update((t, a) for t, a, _ in new_meta)
+            meta_rows = self._read_meta_rows_tiered([p for _, _, p in new_meta])
+            meta = spark.createDataFrame(
+                [(t, n, c, f, 0, 0) for t, n, c, f in meta_rows],
+                ACCOUNT_SCHEMA,
+            )
+            m.accounts_discovered = store.merge_insert_missing(
+                "account", meta, PRIMARY_KEYS["account"]
+            )
+            for t, n, c, f in meta_rows:
+                marks.setdefault((t, n), (0, 0, c, f))
+        clock.lap("account_discovery")
+
+        # --- snapshot selection (D4) + count-skip (D5), driver-side -----
+        by_acct: dict[tuple[str, str], set[int]] = {}
+        for t, a, v, _p in snap_rows:
+            by_acct.setdefault((t, a), set()).add(v)
+        ev_by_dir: dict[tuple[str, str, int], list[str]] = {}
+        for t, a, v, _f, p in ev_rows:
+            ev_by_dir.setdefault((t, a, v), []).append(p)
+        ev_paths: list[str] = []
+        for key, versions in by_acct.items():
+            mk = marks.get(key)
+            if mk is None:
+                continue  # undiscoverable (no snapshot 0) — mirror inner join
+            last_snap, last_ev = mk[0], mk[1]
+            for v in sorted(x for x in versions if x >= last_snap)[:2]:
+                fs = ev_by_dir.get((key[0], key[1], v), ())
+                if fs and (v > last_snap or len(fs) > last_ev):
+                    ev_paths.extend(fs)
+                    active_keys.add(key)
+        files_read["events"] = len(ev_paths)
+        clock.lap("event_listing")
+        if not ev_paths:
+            return m  # idle examination: no content reads, no writes
+
+        # --- event reads + the picked filter (D5 boundary replay) -------
+        parsed = self._read_event_rows_tiered(sorted(ev_paths))
+        picked_rows = []
+        for t, a, status, txn, sv, ver in parsed:
+            last_snap, last_ev = marks[(t, a)][0], marks[(t, a)][1]
+            if sv > last_snap or ver >= last_ev:
+                picked_rows.append((t, a, status, txn, sv, ver))
+        clock.lap("event_read_pick")
+        try:
+            self._expand_and_merge_local(m, files_read, picked_rows, marks, clock)
+        except Exception as e:  # noqa: BLE001 — twin's fall-back signal
+            if "TwinUnsupported" not in f"{type(e).__name__}: {e}":
+                raise
+            # exotic transaction timestamps: run the DataFrame expansion
+            ev_schema = T.StructType(
+                [T.StructField(f.name, f.dataType, True)
+                 for f in primary.ACCOUNT_EVENT_SCHEMA.fields]
+            )
+            picked = spark.createDataFrame(picked_rows, ev_schema).persist()
+            accounts = self._accounts_pushdown(scan_keys)
+            try:
+                self._expand_and_merge(m, files_read, picked, accounts, clock=clock)
+            finally:
+                picked.unpersist()
+        return m
+
+    def _expand_and_merge_local(
+        self,
+        m: TickMetrics,
+        files_read: dict,
+        picked_rows: list,
+        marks: dict,
+        clock: _StageClock,
+    ) -> None:
+        """Delta-path twin of :meth:`_expand_and_merge` with the D6/D7/D8
+        logic in PYTHON over the tick's local rows: the relevance filter,
+        the status-invariant check and the marker positions are set logic
+        over O(batch) tuples — running them as Spark joins cost 3 extra
+        contended actions per tick (txn_expand alone measured 13–16 s
+        under 32 serving clients at sf10). Spark keeps the keyed MERGE
+        writes — the actual durable state changes. Semantics pinned by
+        the cached≡uncached pipeline equality test and the golden ingest
+        suite; raises TwinUnsupported (via read_transaction_rows) for
+        timestamp shapes only the Spark parse can mirror."""
+        spark, root, store = self.spark, self.root, self.store
+
+        # D6 status gate: only ACTIVE events name transactions to read
+        active: dict[tuple[str, str], list] = {}
+        for t, a, status, txn, _sv, _ver in picked_rows:
+            if status != 0:
+                active.setdefault((t, txn), []).append((a, status))
+        txn_paths, missing = [], []
+        for t, txn in sorted(active):
+            p = os.path.join(root, f"t_{t}", "transaction", txn)
+            (txn_paths if os.path.exists(p) else missing).append(p)
+        if missing and self.strict:
+            raise InvariantViolation(
+                f"event names missing transaction file(s): {missing[:3]}"
+            )
+        files_read["transactions"] = len(txn_paths)
+        if len(txn_paths) <= 64:
+            txn_rows = primary.read_transaction_rows(txn_paths)
+        else:
+            chunks = [txn_paths[i::32] for i in range(32)]
+            txn_rows = [
+                r
+                for rs in spark.sparkContext.parallelize(chunks, len(chunks))
+                .map(primary.read_transaction_rows)
+                .collect()
+                for r in rs
+            ]
+
+        # D7 relevance + D8 invariant, then PK-dedupe (both discovering
+        # events name the same transfer — the PK merge deduped it before;
+        # the dict does now, and the merge still dedupes vs the table)
+        new_transfers: dict[tuple, tuple] = {}
+        for tenant, txn, status, transfer, ct, cn, dt, dn, vd, amount, cur in txn_rows:
+            for account, ev_status in active.get((tenant, txn), ()):
+                if not (
+                    (ct == tenant and cn == account)
+                    or (dt == tenant and dn == account)
+                ):
+                    continue
+                if status != ev_status:
+                    if self.strict:
+                        raise InvariantViolation(
+                            f"transfer {tenant}/{txn}/{transfer} "
+                            f"status={status} != event status={ev_status}"
+                        )
+                    continue
+                new_transfers[(tenant, txn, transfer)] = (
+                    tenant, txn, transfer, status,
+                    ct, cn, dt, dn, amount, cur, vd,
+                )
+        clock.lap("txn_expand")
+
+        tschema = T.StructType(
+            [T.StructField(f.name, f.dataType, True)
+             for f in _ingest_transfer_schema().fields]
+        )
+        tdf = spark.createDataFrame(
+            sorted(new_transfers.values(), key=str), tschema
+        )
+        m.transfers_discovered = store.merge_insert_missing(
+            "transfer", tdf, PRIMARY_KEYS["transfer"]
+        )
+        clock.lap("transfer_merge")
+
+        fp_before = balance_view.abc_fingerprint(store)
+        store.merge_insert_missing(
+            "account_balance_change", _signed_changes(tdf), ABC_PRIMARY_KEYS
+        )
+        clock.lap("abc_merge")
+        balance_view.maintain(
+            store, fp_before=fp_before, adopted_files=store.last_adopted_files
+        )
+        clock.lap("rollup_maintain")
+
+        # marker advance (D10), LAST — assignment semantics (`!=`), max
+        # lexicographic (snapshot, version) per account, exactly the
+        # DataFrame form's rules
+        pos: dict[tuple[str, str], tuple[int, int]] = {}
+        for t, a, _status, _txn, sv, ver in picked_rows:
+            cur = pos.get((t, a))
+            if cur is None or (sv, ver) > cur:
+                pos[(t, a)] = (sv, ver)
+        advanced = []
+        for key, (sv, ver) in sorted(pos.items()):
+            mk = marks.get(key)
+            if mk is None or (sv, ver) == (mk[0], mk[1]):
+                continue
+            advanced.append((key[0], key[1], mk[2], mk[3], sv, ver))
+        if advanced:
+            store.merge_upsert(
+                "account",
+                spark.createDataFrame(advanced, ACCOUNT_SCHEMA),
+                PRIMARY_KEYS["account"],
+            )
+        clock.lap("marker_advance")
+
+    def _accounts_pushdown(self, scan_keys: list[tuple[str, str]] | None) -> DataFrame:
+        """Account table restricted to the delta keys: tenant in-list
+        prunes partitions; wide key sets use a broadcast semi-join (a
+        thousands-literal In bloats every plan re-analysis — measured
+        14 s → 25 s on the sf1 merge tick)."""
+        spark, store = self.spark, self.store
+        df = store.read("account")
+        if not scan_keys:
+            return df
+        df = df.filter(F.col("tenant").isin(sorted({t for t, _ in scan_keys})))
+        if len(scan_keys) > 64:
+            keys_df = spark.createDataFrame(
+                sorted(set(scan_keys)), "tenant string, name string"
+            )
+            df = df.join(F.broadcast(keys_df), ["tenant", "name"], "left_semi")
+        else:
+            df = df.filter(F.col("name").isin(sorted({a for _, a in scan_keys})))
+        return df
 
     def _tick_body(
         self,
@@ -566,7 +879,40 @@ class IngestionPipeline:
             )
         files_read["transactions"] = len(txn_paths)
 
-        transfers_raw = primary.read_transaction_paths(spark, txn_paths)
+        # tiny-file tier for the transaction batch (S6 twin): driver loop
+        # when small, executor RDD map when wide; TwinUnsupported (an
+        # exotic timestamp shape) falls back to the Spark text parse.
+        # A Spark text job over 1000 tiny files measured 16 s under
+        # concurrent serving load — the last tiered read in the tick
+        try:
+            if len(txn_paths) <= 64:
+                txn_rows = primary.read_transaction_rows(sorted(txn_paths))
+            else:
+                sorted_paths = sorted(txn_paths)
+                txn_chunks = [sorted_paths[i::32] for i in range(32)]
+                txn_rows = [
+                    r
+                    for rs in spark.sparkContext.parallelize(
+                        txn_chunks, len(txn_chunks)
+                    )
+                    .map(primary.read_transaction_rows)
+                    .collect()
+                    for r in rs
+                ]
+            transfers_raw = spark.createDataFrame(
+                txn_rows,
+                T.StructType(
+                    [T.StructField(f.name, f.dataType, True)
+                     for f in primary.TRANSFER_ROW_SCHEMA.fields]
+                ),
+            )
+        except Exception as e:  # noqa: BLE001 — RDD wraps the twin's signal
+            # TwinUnsupported arrives verbatim from the driver loop but
+            # wrapped in Py4J from executors — match by name; every other
+            # failure (malformed line, framing) keeps its strict semantics
+            if "TwinUnsupported" not in f"{type(e).__name__}: {e}":
+                raise
+            transfers_raw = primary.read_transaction_paths(spark, txn_paths)
         joined = transfers_raw.join(
             F.broadcast(active.select("tenant", "account", "transaction", "event_status")),
             ["tenant", "transaction"],

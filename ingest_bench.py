@@ -94,6 +94,11 @@ def main() -> int:
 
     spark = get_spark(app_name="dwh-ingest-bench")
     tmp = tempfile.mkdtemp(prefix="dwh-ingest-bench-")
+    # scratch is GBs per run — reclaim on exit (a crashed run leaves
+    # the dir; 35 leftovers once held 24 GB hostage on this box)
+    import atexit as _atexit
+    import shutil as _shutil
+    _atexit.register(_shutil.rmtree, tmp, True)
     primary = os.path.join(tmp, "primary")
     t0 = time.time()
     n_files = build_tree(primary, args.accounts, args.transactions_per_1000)

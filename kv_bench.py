@@ -55,6 +55,11 @@ def main() -> int:
 
     spark = get_spark(app_name="dwh-kv-bench")
     tmp = tempfile.mkdtemp(prefix="dwh-kv-")
+    # scratch is GBs per run — reclaim on exit (a crashed run leaves
+    # the dir; 35 leftovers once held 24 GB hostage on this box)
+    import atexit as _atexit
+    import shutil as _shutil
+    _atexit.register(_shutil.rmtree, tmp, True)
     store = TableStore(
         spark,
         os.path.join(tmp, "wh"),

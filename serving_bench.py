@@ -197,6 +197,11 @@ def main() -> int:
 
     spark = get_spark(app_name="dwh-serving-bench")
     tmp = tempfile.mkdtemp(prefix="dwh-serving-")
+    # scratch is GBs per run — reclaim on exit (a crashed run leaves
+    # the dir; 35 leftovers once held 24 GB hostage on this box)
+    import atexit as _atexit
+    import shutil as _shutil
+    _atexit.register(_shutil.rmtree, tmp, True)
     primary = os.path.join(tmp, "primary")
     os.makedirs(primary)
     svc = Service(
@@ -299,7 +304,12 @@ def main() -> int:
     }
     warm_ticks = list(ticks)
 
-    # primary tree lands NOW: ingestion discovers it while clients run
+    # primary tree lands NOW: ingestion discovers it while clients run.
+    # The discovery baseline MUST be snapshotted before the landing — the
+    # merge tick can complete during the client window, and a baseline
+    # taken after it would already include the wave (the poll below then
+    # never fires — a measured 600 s timeout)
+    base_discovered = discovered["transfers"]
     _write_primary_tree(primary, args.accounts)
     tree_landed = time.perf_counter()
 
@@ -367,15 +377,29 @@ def main() -> int:
     expected = args.accounts // 2
     fixture_to_queryable = None
     wait_deadline = time.time() + 600
-    base_discovered = discovered["transfers"]
     while time.time() < wait_deadline:
         # cheap wait on the pipeline's own counter (a store-read poll is a
         # Spark job per 1 s, contending with the merge it waits for) —
-        # then confirm end-to-end with ONE real read: queryable means a
-        # QUERY sees the rows, so the confirming count is inside the clock
+        # then confirm end-to-end the way bbtest does: a GraphQL query
+        # must SEE the landed rows (http_steps.py polls /graphql, not the
+        # storage layer), and that confirming request is inside the clock
         if discovered["transfers"] - base_discovered >= expected:
-            ingested = svc.store.read("transfer").count() - rows["transfer"]
-            if ingested >= expected:
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{args.port}/graphql",
+                data=json.dumps(
+                    {
+                        "query": 'query { transfers(tenant: "LOADGEN", '
+                        "limit: 1, offset: 0) { transaction } }"
+                    }
+                ).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            try:
+                with urllib.request.urlopen(req, timeout=60) as rv:
+                    body = json.loads(rv.read())
+            except Exception:  # noqa: BLE001 — poll: retry next round
+                body = {}
+            if (body.get("data") or {}).get("transfers"):
                 fixture_to_queryable = round(
                     time.perf_counter() - tree_landed, 2
                 )

@@ -514,3 +514,44 @@ def test_driver_side_file_readers_match_spark_parsers(spark, tmp_path):
         primary.read_account_event_rows([bad])
     with _pytest.raises(Exception, match="CAST_INVALID_INPUT"):
         primary.read_account_event_paths(spark, [bad]).collect()
+
+
+def test_transaction_twin_matches_spark_parser(spark, tmp_path):
+    """read_transaction_rows ≡ parse_transactions row-for-row: status
+    mapping, HALF_UP decimal(28,10), ISO timestamps (Z / offset /
+    fractional), empty body lines skipped; malformed lines fail BOTH
+    paths; exotic-but-Spark-parseable timestamps raise TwinUnsupported
+    (the fall-back-to-Spark signal, never a silent divergence)."""
+    import pytest as _pytest
+
+    from data_warehouse_spark.sources import primary
+
+    root = str(tmp_path)
+    good = os.path.join(root, "t_TW", "transaction", "TRN_A")
+    write(
+        good,
+        "committed\n"
+        "TRX1 TW C TW D 2020-01-01T00:00:00Z 1.005 CZK\n"
+        "\n"
+        "TRX2 TW C TW D 2020-06-01T12:30:45.123456+02:00 -3.1415926535897 EUR\n",
+    )
+    rolled = os.path.join(root, "t_TW", "transaction", "TRN_B")
+    write(rolled, "rollbacked\nTRX3 TW X TW Y 2021-02-03T04:05:06 2e3 USD\n")
+    queued = os.path.join(root, "t_TW", "transaction", "TRN_C")
+    write(queued, "whatever\nTRX4 TW X TW Y 2021-02-03T04:05:06 0.1 USD extra tokens\n")
+    paths = [good, rolled, queued]
+    got = primary.read_transaction_rows(paths)
+    want = [tuple(r) for r in primary.read_transaction_paths(spark, paths).collect()]
+    assert sorted(got, key=str) == sorted(want, key=str)
+
+    bad = os.path.join(root, "t_TW", "transaction", "TRN_BAD")
+    write(bad, "committed\nTRX5 TW C TW D 2020-01-01T00:00:00Z notanumber CZK\n")
+    with _pytest.raises(Exception, match="malformed transfer line"):
+        primary.read_transaction_rows([bad])
+    with _pytest.raises(Exception, match="malformed transfer line"):
+        primary.read_transaction_paths(spark, [bad]).collect()
+
+    weird = os.path.join(root, "t_TW", "transaction", "TRN_WEIRD")
+    write(weird, "committed\nTRX6 TW C TW D 2020-1-1 1 CZK x\n")
+    with _pytest.raises(primary.TwinUnsupported):
+        primary.read_transaction_rows([weird])

@@ -1798,3 +1798,47 @@ def test_minhash_sliced_verify_all_slices_empty(spark):
     )
     assert out.collect() == []
     assert set(out.columns) >= {"doc_a", "doc_b"}
+
+
+def test_pair_scoring_salt_split_equals_unsplit(spark, monkeypatch):
+    """Skew memory bound (r9): a cell/bucket larger than
+    SPARK_GRAFT_MAX_CELL_ROWS splits into hash-salt cross tasks — every
+    within-group pair lands in exactly one task, so pairs and dedup
+    survivors are IDENTICAL to the unsplit scan while no pandas group
+    holds more than ~2×cap rows. Fixture is deliberately skewed: near-
+    collinear vectors that all land in one LSH bucket / one cell."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    base = [1.0] * 8
+    for i in range(300):
+        # tiny perturbations: same bucket, same cell, many pairs over 0.95
+        v = [b + rng.uniform(-0.02, 0.02) for b in base]
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    planes = [[1.0 if d == p else 0.0 for d in range(8)] for p in range(3)]
+
+    def neardup():
+        return sorted(
+            (r["id_a"], r["id_b"])
+            for r in similarity.embedding_near_duplicates(
+                emb, threshold=0.999, planes=planes
+            ).collect()
+        )
+
+    def semdedup():
+        return sorted(
+            (r["dup_id"], r["keep_id"])
+            for r in similarity.semantic_dedup(
+                emb, threshold=0.999, n_cells=2, train_iters=0
+            ).collect()
+        )
+
+    monkeypatch.setenv("SPARK_GRAFT_MAX_CELL_ROWS", "1000000")
+    base_pairs, base_dedup = neardup(), semdedup()
+    assert base_pairs, "fixture must produce pairs"
+    monkeypatch.setenv("SPARK_GRAFT_MAX_CELL_ROWS", "60")  # forces k>=5
+    split_pairs, split_dedup = neardup(), semdedup()
+    assert split_pairs == base_pairs
+    assert split_dedup == base_dedup

@@ -128,3 +128,65 @@ def test_service_lifecycle(spark, tmp_path, statsd_listener):
     finally:
         svc.stop()
     assert not svc._ingest_thread.is_alive()
+
+
+def test_management_stop_start_restart(spark, tmp_path):
+    """The management.feature analogue (reference bbtest: stop unit → app
+    not running; start → running; restart → running): Service.stop() halts
+    the exploration loop gracefully (in-flight tick completes — D11),
+    start_ingestion() boots a fresh loop on the same store, and after a
+    restart the pipeline still discovers new fixtures and the health
+    endpoint still answers. Port-free: drives the Flask app directly."""
+    root = str(tmp_path / "data")
+    os.makedirs(root, exist_ok=True)
+    write(
+        os.path.join(root, "t_MGMT", "account", "A1", "snapshot", "0000000000"),
+        "CZK FORMAT_M\n",
+    )
+    svc = Service(
+        spark=spark,
+        primary_root=root,
+        warehouse_root=str(tmp_path / "wh"),
+        http_port=0,
+        tick_seconds=0.5,
+        statsd=StatsD(endpoint=""),  # disabled
+    )
+    app = svc.build_app()
+    client = app.test_client()
+
+    # start: the unit is running — the boot fixture becomes queryable
+    svc.start_ingestion()
+    eventually(
+        lambda: (
+            svc.store.read("account").count() == 1
+            or (_ for _ in ()).throw(AssertionError("not ingested"))
+        )
+    )
+    assert svc._ingest_thread.is_alive()
+    health = json.loads(client.get("/health").data)
+    assert health["healthy"] is True
+
+    # stop: graceful — the loop thread exits (unit not running)
+    svc.stop()
+    assert not svc._ingest_thread.is_alive()
+    # data written while stopped is NOT picked up (nothing is running)
+    write(
+        os.path.join(root, "t_MGMT", "account", "A2", "snapshot", "0000000000"),
+        "EUR FORMAT_M\n",
+    )
+    time.sleep(1.5)
+    assert svc.store.read("account").count() == 1
+
+    # restart: a fresh loop resumes from the same store and catches up
+    svc._stop.clear()
+    svc.start_ingestion()
+    eventually(
+        lambda: (
+            svc.store.read("account").count() == 2
+            or (_ for _ in ()).throw(AssertionError("restart did not ingest"))
+        )
+    )
+    assert svc._ingest_thread.is_alive()
+    assert json.loads(client.get("/health").data)["healthy"] is True
+    svc.stop()
+    assert not svc._ingest_thread.is_alive()

@@ -51,6 +51,11 @@ def main() -> int:
 
     spark = get_spark(app_name="dwh-tick-attribution")
     tmp = tempfile.mkdtemp(prefix="dwh-tickattr-")
+    # scratch is GBs per run — reclaim on exit (a crashed run leaves
+    # the dir; 35 leftovers once held 24 GB hostage on this box)
+    import atexit as _atexit
+    import shutil as _shutil
+    _atexit.register(_shutil.rmtree, tmp, True)
     primary = os.path.join(tmp, "primary")
     os.makedirs(primary)
     store = warehouse_store(spark, os.path.join(tmp, "warehouse"))
