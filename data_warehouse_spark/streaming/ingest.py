@@ -37,6 +37,27 @@ An idle tick (nothing new anywhere) performs directory listings and ZERO
 content reads and ZERO table writes — ``TickMetrics.extra["files_read"]``
 instruments this.
 
+Round-9 architecture (the O(changed dirs) / driver-side-metadata split):
+
+* :class:`~..sources.listing.ListingCache` tracks per-directory mtimes;
+  a steady-state tick examines only changed-or-pending accounts, and a
+  fully idle tick runs ZERO Spark jobs (measured 0.0 s at sf10 —
+  TICK_ATTRIBUTION_SF10). The soundness argument: a tick is a pure
+  function of (tree, account marks); an account whose examination read
+  nothing and moved nothing is a fixed point until a tracked mtime moves.
+* On a delta, the watermark logic (D4 selection, D5 count-skip, D6/D7/D8
+  expansion, D10 marker positions) runs DRIVER-SIDE over the delta's
+  local rows (``_tick_body_delta``), with account marks served by the KV
+  tier's Arrow reads; tiny primary files (1-line metas/events, small
+  transactions) read through driver/executor parse twins
+  (``primary.read_*_rows``). Spark does what it is for — the keyed MERGE
+  writes. Under 32 concurrent serving clients each Spark action costs
+  1.5–3 s of contended scheduling regardless of data size; this split
+  took the contended merge tick from 63–103 s to 16–20 s (SCALE_r9).
+* The full-scan path (first tick, cache miss, KV refusal) keeps the
+  distributed joins — at 100 TB width the delta IS small by definition
+  of steady state, and a bootstrap scan wants executors.
+
 Idempotence: every write is keyed MERGE and markers advance LAST; a crash
 anywhere replays the tick's reads (watermarks unchanged) and the PK merges
 drop the duplicates — the same guarantee the reference gets from ON CONFLICT
