@@ -53,6 +53,70 @@ def _sri_attr(url: str, sri: dict[str, str] | None) -> str:
     return f' integrity="{h}" crossorigin="anonymous"' if h else " crossorigin"
 
 
+# The DEFAULT IDE page is fully self-contained (inline CSS/JS, zero
+# external fetches) — matching the reference's embedded-asset behavior
+# (GraphQLRouter.scala:66-73 serves its IDE from the jar): an air-gapped
+# deployment gets a working IDE, not a blank page. The full GraphiQL
+# experience remains available by opting into the CDN page
+# (``DATA_WAREHOUSE_GRAPHIQL=cdn``) — this build environment has no
+# network access, so the real graphiql.min.js bundle cannot be vendored
+# into the tree without inventing its bytes.
+EMBEDDED_IDE_PAGE = """<!DOCTYPE html>
+<html>
+<head>
+  <title>GraphiQL</title>
+  <style>
+    body { margin: 0; font: 13px/1.4 monospace; background: #1e1e22; color: #ddd; }
+    #graphiql { display: flex; height: 100vh; }
+    .pane { flex: 1; display: flex; flex-direction: column; min-width: 0; }
+    .pane + .pane { border-left: 1px solid #444; }
+    .bar { padding: 6px 8px; background: #2a2a30; display: flex; gap: 8px; align-items: center; }
+    textarea { flex: 1; background: #1e1e22; color: #ddd; border: 0; padding: 8px;
+               resize: none; font: inherit; outline: none; }
+    #vars { flex: 0 0 20%; border-top: 1px solid #444; }
+    #result { flex: 1; margin: 0; padding: 8px; overflow: auto; white-space: pre; }
+    button { background: #d64292; color: #fff; border: 0; padding: 4px 14px;
+             border-radius: 3px; cursor: pointer; font: inherit; }
+    .hint { color: #888; }
+  </style>
+</head>
+<body>
+  <div id="graphiql">
+    <div class="pane">
+      <div class="bar"><button id="run">&#9654; Run</button>
+        <span class="hint">Ctrl+Enter &middot; embedded IDE (offline)</span></div>
+      <textarea id="query" spellcheck="false">{ tenants(limit: 10, offset: 0) { name } }</textarea>
+      <textarea id="vars" spellcheck="false" placeholder="query variables (JSON)"></textarea>
+    </div>
+    <div class="pane"><div class="bar"><span class="hint">response</span></div>
+      <pre id="result"></pre></div>
+  </div>
+  <script>
+    // minimal fetcher against POST /graphql (same endpoint GraphiQL's
+    // createFetcher would use)
+    async function run() {
+      const body = { query: document.getElementById('query').value };
+      const v = document.getElementById('vars').value.trim();
+      const out = document.getElementById('result');
+      if (v) { try { body.variables = JSON.parse(v); }
+               catch (e) { out.textContent = 'variables: ' + e; return; } }
+      out.textContent = '...';
+      try {
+        const r = await fetch('/graphql', { method: 'POST',
+          headers: { 'Content-Type': 'application/json' },
+          body: JSON.stringify(body) });
+        out.textContent = JSON.stringify(await r.json(), null, 2);
+      } catch (e) { out.textContent = String(e); }
+    }
+    document.getElementById('run').addEventListener('click', run);
+    document.addEventListener('keydown', function (e) {
+      if (e.ctrlKey && e.key === 'Enter') run();
+    });
+  </script>
+</body>
+</html>"""
+
+
 def graphiql_page(sri: dict[str, str] | None = None) -> str:
     if sri is None:
         raw = os.environ.get("DATA_WAREHOUSE_GRAPHIQL_SRI")
@@ -83,7 +147,11 @@ def graphiql_page(sri: dict[str, str] | None = None) -> str:
 </html>"""
 
 
-GRAPHIQL_PAGE = graphiql_page()
+GRAPHIQL_PAGE = (
+    graphiql_page()
+    if os.environ.get("DATA_WAREHOUSE_GRAPHIQL") == "cdn"
+    else EMBEDDED_IDE_PAGE
+)
 
 
 def build_app(store) -> Flask:

@@ -348,18 +348,32 @@ def maintain(
     store,
     fp_before: str | None = None,
     adopted_files: list[str] | None = None,
+    defer_under_files: int | None = None,
 ) -> str:
     """Converge the rollup to the change table's current state.  Returns
-    the action taken: ``"noop"`` | ``"delta"`` | ``"recompute"``.
+    the action taken: ``"noop"`` | ``"deferred"`` | ``"delta"`` |
+    ``"recompute"``.
 
-    Call with ``fp_before`` (fingerprint captured immediately before this
-    tick's change-table merge) and ``adopted_files`` (the part files that
-    merge adopted — ``TableStore.last_adopted_files``) to enable the
-    exact delta path; call bare for the convergence check (noop when
-    fresh, recompute when not — the bootstrap/repair path).
+    The exact delta is now derived from :func:`stale_window` — EVERY part
+    file appended since the last completed maintenance — which subsumes
+    the original single-tick ``(fp_before, adopted_files)`` form (kept as
+    a fallback for pre-inventory state files) and lets maintenance run
+    every Nth tick: N deferred ticks converge in ONE combined CDC apply.
 
-    The delta path is a partitioned MERGE: only the groups the tick's
-    adopted files touch are upserted, so copy-on-write rewrites only the
+    ``defer_under_files``: when set and the stale window holds with fewer
+    appended files than the bound, DO NOTHING and return ``"deferred"`` —
+    correct because the window IS the serving tier's exact bridge
+    (rollup + Arrow delta over those immutable files equals the direct
+    SUM; ``api/kv_tier.py`` delta_sums).  The busy tick passes the bound
+    to keep maintenance off its critical path; idle ticks call bare and
+    converge — maintenance runs when the system has time, the classic
+    deferred-view-maintenance scheduling (Zhou et al., "Lazy Maintenance
+    of Materialized Views", VLDB'07).  Deferral only ever happens when
+    the window path can serve; a broken window (compaction, foreign
+    write) always converges immediately.
+
+    The delta path is a partitioned MERGE: only the groups the window's
+    files touch are upserted, so copy-on-write rewrites only the
     touched tenant partitions (file-pinned in tests/test_balance_view.py);
     zero-count groups are merge-deleted (CDC generality — unreachable
     under the append-only change table)."""
@@ -375,26 +389,36 @@ def maintain(
 
     spark = store.spark
     sum_t = ROLLUP_SCHEMA["sum_amount"].dataType
-    if (
+    delta_files: list[str] | None = None
+    win = stale_window(store) if rollup_intact else None
+    if win is not None:
+        if defer_under_files is not None and len(win[2]) < defer_under_files:
+            return "deferred"
+        delta_files = win[2]
+    elif (
         rollup_intact
         and fp_before is not None
         and st["abc"] == fp_before
         and adopted_files
         and all(os.path.isfile(p) for p in adopted_files)
     ):
-        # exact file-level CDC: the rollup summarized precisely the
-        # pre-merge state, and these part files are precisely what the
-        # merge added.  basePath recovers the tenant partition column
-        # from the directory names — derived from the adopted files
-        # themselves, NOT the current pointer: a compaction inside the
-        # merge swaps a new version dir while the adopted files live in
-        # the (still retained) one they were adopted into.  The delta
-        # stays exact through that: compaction rewrites files, not rows.
+        # pre-inventory state file: exact single-tick file-level CDC —
+        # the rollup summarized precisely the pre-merge state, and these
+        # part files are precisely what the merge added
+        delta_files = list(adopted_files)
+    if delta_files:
+        # exact file-level CDC over the appended files.  basePath
+        # recovers the tenant partition column from the directory names —
+        # derived from the delta files themselves, NOT the current
+        # pointer: a compaction inside the merge swaps a new version dir
+        # while the adopted files live in the (still retained) one they
+        # were adopted into.  The delta stays exact through that:
+        # compaction rewrites files, not rows.
         try:
             cdc = (
-                spark.read.option("basePath", _version_root(adopted_files[0]))
+                spark.read.option("basePath", _version_root(delta_files[0]))
                 .schema(store.schemas[ABC_TABLE])
-                .parquet(*adopted_files)
+                .parquet(*delta_files)
                 .withColumn(ivm.CHANGE_COL, F.lit("insert"))
             )
             delta = ivm.cdc_delta(cdc, GROUP_COLS, SUM_COLS)

@@ -512,7 +512,8 @@ _LITERAL_ASSIGN_MAX = 0
 
 
 def _assign_cells(
-    embeddings: DataFrame, centroids, id_col: str, vec_col: str
+    embeddings: DataFrame, centroids, id_col: str, vec_col: str,
+    fast: bool = False,
 ) -> DataFrame:
     """(neighbor_id, n_vec, _vn, cell) — assignment of every vector to its
     nearest centroid (max cos, ties → max cell, mirroring the twin's
@@ -534,13 +535,22 @@ def _assign_cells(
         no shuffle, plan O(1)-sized however many cells the corpus
         demands, and the N×cells×dim arithmetic runs as float64 vector
         math instead of per-element interpreted eval.
+
+    ``fast=True`` is the SCALE mode (see :func:`_assign_cells_vectorized`):
+    one blocked BLAS matmul per Arrow batch instead of the parity-pinned
+    per-dimension fold — reassociates the IEEE sum, so it is checked by an
+    assignment-AGREEMENT oracle (catalog ``ann_ivf_fast_agreement`` + the
+    ``test_ivf_fast_assignment_agreement`` pin), not by the bit-parity
+    hash. At 10⁹ vectors the parity fold alone is not a shippable index
+    build (O(N·√N·d) at ~200 GFLOP/s ceiling — ANN_ATTRIBUTION_SF100);
+    BLAS recovers the 10-50× a dgemm has over strided numpy loops.
     """
     base = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("n_vec"),
         V.norm2(vec_col).alias("_vn"),
     )
-    if len(centroids) <= _LITERAL_ASSIGN_MAX:
+    if not fast and len(centroids) <= _LITERAL_ASSIGN_MAX:
         return base.select(
             "neighbor_id",
             "n_vec",
@@ -549,10 +559,12 @@ def _assign_cells(
             .getField("cell")
             .alias("cell"),
         )
-    return _assign_cells_vectorized(base, centroids)
+    return _assign_cells_vectorized(base, centroids, fast=fast)
 
 
-def _assign_cells_vectorized(base: DataFrame, centroids) -> DataFrame:
+def _assign_cells_vectorized(
+    base: DataFrame, centroids, fast: bool = False
+) -> DataFrame:
     """Auto-geometry assignment (√N cells): one Arrow-batched numpy
     matmul-shaped pass instead of N×cells interpreted expression folds.
 
@@ -592,37 +604,115 @@ def _assign_cells_vectorized(base: DataFrame, centroids) -> DataFrame:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            vecs = list(pdf["n_vec"])
-            # a row whose vector length ≠ centroid dim gets every cosine
-            # NULL under the expression spec (zip_with pads the shorter
-            # array with nulls, the fold propagates) and the struct-max
-            # tie then falls through to the MAX cell — replicate that so
-            # e.g. append_to_ivf_index's dim guard can still materialize
-            # the assignment and refuse cleanly
-            ok = np.asarray(
-                [v is not None and len(v) == dim for v in vecs], dtype=bool
-            )
-            cells = np.full(len(vecs), cids[-1], dtype=np.int64)
-            if ok.any():
-                a = np.asarray(
-                    [np.asarray(vecs[i], dtype=np.float64)
-                     for i in np.nonzero(ok)[0]],
-                    dtype=np.float64,
-                )
-                vn = pdf["_vn"].to_numpy(dtype=np.float64)[ok]
-                acc = np.zeros((a.shape[0], cmat.shape[0]), dtype=np.float64)
-                for d in range(dim):
-                    acc = acc + a[:, d : d + 1] * cmat[None, :, d]
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    cos = acc / (vn[:, None] * cnorm[None, :])
-                cos[np.isnan(cos)] = np.inf
-                best = cos.shape[1] - 1 - np.argmax(cos[:, ::-1], axis=1)
-                cells[ok] = cids[best]
             out = pdf.copy()
-            out["cell"] = cells
+            out["cell"] = _batch_cells(
+                list(pdf["n_vec"]), pdf["_vn"].to_numpy(dtype=np.float64),
+                cmat, cnorm, cids, dim, fast,
+            )
             yield out
 
     return base.mapInPandas(assign, schema=out_schema)
+
+
+def _batch_cells(vecs, vn_all, cmat, cnorm, cids, dim, fast):
+    """The per-Arrow-batch assignment kernel shared by
+    :func:`_assign_cells_vectorized` (both modes) and
+    :func:`ivf_fast_agreement` (which runs BOTH modes over the same batch
+    in one pass). Returns an int64 cell array aligned with ``vecs``."""
+    import numpy as np
+
+    # a row whose vector length ≠ centroid dim gets every cosine
+    # NULL under the expression spec (zip_with pads the shorter
+    # array with nulls, the fold propagates) and the struct-max
+    # tie then falls through to the MAX cell — replicate that so
+    # e.g. append_to_ivf_index's dim guard can still materialize
+    # the assignment and refuse cleanly
+    ok = np.asarray(
+        [v is not None and len(v) == dim for v in vecs], dtype=bool
+    )
+    cells = np.full(len(vecs), cids[-1], dtype=np.int64)
+    if ok.any():
+        a = np.asarray(
+            [np.asarray(vecs[i], dtype=np.float64)
+             for i in np.nonzero(ok)[0]],
+            dtype=np.float64,
+        )
+        vn = vn_all[ok]
+        if fast:
+            # SCALE mode: one BLAS dgemm — reassociates the IEEE
+            # sum (agreement-checked, not hash-checked)
+            acc = a @ cmat.T
+        else:
+            acc = np.zeros((a.shape[0], cmat.shape[0]), dtype=np.float64)
+            for d in range(dim):
+                acc = acc + a[:, d : d + 1] * cmat[None, :, d]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = acc / (vn[:, None] * cnorm[None, :])
+        cos[np.isnan(cos)] = np.inf
+        best = cos.shape[1] - 1 - np.argmax(cos[:, ::-1], axis=1)
+        cells[ok] = cids[best]
+    return cells
+
+
+def ivf_fast_agreement(
+    embeddings: DataFrame,
+    n_cells: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_agreement: float = 0.999,
+    train_iters: int = V.KMEANS_ITERS,
+) -> DataFrame:
+    """The FAST index build's correctness witness: one map-only Arrow pass
+    computes BOTH the parity-pinned per-dim assignment and the BLAS
+    assignment over the same batches (same trained centroids — training
+    is mode-independent) and counts agreements. Returns ONE row
+    ``(n_vectors, n_agree, agreement_ok)`` where ``agreement_ok`` asserts
+    ``n_agree ≥ ceil(min_agreement · n_vectors)``.
+
+    This is the oracle shape the bit-parity hash can't provide for a
+    reassociated sum: disagreement is only possible where two cells'
+    cosines are within float-reassociation distance (ties), which trained
+    well-separated centroids make vanishingly rare — measured 100%
+    agreement on the driver fixtures. Map-only: no join, no shuffle
+    before the single-row aggregate."""
+    import numpy as np
+
+    n_cells = _resolve_n_cells(embeddings, n_cells)
+    centroids = ivf_centroids(embeddings, n_cells, id_col, vec_col, train_iters)
+    order = sorted(centroids, key=lambda t: int(t[0]))
+    cmat = np.asarray([t[1] for t in order], dtype=np.float64)
+    cnorm = np.asarray([t[2] for t in order], dtype=np.float64)
+    cids = np.asarray([int(t[0]) for t in order], dtype=np.int64)
+    dim = cmat.shape[1]
+    base = embeddings.select(
+        F.col(vec_col).alias("n_vec"), V.norm2(vec_col).alias("_vn")
+    )
+
+    def compare(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = list(pdf["n_vec"])
+            vn = pdf["_vn"].to_numpy(dtype=np.float64)
+            parity = _batch_cells(vecs, vn, cmat, cnorm, cids, dim, False)
+            fast = _batch_cells(vecs, vn, cmat, cnorm, cids, dim, True)
+            yield pd.DataFrame(
+                {"n": [len(vecs)], "agree": [int((parity == fast).sum())]}
+            )
+
+    stats = base.mapInPandas(compare, "n bigint, agree bigint").agg(
+        F.sum("n").alias("n_vectors"), F.sum("agree").alias("n_agree")
+    )
+    return stats.select(
+        "n_vectors",
+        "n_agree",
+        (
+            F.col("n_agree")
+            >= F.ceil(F.lit(min_agreement) * F.col("n_vectors")).cast("long")
+        ).alias("agreement_ok"),
+    )
 
 
 def ivf_index(
@@ -632,12 +722,15 @@ def ivf_index(
     vec_col: str = "embedding",
     cache_key: str | None = None,
     train_iters: int = V.KMEANS_ITERS,
+    fast: bool = False,
 ):
     """Build (or fetch) the IVF index: the centroid list plus the corpus
     with its assigned cell (max cos, ties → max cell — mirrored by the
     twin's ``ORDER BY cos DESC, cell_id DESC``; see :func:`_assign_cells`
     for the two physical shapes). ``n_cells=None`` auto-sizes √N from the
-    corpus count."""
+    corpus count. ``fast=True`` builds with the BLAS assignment (the
+    scale mode — agreement-checked against the parity build, not
+    hash-pinned; centroid TRAINING is identical in both modes)."""
     n_cells = _resolve_n_cells(embeddings, n_cells)
     key = None
     if cache_key is not None:
@@ -651,12 +744,13 @@ def ivf_index(
             id_col,
             vec_col,
             train_iters,
+            fast,
         )
         hit = _IVF_INDEX_CACHE.get(key)
         if hit is not None:
             return hit
     centroids = ivf_centroids(embeddings, n_cells, id_col, vec_col, train_iters)
-    corpus = _assign_cells(embeddings, centroids, id_col, vec_col)
+    corpus = _assign_cells(embeddings, centroids, id_col, vec_col, fast=fast)
     # centroid table for the probe side: ranking 16 rows via a broadcast
     # join keeps the probe PLAN small — embedding the centroids as literal
     # arrays instead costs ~1.5 s of Catalyst compile per query (the giant
@@ -682,6 +776,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     index_cache_key: str | None = None,
     train_iters: int = V.KMEANS_ITERS,
+    fast: bool = False,
 ) -> DataFrame:
     """IVF-flat approximate top-k.
 
@@ -694,13 +789,16 @@ def ivf_topk(
       3. exact cosine + per-query top-k window over candidates only.
 
     ``n_cells=None`` → √N auto-sizing; ``nprobe=None`` → ⌊√n_cells⌋.
+    ``fast=True`` probes an index built with the BLAS assignment (the
+    scale mode — :func:`ivf_fast_agreement` is its witness); probe-side
+    scoring is identical in both modes.
     """
     n_cells = _resolve_n_cells(embeddings, n_cells)
     if nprobe is None:
         nprobe = auto_nprobe(n_cells)
     _centroids, cdf, corpus = ivf_index(
         embeddings, n_cells, id_col, vec_col, cache_key=index_cache_key,
-        train_iters=train_iters,
+        train_iters=train_iters, fast=fast,
     )
     queries = embeddings.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"),

@@ -909,6 +909,18 @@ def _ann_recall_oracle() -> str:
         "ivf_auto": tw.ann_ivf_sql(
             _ANN_QUERY_IDS, k=k, n_cells=None, nprobe=None, train_iters=0
         ),
+        # the BLAS-assignment scale build (ivf_index fast=True): its twin
+        # is the SAME IVF SQL — the fast dgemm reassociates the IEEE dot
+        # sum, but cell assignment only changes where two cells' cosines
+        # sit within reassociation distance (measured: 0 of 2000 vectors
+        # at driver SFs; ivf_fast_agreement + its pytest pin hold the
+        # ≥99.9% agreement floor). Any real divergence flips this arm's
+        # neighbor set and fails the hash — the recall/agreement oracle
+        # the r9 verdict asked for, at rows+hash strength.
+        "ivf_fast": tw.ann_ivf_sql(
+            _ANN_QUERY_IDS, k=k, n_cells=similarity.N_CELLS,
+            nprobe=similarity.N_PROBE
+        ),
         "lsh": tw.ann_lsh_sql(planes, _ANN_QUERY_IDS, k=k),
         "lsh_mp": tw.ann_lsh_sql(planes, _ANN_QUERY_IDS, k=k, multiprobe=True),
         "pq": tw.ann_pq_sql(_ANN_QUERY_IDS, k=k),
@@ -963,6 +975,10 @@ def _ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("ivf_auto", similarity.ivf_topk(
             emb, _ANN_QUERY_IDS, k=_ANN_K, n_cells=None, nprobe=None,
             train_iters=0, index_cache_key=sf_dir + "::auto")),
+        ("ivf_fast", similarity.ivf_topk(
+            emb, _ANN_QUERY_IDS, k=_ANN_K,
+            n_cells=similarity.N_CELLS, nprobe=similarity.N_PROBE,
+            index_cache_key=sf_dir + "::fast", fast=True)),
         ("lsh", similarity.lsh_topk(
             emb, _ANN_QUERY_IDS, k=_ANN_K, planes=pinned_planes)),
         ("lsh_mp", similarity.lsh_topk(

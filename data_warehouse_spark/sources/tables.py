@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import threading
 import urllib.parse
 import uuid
 
@@ -137,6 +138,11 @@ class TableStore:
         # raw walks (balance_view.table_fingerprint does so for stores
         # without the attribute).
         self.mutations: int = 0
+        # guards the two counters above: the tick now runs independent-table
+        # merges CONCURRENTLY (transfer + balance-change in two threads),
+        # and a lost `+= 1` under GIL preemption could let a fingerprint
+        # memo taken mid-write be believed valid for the post-write state
+        self._mut_lock = threading.Lock()
         # per-table twin of `mutations` (same start+end bump discipline):
         # keys the read() DataFrame memo below so a write to table A does
         # not force table B's next read to re-list its files
@@ -166,6 +172,12 @@ class TableStore:
                 )
         os.makedirs(root, exist_ok=True)
 
+    def _bump(self, tname: str) -> None:
+        """Atomic start/end mutation-counter bump (global + per-table)."""
+        with self._mut_lock:
+            self.mutations += 1
+            self.table_mutations[tname] = self.table_mutations.get(tname, 0) + 1
+
     # ---- version plumbing ---------------------------------------------
 
     def _table_dir(self, name: str) -> str:
@@ -194,8 +206,7 @@ class TableStore:
     def _swap(self, name: str, new_version_dir: str) -> None:
         """Atomically point readers at ``new_version_dir``; keep the
         immediately-previous version for in-flight readers, prune older."""
-        self.mutations += 1  # invalidate fingerprint memos before the swap
-        self.table_mutations[name] = self.table_mutations.get(name, 0) + 1
+        self._bump(name)  # invalidate fingerprint memos before the swap
         tdir = self._table_dir(name)
         os.makedirs(tdir, exist_ok=True)
         prev = self._resolve(name)
@@ -216,8 +227,7 @@ class TableStore:
             if entry.startswith("v-") and entry not in keep:
                 shutil.rmtree(os.path.join(tdir, entry), ignore_errors=True)
         self.spark.catalog.refreshByPath(new_version_dir)
-        self.mutations += 1  # post-swap bump: memos taken mid-swap die too
-        self.table_mutations[name] = self.table_mutations.get(name, 0) + 1
+        self._bump(name)  # post-swap bump: memos taken mid-swap die too
 
     # ---- read surface --------------------------------------------------
 
@@ -501,8 +511,7 @@ class TableStore:
         adopted: list[str] = []
         os.makedirs(target, exist_ok=True)
         tname = os.path.relpath(target, self.root).split(os.sep)[0]
-        self.mutations += 1  # invalidate fingerprint memos before adopting
-        self.table_mutations[tname] = self.table_mutations.get(tname, 0) + 1
+        self._bump(tname)  # invalidate fingerprint memos before adopting
         for dirpath, _dirnames, filenames in os.walk(staging):
             rel = os.path.relpath(dirpath, staging)
             for fname in filenames:
@@ -516,8 +525,7 @@ class TableStore:
                 os.rename(src, dest)
                 adopted.append(dest)
         self.last_adopted_files = adopted
-        self.mutations += 1  # post-adopt bump (see __init__ note)
-        self.table_mutations[tname] = self.table_mutations.get(tname, 0) + 1
+        self._bump(tname)  # post-adopt bump (see __init__ note)
         return n_rows
 
     def merge_upsert(

@@ -73,6 +73,7 @@ from __future__ import annotations
 import logging
 import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -264,11 +265,25 @@ class IngestionPipeline:
         store: TableStore,
         strict: bool = True,
         listing_cache: bool = True,
+        rollup_defer_files: int | None = -1,
     ):
         self.spark = spark
         self.root = primary_root
         self.store = store
         self.strict = strict
+        # rollup-maintenance deferral bound (balance_view.maintain
+        # defer_under_files): a busy tick skips the rollup converge while
+        # the append-only stale window stays under this many part files —
+        # serving answers EXACT balances through that window (KV Arrow
+        # delta), and the first idle tick (or a window overflow) converges
+        # N deferred ticks in one combined CDC apply. -1 = env default
+        # (SPARK_GRAFT_ROLLUP_DEFER_FILES, default 24); None/0 = always
+        # converge in-tick (the pre-r10 behavior).
+        if rollup_defer_files == -1:
+            rollup_defer_files = int(
+                os.environ.get("SPARK_GRAFT_ROLLUP_DEFER_FILES", "24")
+            )
+        self.rollup_defer_files = rollup_defer_files or None
         # per-directory mtime watermarks: steady-state ticks examine only
         # changed-or-pending accounts (O(changed dirs), the reference's 2 s
         # cadence target at warehouse width). False = re-walk every tick.
@@ -354,7 +369,9 @@ class IngestionPipeline:
                             scan_keys, m.extra.pop("_active_keys", ())
                         )
                     m.extra.pop("_active_keys", None)
-                    balance_view.maintain(store)
+                    balance_view.maintain(
+                        store, defer_under_files=self.rollup_defer_files
+                    )
                     clock.lap("rollup_converge_check")
             inv = spark.createDataFrame(
                 rows, listing.SNAPSHOT_FILE_SCHEMA
@@ -389,8 +406,10 @@ class IngestionPipeline:
             # convergence check for the serving balance rollup: pure-Python
             # noop when fresh (the idle-tick zero-write contract holds);
             # rebuilds once after a bootstrap (externally loaded change
-            # table) or a crash between merge and maintenance
-            balance_view.maintain(store)
+            # table) or a crash between merge and maintenance. Deferral
+            # bound passed through: a busy tick leaves small windows to
+            # the first idle tick (which calls maintain BARE and converges).
+            balance_view.maintain(store, defer_under_files=self.rollup_defer_files)
             clock.lap("rollup_converge_check")
 
     # ------------------------------------------------------------------
@@ -487,18 +506,22 @@ class IngestionPipeline:
             if v == 0 and (t, a) not in marks
         ]
         files_read["meta"] = len(new_meta)
+        pending_discovery: list[tuple] = []
         if new_meta:
             active_keys.update((t, a) for t, a, _ in new_meta)
             meta_rows = self._read_meta_rows_tiered([p for _, _, p in new_meta])
-            meta = spark.createDataFrame(
-                [(t, n, c, f, 0, 0) for t, n, c, f in meta_rows],
-                ACCOUNT_SCHEMA,
-            )
-            m.accounts_discovered = store.merge_insert_missing(
-                "account", meta, PRIMARY_KEYS["account"]
-            )
+            # discovery rows are NOT merged here: the tick body reads
+            # watermarks from the local `marks` dict, so the durable write
+            # can ride the tick's single fused account MERGE at the end
+            # (with the marker advance) — one Spark write action instead
+            # of two. Upsert-vs-insert-missing is equivalent for these
+            # keys: absence from `marks` (the KV tier's exact read of the
+            # account table) proves absence from the table.
             for t, n, c, f in meta_rows:
-                marks.setdefault((t, n), (0, 0, c, f))
+                if (t, n) not in marks:
+                    marks[(t, n)] = (0, 0, c, f)
+                    pending_discovery.append((t, n, c, f, 0, 0))
+            m.accounts_discovered = len(pending_discovery)
         clock.lap("account_discovery")
 
         # --- snapshot selection (D4) + count-skip (D5), driver-side -----
@@ -522,7 +545,18 @@ class IngestionPipeline:
         files_read["events"] = len(ev_paths)
         clock.lap("event_listing")
         if not ev_paths:
-            return m  # idle examination: no content reads, no writes
+            # idle examination: no content reads; the only write (if any)
+            # is the deferred discovery batch
+            if pending_discovery:
+                store.merge_upsert(
+                    "account",
+                    spark.createDataFrame(
+                        sorted(pending_discovery), ACCOUNT_SCHEMA
+                    ),
+                    PRIMARY_KEYS["account"],
+                )
+                clock.lap("marker_advance")
+            return m
 
         # --- event reads + the picked filter (D5 boundary replay) -------
         parsed = self._read_event_rows_tiered(sorted(ev_paths))
@@ -533,11 +567,25 @@ class IngestionPipeline:
                 picked_rows.append((t, a, status, txn, sv, ver))
         clock.lap("event_read_pick")
         try:
-            self._expand_and_merge_local(m, files_read, picked_rows, marks, clock)
+            self._expand_and_merge_local(
+                m, files_read, picked_rows, marks, clock, pending_discovery
+            )
         except Exception as e:  # noqa: BLE001 — twin's fall-back signal
             if "TwinUnsupported" not in f"{type(e).__name__}: {e}":
                 raise
-            # exotic transaction timestamps: run the DataFrame expansion
+            # exotic transaction timestamps: run the DataFrame expansion.
+            # The Spark form joins the ACCOUNT TABLE for marker currency/
+            # format, so the deferred discovery batch must be durable
+            # first (TwinUnsupported raises before any merge, so this
+            # cannot double-write)
+            if pending_discovery:
+                store.merge_upsert(
+                    "account",
+                    spark.createDataFrame(
+                        sorted(pending_discovery), ACCOUNT_SCHEMA
+                    ),
+                    PRIMARY_KEYS["account"],
+                )
             ev_schema = T.StructType(
                 [T.StructField(f.name, f.dataType, True)
                  for f in primary.ACCOUNT_EVENT_SCHEMA.fields]
@@ -557,6 +605,7 @@ class IngestionPipeline:
         picked_rows: list,
         marks: dict,
         clock: _StageClock,
+        pending_discovery: list | tuple = (),
     ) -> None:
         """Delta-path twin of :meth:`_expand_and_merge` with the D6/D7/D8
         logic in PYTHON over the tick's local rows: the relevance filter,
@@ -627,24 +676,39 @@ class IngestionPipeline:
         tdf = spark.createDataFrame(
             sorted(new_transfers.values(), key=str), tschema
         )
-        m.transfers_discovered = store.merge_insert_missing(
-            "transfer", tdf, PRIMARY_KEYS["transfer"]
-        )
-        clock.lap("transfer_merge")
-
-        fp_before = balance_view.abc_fingerprint(store)
-        store.merge_insert_missing(
-            "account_balance_change", _signed_changes(tdf), ABC_PRIMARY_KEYS
-        )
-        clock.lap("abc_merge")
-        balance_view.maintain(
-            store, fp_before=fp_before, adopted_files=store.last_adopted_files
-        )
+        # transfer + balance-change merges run CONCURRENTLY: different
+        # tables, both insert-missing, both derived from the local tdf —
+        # under serving contention each Spark action pays 1.5–2.5 s of
+        # scheduling latency regardless of batch size, so the pair costs
+        # max() instead of sum(). Crash between the two replays cleanly:
+        # markers haven't advanced, and both merges are PK-idempotent.
+        abc_df = _signed_changes(tdf)
+        with ThreadPoolExecutor(
+            max_workers=2, thread_name_prefix="tick-merge"
+        ) as pool:
+            fut_t = pool.submit(
+                store.merge_insert_missing, "transfer", tdf,
+                PRIMARY_KEYS["transfer"],
+            )
+            fut_abc = pool.submit(
+                store.merge_insert_missing, "account_balance_change",
+                abc_df, ABC_PRIMARY_KEYS,
+            )
+            m.transfers_discovered = fut_t.result()
+            fut_abc.result()
+        clock.lap("transfer_abc_merge")
+        # rollup maintenance DEFERRED while the append-only window is
+        # small: serving answers exact balances through the window (KV
+        # Arrow delta), and the first idle tick converges all deferred
+        # appends in one combined CDC apply (balance_view.maintain)
+        balance_view.maintain(store, defer_under_files=self.rollup_defer_files)
         clock.lap("rollup_maintain")
 
-        # marker advance (D10), LAST — assignment semantics (`!=`), max
-        # lexicographic (snapshot, version) per account, exactly the
-        # DataFrame form's rules
+        # fused account MERGE, LAST (D10 crash-replay contract): marker
+        # advances — assignment semantics (`!=`), max lexicographic
+        # (snapshot, version) per account, exactly the DataFrame form's
+        # rules — PLUS this tick's deferred discovery rows, one write
+        # action instead of two
         pos: dict[tuple[str, str], tuple[int, int]] = {}
         for t, a, _status, _txn, sv, ver in picked_rows:
             cur = pos.get((t, a))
@@ -656,10 +720,14 @@ class IngestionPipeline:
             if mk is None or (sv, ver) == (mk[0], mk[1]):
                 continue
             advanced.append((key[0], key[1], mk[2], mk[3], sv, ver))
-        if advanced:
+        adv_keys = {(t, a) for t, a, *_ in advanced}
+        batch = sorted(
+            r for r in pending_discovery if (r[0], r[1]) not in adv_keys
+        ) + advanced
+        if batch:
             store.merge_upsert(
                 "account",
-                spark.createDataFrame(advanced, ACCOUNT_SCHEMA),
+                spark.createDataFrame(batch, ACCOUNT_SCHEMA),
                 PRIMARY_KEYS["account"],
             )
         clock.lap("marker_advance")
@@ -971,27 +1039,34 @@ class IngestionPipeline:
             "currency",
             "value_date",
         )
+        new_transfers = new_transfers.persist()
         clock.lap("txn_expand")
-        m.transfers_discovered = store.merge_insert_missing(
-            "transfer", new_transfers, PRIMARY_KEYS["transfer"]
-        )
-        clock.lap("transfer_merge")
-
-        # --- derived gold table: INCREMENTAL signed balance changes -------
-        # derived from this tick's batch (pre-merge, so a crash-replay
-        # regenerates them) and MERGE-appended on the provenance PK; an idle
-        # or replayed tick appends nothing and never rewrites the table
-        fp_before = balance_view.abc_fingerprint(store)
-        store.merge_insert_missing(
-            "account_balance_change", _signed_changes(new_transfers), ABC_PRIMARY_KEYS
-        )
-        clock.lap("abc_merge")
-        # maintain the serving balance rollup from exactly the adopted
-        # part files (file-level CDC); any mismatch — crash replay,
-        # compaction — degrades to a recompute, never to a wrong serve
-        balance_view.maintain(
-            store, fp_before=fp_before, adopted_files=store.last_adopted_files
-        )
+        # --- transfer + derived balance-change merges, CONCURRENT ---------
+        # (same rationale as the local twin: different tables, both
+        # PK-idempotent insert-missing, wall = max not sum). The signed
+        # changes derive from this tick's batch PRE-merge, so a
+        # crash-replay regenerates them; the persist above keeps the two
+        # concurrent plans from re-running the expansion joins twice.
+        with ThreadPoolExecutor(
+            max_workers=2, thread_name_prefix="tick-merge"
+        ) as pool:
+            fut_t = pool.submit(
+                store.merge_insert_missing, "transfer", new_transfers,
+                PRIMARY_KEYS["transfer"],
+            )
+            fut_abc = pool.submit(
+                store.merge_insert_missing, "account_balance_change",
+                _signed_changes(new_transfers), ABC_PRIMARY_KEYS,
+            )
+            m.transfers_discovered = fut_t.result()
+            fut_abc.result()
+        new_transfers.unpersist()
+        clock.lap("transfer_abc_merge")
+        # maintain the serving balance rollup from exactly the appended
+        # part files (file-level CDC via the stale window); any mismatch —
+        # crash replay, compaction — degrades to a recompute, never to a
+        # wrong serve. Small windows defer (see _expand_and_merge_local).
+        balance_view.maintain(store, defer_under_files=self.rollup_defer_files)
         clock.lap("rollup_maintain")
 
         # --- marker advance (D10), LAST so crash-replay re-reads ----------

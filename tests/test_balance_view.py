@@ -105,16 +105,61 @@ def test_delta_path_from_adopted_files_matches_recompute(spark, tmp_path):
 
 def test_crash_between_merge_and_maintain_recovers(spark, tmp_path):
     """Merge lands, maintenance never runs (crash) — the stale rollup is
-    refused by the freshness check and the next bare convergence repairs
-    it by recompute, never by a blind delta."""
+    refused by the freshness check, and the next bare convergence repairs
+    it via the EXACT stale-window delta (the appended-files inventory diff
+    identifies precisely the unsummarized rows — r10's generalized CDC,
+    which subsumes the old recompute-on-crash path), never by a blind
+    serve."""
     store = warehouse_store(spark, str(tmp_path / "wh"))
     store.merge_insert_missing(ABC, _changes(spark, [("A", "x", "1", "t1")]), ABC_PRIMARY_KEYS)
     balance_view.maintain(store)
     store.merge_insert_missing(ABC, _changes(spark, [("A", "x", "2", "t2")]), ABC_PRIMARY_KEYS)
     # crash window: rollup stale → the fast path must refuse to serve
     assert balance_view.read_if_fresh(store) is None
-    # next tick's convergence: fp chain is broken → recompute, correct
-    assert balance_view.maintain(store) == "recompute"
+    # next tick's convergence: the appended-files window is intact, so
+    # recovery is the exact delta apply (cheaper than recompute, same
+    # ground truth)
+    assert balance_view.maintain(store) == "delta"
+    assert _rollup_map(balance_view.read_if_fresh(store)) == _ground_truth(store)
+
+
+def test_deferred_maintenance_accumulates_then_converges(spark, tmp_path):
+    """r10 deferral contract: a busy tick passes ``defer_under_files`` and
+    maintain does NOTHING while the append-only window is small — serving
+    stays exact through the stale-window token — and the next bare call
+    (the idle tick) converges ALL deferred appends in one combined exact
+    delta, equal to ground truth."""
+    store = warehouse_store(spark, str(tmp_path / "wh"))
+    store.merge_insert_missing(ABC, _changes(spark, [("A", "x", "10", "t1")]), ABC_PRIMARY_KEYS)
+    balance_view.maintain(store)
+
+    store.merge_insert_missing(ABC, _changes(spark, [("A", "x", "5", "t2")]), ABC_PRIMARY_KEYS)
+    assert balance_view.maintain(store, defer_under_files=64) == "deferred"
+    # the fast rollup path refuses (stale), but the serving bridge holds
+    assert balance_view.read_if_fresh(store) is None
+    tok = balance_view.serving_token(store)
+    assert tok is not None and tok.startswith("window:")
+
+    store.merge_insert_missing(
+        ABC, _changes(spark, [("B", "y", "3", "t3"), ("A", "x", "-2", "t4")]),
+        ABC_PRIMARY_KEYS,
+    )
+    assert balance_view.maintain(store, defer_under_files=64) == "deferred"
+
+    # idle-tick convergence: BOTH deferred ticks in one exact delta apply
+    assert balance_view.maintain(store) == "delta"
+    assert _rollup_map(balance_view.read_if_fresh(store)) == _ground_truth(store)
+
+
+def test_deferral_bound_overflow_converges_in_tick(spark, tmp_path):
+    """A window at-or-over the bound must converge in-tick, not defer —
+    the bound caps the serving tier's per-request Arrow delta work."""
+    store = warehouse_store(spark, str(tmp_path / "wh"))
+    store.merge_insert_missing(ABC, _changes(spark, [("A", "x", "1", "t1")]), ABC_PRIMARY_KEYS)
+    balance_view.maintain(store)
+    store.merge_insert_missing(ABC, _changes(spark, [("A", "x", "2", "t2")]), ABC_PRIMARY_KEYS)
+    # the merge adopted >= 1 part file, so a bound of 1 cannot defer
+    assert balance_view.maintain(store, defer_under_files=1) == "delta"
     assert _rollup_map(balance_view.read_if_fresh(store)) == _ground_truth(store)
 
 

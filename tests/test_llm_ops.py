@@ -1653,6 +1653,33 @@ def test_assign_cells_join_and_literal_paths_agree(spark):
     assert a == b
 
 
+def test_ivf_fast_assignment_agreement(spark):
+    """The BLAS scale-mode index build (ivf_index fast=True) is checked by
+    AGREEMENT, not bit-parity — the dgemm reassociates the IEEE dot sum.
+    The witness (similarity.ivf_fast_agreement, one map-only Arrow pass
+    running both kernels over the same batches) must clear the ≥99.9 %
+    floor on the driver fixture; measured agreement there is 100 %, and
+    the catalog's ann_recall ``ivf_fast`` arm pins the resulting top-k
+    against the parity twin's SQL at rows+hash strength."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    row = similarity.ivf_fast_agreement(emb).collect()[0]
+    assert row["agreement_ok"], row
+    assert row["n_vectors"] == emb.count()
+    # driver fixtures: trained centroids are well-separated → exact match
+    assert row["n_agree"] == row["n_vectors"], row
+
+
+def test_ivf_fast_topk_equals_parity_topk(spark):
+    """End-to-end: the fast-built index must serve the same neighbors as
+    the parity-built one at pinned geometry (agreement ⇒ identical cells
+    ⇒ identical probe candidates ⇒ identical exact-cosine top-k)."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    kw = dict(k=5, n_cells=similarity.N_CELLS, nprobe=similarity.N_PROBE)
+    parity = similarity.ivf_topk(emb, [0, 1, 2], **kw).collect()
+    fast = similarity.ivf_topk(emb, [0, 1, 2], fast=True, **kw).collect()
+    assert [tuple(r) for r in parity] == [tuple(r) for r in fast]
+
+
 def test_semantic_dedup_auto_matches_pinned_semantics(spark):
     """Auto geometry changes WHICH cells bound the pair search, not the
     dedup semantics: a planted exact duplicate (cosine 1.0 — same nearest
