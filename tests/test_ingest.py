@@ -18,6 +18,10 @@ from data_warehouse_spark.streaming.ingest import (
     warehouse_store,
 )
 
+# streaming/serving e2e tier: full-pipeline ticks / HTTP / stateful
+# streams (see pytest.ini) - deselected from the per-commit unit core
+pytestmark = pytest.mark.slow
+
 
 def write(path: str, content: str) -> None:
     os.makedirs(os.path.dirname(path), exist_ok=True)

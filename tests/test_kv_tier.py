@@ -15,6 +15,8 @@ snapshot cache's memory bound, proved here on three axes —
 
 from __future__ import annotations
 
+import pytest
+
 import datetime
 import decimal
 
@@ -30,6 +32,10 @@ from data_warehouse_spark.streaming.ingest import (
     warehouse_store,
 )
 from tests.test_serving_cache import QUERIES, _fixture
+
+# streaming/serving e2e tier: full-pipeline ticks / HTTP / stateful
+# streams (see pytest.ini) - deselected from the per-commit unit core
+pytestmark = pytest.mark.slow
 
 
 def _ticked(spark, tmp_path):

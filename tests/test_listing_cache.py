@@ -10,10 +10,16 @@ semantics across real ticks — is covered in test_ingest.py.
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import time
 
 from data_warehouse_spark.sources.listing import ListingCache
+
+# streaming/serving e2e tier: full-pipeline ticks / HTTP / stateful
+# streams (see pytest.ini) - deselected from the per-commit unit core
+pytestmark = pytest.mark.slow
 
 
 def _mk(root, tenant, account, snaps=(0,), events=None):

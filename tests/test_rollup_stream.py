@@ -2,10 +2,16 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import types as T
 
 from data_warehouse_spark.operators import ivm
 from data_warehouse_spark.streaming import rollup_stream as rs
+
+# streaming/serving e2e tier: full-pipeline ticks / HTTP / stateful
+# streams (see pytest.ini) - deselected from the per-commit unit core
+pytestmark = pytest.mark.slow
 
 SCHEMA = T.StructType(
     [

@@ -9,6 +9,8 @@ replaces."""
 
 from __future__ import annotations
 
+import pytest
+
 import decimal
 import os
 
@@ -16,6 +18,10 @@ from data_warehouse_spark.api.graphql_schema import execute
 from data_warehouse_spark.api.serving_cache import ServingCache
 from data_warehouse_spark.operators import balance_view
 from data_warehouse_spark.streaming.ingest import IngestionPipeline, warehouse_store
+
+# streaming/serving e2e tier: full-pipeline ticks / HTTP / stateful
+# streams (see pytest.ini) - deselected from the per-commit unit core
+pytestmark = pytest.mark.slow
 
 
 def write(path: str, content: str) -> None:

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from data_warehouse_spark import catalog as cat
@@ -9,6 +11,10 @@ from data_warehouse_spark.operators import sketches
 from data_warehouse_spark.streaming import sketch_stream as ss
 
 from .conftest import SF_DIR
+
+# streaming/serving e2e tier: full-pipeline ticks / HTTP / stateful
+# streams (see pytest.ini) - deselected from the per-commit unit core
+pytestmark = pytest.mark.slow
 
 
 def _token_batches(spark, n=3):

@@ -14,6 +14,10 @@ from data_warehouse_spark.streaming import events_stream
 
 from .conftest import SF_DIR
 
+# streaming/serving e2e tier: full-pipeline ticks / HTTP / stateful
+# streams (see pytest.ini) - deselected from the per-commit unit core
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture()
 def events_batch(spark):
