@@ -83,6 +83,28 @@ def main() -> int:
         emb, QIDS, k=K, n_cells=None, nprobe=None, train_iters=0,
         index_cache_key=key + "::auto"))
 
+    # r10 BLAS scale mode: same geometry/training, dgemm assignment. The
+    # pinned-geometry arm mirrors the suite's new ivf_fast arm; the AUTO
+    # arm is the headline — auto √N geometry is where the O(N·√N·d)
+    # assignment flops live (ANN_ATTRIBUTION_SF30/SF100), so
+    # ivf_auto_cold / ivf_fast_auto_cold is the build-time speedup claim.
+    similarity.clear_ivf_cache()
+    timed("ivf_fast_cold", lambda: similarity.ivf_topk(
+        emb, QIDS, k=K, n_cells=similarity.N_CELLS,
+        nprobe=similarity.N_PROBE, index_cache_key=key + "::fast",
+        fast=True))
+    timed("ivf_fast_warm", lambda: similarity.ivf_topk(
+        emb, QIDS, k=K, n_cells=similarity.N_CELLS,
+        nprobe=similarity.N_PROBE, index_cache_key=key + "::fast",
+        fast=True))
+    similarity.clear_ivf_cache()
+    timed("ivf_fast_auto_cold", lambda: similarity.ivf_topk(
+        emb, QIDS, k=K, n_cells=None, nprobe=None, train_iters=0,
+        index_cache_key=key + "::fastauto", fast=True))
+    timed("ivf_fast_auto_warm", lambda: similarity.ivf_topk(
+        emb, QIDS, k=K, n_cells=None, nprobe=None, train_iters=0,
+        index_cache_key=key + "::fastauto", fast=True))
+
     planes = similarity.hyperplanes()
     timed("lsh", lambda: similarity.lsh_topk(emb, QIDS, k=K, planes=planes))
     timed("lsh_mp", lambda: similarity.lsh_topk(
@@ -117,7 +139,8 @@ def main() -> int:
               flush=True)
 
     cold_sum = round(
-        arms["bf"] + arms["ivf_cold"] + arms["ivf_auto_cold"] + arms["lsh"]
+        arms["bf"] + arms["ivf_cold"] + arms["ivf_auto_cold"]
+        + arms["ivf_fast_cold"] + arms["lsh"]
         + arms["lsh_mp"] + arms["pq_cold"] + arms["ivfpq_cold"], 2)
     report = {
         "metric": "ann_recall_per_arm_attribution",

@@ -294,18 +294,34 @@ def stale_window(store) -> tuple[str, str, list[str]] | None:
     file. The token hashes the exact new-file set, so a pinned caller
     (torn-read guard) refuses if another tick lands mid-request.
 
-    Memoized on the store's mutation counter (same discipline as
-    table_fingerprint): the inventory diff walks O(partition dirs), and
-    under 32 request threads a per-request walk was the measured GIL
-    convoy that starved the ingest tick's driver thread."""
+    Memoized on the store's mutation counter AND single-flighted (same
+    discipline as table_fingerprint): the inventory diff walks
+    O(partition dirs) of GIL-bound driver work, and r10's deferred rollup
+    maintenance made the window the STEADY-STATE balance serving path —
+    serving_bench --stacks caught a bad draw with ~6000 of ~16000 thread
+    samples inside this walk (every mutation epoch, all 32 request
+    threads re-walked concurrently, each stretched ~Nx by the GIL
+    convoy; wall 62 s vs 14 s on good draws). One thread walks per
+    epoch; the rest block on the lock (GIL released) and read the memo."""
     mut = getattr(store, "mutations", None)
     memo = getattr(store, "_window_memo", None)
     if mut is not None and memo is not None and memo[0] == mut:
         return memo[1]
-    result = _stale_window_uncached(store)
-    if mut is not None and mut == getattr(store, "mutations", None):
-        store._window_memo = (mut, result)
-    return result
+    if mut is None:
+        return _stale_window_uncached(store)
+    locks = getattr(store, "_fp_locks", None)
+    if locks is None:
+        locks = store._fp_locks = {}
+    lock = locks.setdefault("__stale_window__", threading.Lock())
+    with lock:
+        mut = getattr(store, "mutations", None)
+        memo = getattr(store, "_window_memo", None)
+        if memo is not None and memo[0] == mut:
+            return memo[1]
+        result = _stale_window_uncached(store)
+        if mut == getattr(store, "mutations", None):
+            store._window_memo = (mut, result)
+        return result
 
 
 def _stale_window_uncached(store) -> tuple[str, str, list[str]] | None:

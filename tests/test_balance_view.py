@@ -163,6 +163,52 @@ def test_deferral_bound_overflow_converges_in_tick(spark, tmp_path):
     assert _rollup_map(balance_view.read_if_fresh(store)) == _ground_truth(store)
 
 
+def test_stale_window_memoized_and_single_flighted(spark, tmp_path):
+    """The window walk is O(partition dirs) of GIL-bound driver work and —
+    with r10's deferred maintenance — the STEADY-STATE balance serving
+    path: it must compute once per mutation epoch (memo) with concurrent
+    callers funneled through one walker (single-flight; the serving_bench
+    --stacks bad-draw convoy: 32 threads re-walking per request, 62 s
+    draws). Pin: N concurrent calls in a stable epoch = exactly one
+    uncached computation, all callers get the identical result."""
+    import threading as th
+
+    store = warehouse_store(spark, str(tmp_path / "wh"))
+    store.merge_insert_missing(ABC, _changes(spark, [("A", "x", "1", "t1")]), ABC_PRIMARY_KEYS)
+    balance_view.maintain(store)
+    store.merge_insert_missing(ABC, _changes(spark, [("A", "x", "2", "t2")]), ABC_PRIMARY_KEYS)
+    store._window_memo = None  # force the next call to compute
+
+    calls = []
+    real = balance_view._stale_window_uncached
+
+    def counting(s):
+        calls.append(1)
+        return real(s)
+
+    results = []
+    barrier = th.Barrier(8)
+
+    def worker():
+        barrier.wait()
+        results.append(balance_view.stale_window(store))
+
+    orig = balance_view._stale_window_uncached
+    balance_view._stale_window_uncached = counting
+    try:
+        threads = [th.Thread(target=worker) for _ in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    finally:
+        balance_view._stale_window_uncached = orig
+    assert len(calls) == 1, f"{len(calls)} walks for 8 concurrent callers"
+    assert len({r[0] for r in results}) == 1  # same window token for all
+    # and the window is real: converging applies it as an exact delta
+    assert balance_view.maintain(store) == "delta"
+
+
 def test_replayed_merge_is_noop(spark, tmp_path):
     """Crash-replay regenerates the same batch; the PK merge inserts
     nothing, the fingerprint is unchanged, maintenance is a noop."""
