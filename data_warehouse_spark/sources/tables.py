@@ -357,10 +357,30 @@ class TableStore:
 
     # ---- MERGE emulation ----------------------------------------------
 
-    def merge_insert_missing(self, name: str, batch: DataFrame, keys: list[str]) -> int:
+    def merge_insert_missing(
+        self,
+        name: str,
+        batch: DataFrame,
+        keys: list[str],
+        partition_values: list[tuple] | None = None,
+        assume_nonempty: bool = False,
+    ) -> int:
         """INSERT … ON CONFLICT DO NOTHING. Returns #rows inserted (the
         discovery metric the reference emits per entity —
-        PrimaryDataExplorationService.scala:58,92,247)."""
+        PrimaryDataExplorationService.scala:58,92,247).
+
+        ``partition_values`` / ``assume_nonempty``: driver-known-batch fast
+        path. A caller whose batch originates from DRIVER data (the
+        ingestion tick's local twin) already knows the partition-column
+        value set and that the batch is non-empty; passing them skips two
+        Spark actions per merge (the pvals collect and the isEmpty gate)
+        — under 32 concurrent serving clients each action costs 1.5–3 s
+        of contended scheduling regardless of size, and these two were
+        measured inside the 9.9 s contended transfer+abc stage. With
+        ``assume_nonempty`` a REPLAYED batch whose anti-join comes up
+        empty just writes an empty staging dir and adopts zero files —
+        one wasted action on the rare replay instead of one extra action
+        on every normal tick."""
         # dedupe the batch itself on PK first (replayed fixtures)
         self.last_adopted_files = []  # never carry a previous merge's files
         fresh = batch.dropDuplicates(keys)
@@ -370,7 +390,11 @@ class TableStore:
             # touches (O(batch partitions), not O(table))
             pcols = [c for c in self.partitions.get(name, []) if c in keys]
             if pcols:
-                pvals = fresh.select(*pcols).distinct().collect()
+                pvals = (
+                    [tuple(r) for r in partition_values]
+                    if partition_values is not None
+                    else fresh.select(*pcols).distinct().collect()
+                )
                 if 0 < len(pvals) <= MAX_PRUNE_PARTITIONS:
                     for i, c in enumerate(pcols):
                         current = current.filter(
@@ -395,7 +419,7 @@ class TableStore:
         staging = f"{self._table_dir(name)}.stage-{uuid.uuid4().hex[:8]}"
         try:
             try:
-                if fresh.isEmpty():
+                if not assume_nonempty and fresh.isEmpty():
                     return 0
                 # materialize to a staging dir FIRST, then move the part
                 # files in: appending from a plan that reads the target dir
@@ -416,13 +440,26 @@ class TableStore:
                     self.spark.catalog.refreshByPath(vdir)
                     # a 2 s append cadence accumulates one part-file set per
                     # tick; compact over-fragmented partitions before they
-                    # become the classic small-file problem
-                    self.compact(name)
+                    # become the classic small-file problem. Only the dirs
+                    # THIS adopt touched can newly cross the threshold, so
+                    # the fragmentation check is O(touched dirs), never a
+                    # per-tick walk of the whole table (GIL-convoy fodder
+                    # under concurrent serving; absurd at 100 TB width)
+                    self.compact(
+                        name,
+                        dirs={os.path.dirname(p)
+                              for p in self.last_adopted_files},
+                    )
             return n
         finally:
             shutil.rmtree(staging, ignore_errors=True)
 
-    def compact(self, name: str, threshold: int | None = None) -> int:
+    def compact(
+        self,
+        name: str,
+        threshold: int | None = None,
+        dirs: set[str] | None = None,
+    ) -> int:
         """Compact over-fragmented partition directories into right-sized
         files — the Delta OPTIMIZE / Iceberg rewrite_data_files story for
         the file-level append path, at snapshot granularity.
@@ -442,9 +479,23 @@ class TableStore:
         if vdir is None:
             return 0
         frag: set[str] = set()
-        for dirpath, _dn, filenames in os.walk(vdir):
-            if sum(1 for f in filenames if f.endswith(".parquet")) > threshold:
-                frag.add(dirpath)
+        if dirs is not None:
+            # caller-scoped fragmentation check (the per-merge path): only
+            # the dirs the append touched can have crossed the threshold —
+            # O(touched dirs) listdir instead of an O(table) walk per tick
+            for dirpath in dirs:
+                try:
+                    n_pq = sum(
+                        1 for f in os.listdir(dirpath) if f.endswith(".parquet")
+                    )
+                except OSError:
+                    continue  # raced with a concurrent swap — next pass sees it
+                if n_pq > threshold:
+                    frag.add(dirpath)
+        else:
+            for dirpath, _dn, filenames in os.walk(vdir):
+                if sum(1 for f in filenames if f.endswith(".parquet")) > threshold:
+                    frag.add(dirpath)
         if not frag:
             return 0
         new_vdir = self._new_version_dir(name)
@@ -529,9 +580,19 @@ class TableStore:
         return n_rows
 
     def merge_upsert(
-        self, name: str, batch: DataFrame, keys: list[str]
+        self,
+        name: str,
+        batch: DataFrame,
+        keys: list[str],
+        partition_values: list[tuple] | None = None,
+        assume_nonempty: bool = False,
     ) -> tuple[int, int]:
         """INSERT … ON CONFLICT DO UPDATE. Returns (#inserted, #updated).
+
+        ``partition_values`` / ``assume_nonempty``: the same driver-known-
+        batch fast path as :meth:`merge_insert_missing` — skips the pvals
+        collect and the isEmpty gate (one contended Spark action each)
+        when the caller's batch is driver data with known partition values.
 
         Copy-on-write: with a partitioned table whose partition columns are
         part of the PK, only the partitions the batch touches are recomputed
@@ -540,7 +601,7 @@ class TableStore:
         metadata, never O(table)."""
         fresh = batch.dropDuplicates(keys).cache()
         try:
-            if fresh.isEmpty():
+            if not assume_nonempty and fresh.isEmpty():
                 return 0, 0
             if not self.exists(name):
                 n = fresh.count()
@@ -551,7 +612,11 @@ class TableStore:
             # part of the PK (all warehouse hot tables) — multi-level falls
             # back to the full rewrite
             if len(pcols) == 1 and pcols[0] in keys:
-                pvals = fresh.select(*pcols).distinct().collect()
+                pvals = (
+                    [tuple(r) for r in partition_values]
+                    if partition_values is not None
+                    else fresh.select(*pcols).distinct().collect()
+                )
                 if 0 < len(pvals) <= MAX_PRUNE_PARTITIONS:
                     return self._upsert_partitions(name, fresh, keys, pcols, pvals)
             return self._upsert_full(name, fresh, keys)

@@ -683,19 +683,30 @@ class IngestionPipeline:
         # max() instead of sum(). Crash between the two replays cleanly:
         # markers haven't advanced, and both merges are PK-idempotent.
         abc_df = _signed_changes(tdf)
-        with ThreadPoolExecutor(
-            max_workers=2, thread_name_prefix="tick-merge"
-        ) as pool:
-            fut_t = pool.submit(
-                store.merge_insert_missing, "transfer", tdf,
-                PRIMARY_KEYS["transfer"],
+        if new_transfers:
+            # driver-known-batch hints: the tick owns these rows, so the
+            # partition value sets (tenant) and non-emptiness are known
+            # without Spark actions — saves two contended actions/merge
+            t_tenants = sorted({r[0] for r in new_transfers.values()})
+            abc_tenants = sorted(
+                {r[4] for r in new_transfers.values() if r[3] == 1}
+                | {r[6] for r in new_transfers.values() if r[3] == 1}
             )
-            fut_abc = pool.submit(
-                store.merge_insert_missing, "account_balance_change",
-                abc_df, ABC_PRIMARY_KEYS,
-            )
-            m.transfers_discovered = fut_t.result()
-            fut_abc.result()
+            with ThreadPoolExecutor(
+                max_workers=2, thread_name_prefix="tick-merge"
+            ) as pool:
+                fut_t = pool.submit(
+                    store.merge_insert_missing, "transfer", tdf,
+                    PRIMARY_KEYS["transfer"],
+                    [(t,) for t in t_tenants], True,
+                )
+                fut_abc = pool.submit(
+                    store.merge_insert_missing, "account_balance_change",
+                    abc_df, ABC_PRIMARY_KEYS,
+                    [(t,) for t in abc_tenants], bool(abc_tenants),
+                )
+                m.transfers_discovered = fut_t.result()
+                fut_abc.result()
         clock.lap("transfer_abc_merge")
         # rollup maintenance DEFERRED while the append-only window is
         # small: serving answers exact balances through the window (KV
@@ -729,6 +740,8 @@ class IngestionPipeline:
                 "account",
                 spark.createDataFrame(batch, ACCOUNT_SCHEMA),
                 PRIMARY_KEYS["account"],
+                partition_values=[(t,) for t in sorted({r[0] for r in batch})],
+                assume_nonempty=True,
             )
         clock.lap("marker_advance")
 
