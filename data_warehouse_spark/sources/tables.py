@@ -432,10 +432,10 @@ class TableStore:
             vdir = self._resolve(name)
             if vdir is None:
                 vdir = self._new_version_dir(name)
-                n = self._adopt_files(staging, vdir)
+                n, _adopted = self._adopt_files(staging, vdir)
                 self._swap(name, vdir)
             else:
-                n = self._adopt_files(staging, vdir)
+                n, adopted = self._adopt_files(staging, vdir)
                 if n:
                     self.spark.catalog.refreshByPath(vdir)
                     # a 2 s append cadence accumulates one part-file set per
@@ -447,8 +447,7 @@ class TableStore:
                     # under concurrent serving; absurd at 100 TB width)
                     self.compact(
                         name,
-                        dirs={os.path.dirname(p)
-                              for p in self.last_adopted_files},
+                        dirs={os.path.dirname(p) for p in adopted},
                     )
             return n
         finally:
@@ -548,14 +547,15 @@ class TableStore:
             shutil.rmtree(staging, ignore_errors=True)
         return len(frag)
 
-    def _adopt_files(self, staging: str, target: str) -> int:
+    def _adopt_files(self, staging: str, target: str) -> tuple[int, list[str]]:
         """Move parquet part files from staging into the version dir
         (file-level append — each part file appears atomically via rename,
-        so concurrent readers see whole files or nothing). Returns row count
-        adopted; the adopted destination paths land in
-        ``last_adopted_files`` (file-level CDC for append-only consumers —
-        the balance-rollup maintenance reads exactly these files as the
-        tick's insert images)."""
+        so concurrent readers see whole files or nothing). Returns
+        ``(row count adopted, adopted destination paths)``; the paths also
+        land in ``last_adopted_files`` (file-level CDC for append-only
+        consumers), but callers that may run CONCURRENTLY with another
+        table's merge must use the RETURNED list — the shared attribute
+        can be overwritten by the other thread between adopt and use."""
         import pyarrow.parquet as pq
 
         n_rows = 0
@@ -577,7 +577,7 @@ class TableStore:
                 adopted.append(dest)
         self.last_adopted_files = adopted
         self._bump(tname)  # post-adopt bump (see __init__ note)
-        return n_rows
+        return n_rows, adopted
 
     def merge_upsert(
         self,
