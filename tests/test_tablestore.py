@@ -317,3 +317,87 @@ def test_diff_previous_tags_inserts_updates_deletes(spark, tmp_path):
         for r in store.diff_previous("t").collect()
     }
     assert changes == {("delete", "B", "x")}
+
+
+def test_concurrent_merges_on_independent_tables(spark, tmp_path):
+    """The r10 ingestion tick merges transfer + balance-change CONCURRENTLY
+    (two threads, two tables). Pin the store-level contract that makes
+    that safe: every row lands exactly once per table (PK idempotence
+    intact), both tables' fingerprints witness their final content, the
+    lock-guarded mutation counter took every bump (4 per adopt-path merge:
+    start/end x adopt; a lost += under GIL preemption was the hazard),
+    driver-hint kwargs engaged, and a concurrent reader thread polling
+    table_fingerprint never raises mid-merge."""
+    import threading
+
+    from data_warehouse_spark.operators import balance_view
+
+    store = TableStore(
+        spark,
+        str(tmp_path / "wh"),
+        {"a": SCHEMA, "b": SCHEMA},
+        partitions={"a": ["tenant"], "b": ["tenant"]},
+    )
+    store.merge_insert_missing("a", _rows(spark, [("T0", "seed", 0)]), ["tenant", "name"])
+    store.merge_insert_missing("b", _rows(spark, [("T0", "seed", 0)]), ["tenant", "name"])
+
+    stop = threading.Event()
+    reader_errors: list[Exception] = []
+
+    def reader():
+        while not stop.is_set():
+            try:
+                balance_view.table_fingerprint(store, "a")
+                balance_view.table_fingerprint(store, "b")
+            except Exception as e:  # noqa: BLE001 — the pin IS no-raise
+                reader_errors.append(e)
+                return
+
+    rt = threading.Thread(target=reader)
+    rt.start()
+    try:
+        for wave in range(1, 4):
+            rows_a = [(f"T{wave}", f"a{i}", wave) for i in range(5)]
+            rows_b = [(f"T{wave}", f"b{i}", wave) for i in range(5)]
+            before = store.mutations
+            ta = threading.Thread(
+                target=store.merge_insert_missing,
+                args=("a", _rows(spark, rows_a), ["tenant", "name"]),
+                kwargs={"partition_values": [(f"T{wave}",)],
+                        "assume_nonempty": True},
+            )
+            tb = threading.Thread(
+                target=store.merge_insert_missing,
+                args=("b", _rows(spark, rows_b), ["tenant", "name"]),
+                kwargs={"partition_values": [(f"T{wave}",)],
+                        "assume_nonempty": True},
+            )
+            ta.start(); tb.start(); ta.join(); tb.join()
+            # 2 merges x 2 bumps (adopt start/end); compaction (if it
+            # fired) only adds more — never fewer
+            assert store.mutations >= before + 4
+    finally:
+        stop.set()
+        rt.join()
+    assert not reader_errors, reader_errors
+
+    # replay the last wave concurrently: PK merge must drop every duplicate
+    ta = threading.Thread(
+        target=store.merge_insert_missing,
+        args=("a", _rows(spark, [("T3", f"a{i}", 3) for i in range(5)]),
+              ["tenant", "name"]),
+    )
+    tb = threading.Thread(
+        target=store.merge_insert_missing,
+        args=("b", _rows(spark, [("T3", f"b{i}", 3) for i in range(5)]),
+              ["tenant", "name"]),
+    )
+    ta.start(); tb.start(); ta.join(); tb.join()
+
+    assert store.read("a").count() == 1 + 15
+    assert store.read("b").count() == 1 + 15
+    # fingerprint = pure content witness: recomputed-from-scratch equals
+    # the memo the concurrent epochs left behind
+    for t in ("a", "b"):
+        from data_warehouse_spark.operators.balance_view import _walk_fingerprint
+        assert balance_view.table_fingerprint(store, t) == _walk_fingerprint(store, t)
