@@ -586,13 +586,21 @@ class TableStore:
         keys: list[str],
         partition_values: list[tuple] | None = None,
         assume_nonempty: bool = False,
+        want_counts: bool = True,
     ) -> tuple[int, int]:
-        """INSERT … ON CONFLICT DO UPDATE. Returns (#inserted, #updated).
+        """INSERT … ON CONFLICT DO UPDATE. Returns (#inserted, #updated),
+        or ``(-1, -1)`` when ``want_counts=False``.
 
         ``partition_values`` / ``assume_nonempty``: the same driver-known-
         batch fast path as :meth:`merge_insert_missing` — skips the pvals
         collect and the isEmpty gate (one contended Spark action each)
         when the caller's batch is driver data with known partition values.
+
+        ``want_counts=False`` skips the THREE count actions whose only
+        purpose is the (inserted, updated) return metric (touched, kept,
+        batch) — the ingestion tick's account MERGE ignores the return,
+        and under 32 serving clients those three actions were most of the
+        marker-advance stage's wall.
 
         Copy-on-write: with a partitioned table whose partition columns are
         part of the PK, only the partitions the batch touches are recomputed
@@ -618,8 +626,10 @@ class TableStore:
                     else fresh.select(*pcols).distinct().collect()
                 )
                 if 0 < len(pvals) <= MAX_PRUNE_PARTITIONS:
-                    return self._upsert_partitions(name, fresh, keys, pcols, pvals)
-            return self._upsert_full(name, fresh, keys)
+                    return self._upsert_partitions(
+                        name, fresh, keys, pcols, pvals, want_counts
+                    )
+            return self._upsert_full(name, fresh, keys, want_counts)
         finally:
             fresh.unpersist()
 
@@ -756,7 +766,10 @@ class TableStore:
             current.unpersist()
         return n_total - n_kept
 
-    def _upsert_full(self, name: str, fresh: DataFrame, keys: list[str]) -> tuple[int, int]:
+    def _upsert_full(
+        self, name: str, fresh: DataFrame, keys: list[str],
+        want_counts: bool = True,
+    ) -> tuple[int, int]:
         current = self.read(name).cache()
         try:
             batch_keys = fresh.select(*keys)
@@ -765,17 +778,20 @@ class TableStore:
                 self._key_cond(current, batch_keys, keys),
                 "left_anti",
             )
-            n_total = current.count()
-            n_kept = kept.count()
+            n_total = current.count() if want_counts else 0
+            n_kept = kept.count() if want_counts else 0
             self.overwrite(name, kept.unionByName(fresh))
-            n_new = fresh.count()
+            n_new = fresh.count() if want_counts else 0
         finally:
             current.unpersist()
+        if not want_counts:
+            return -1, -1
         n_updated = n_total - n_kept
         return n_new - n_updated, n_updated
 
     def _upsert_partitions(
-        self, name: str, fresh: DataFrame, keys: list[str], pcols: list[str], pvals
+        self, name: str, fresh: DataFrame, keys: list[str], pcols: list[str],
+        pvals, want_counts: bool = True,
     ) -> tuple[int, int]:
         """Rewrite only touched partitions into a new snapshot; hard-link
         the rest (same filesystem → free; falls back to copy)."""
@@ -793,8 +809,8 @@ class TableStore:
                 self._key_cond(touched, batch_keys, keys),
                 "left_anti",
             )
-            n_touched = touched.count()
-            n_kept = kept.count()
+            n_touched = touched.count() if want_counts else 0
+            n_kept = kept.count() if want_counts else 0
             merged_touched = kept.unionByName(fresh)
             new_vdir = self._write_version(name, merged_touched)
             # link untouched partitions' files into the new snapshot
@@ -809,9 +825,11 @@ class TableStore:
                     continue
                 self._link_tree(src, os.path.join(new_vdir, entry))
             self._swap(name, new_vdir)
-            n_new = fresh.count()
+            n_new = fresh.count() if want_counts else 0
         finally:
             touched.unpersist()
+        if not want_counts:
+            return -1, -1
         n_updated = n_touched - n_kept
         return n_new - n_updated, n_updated
 

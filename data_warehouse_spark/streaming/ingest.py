@@ -554,6 +554,11 @@ class IngestionPipeline:
                         sorted(pending_discovery), ACCOUNT_SCHEMA
                     ),
                     PRIMARY_KEYS["account"],
+                    partition_values=[
+                        (t,) for t in sorted({r[0] for r in pending_discovery})
+                    ],
+                    assume_nonempty=True,
+                    want_counts=False,
                 )
                 clock.lap("marker_advance")
             return m
@@ -585,6 +590,11 @@ class IngestionPipeline:
                         sorted(pending_discovery), ACCOUNT_SCHEMA
                     ),
                     PRIMARY_KEYS["account"],
+                    partition_values=[
+                        (t,) for t in sorted({r[0] for r in pending_discovery})
+                    ],
+                    assume_nonempty=True,
+                    want_counts=False,
                 )
             ev_schema = T.StructType(
                 [T.StructField(f.name, f.dataType, True)
@@ -742,6 +752,7 @@ class IngestionPipeline:
                 PRIMARY_KEYS["account"],
                 partition_values=[(t,) for t in sorted({r[0] for r in batch})],
                 assume_nonempty=True,
+                want_counts=False,  # metrics come from the driver-side batch
             )
         clock.lap("marker_advance")
 
