@@ -79,6 +79,25 @@ from pyspark.sql import types as T
 
 from . import ivm
 
+# Guards lazy installation of ``store._fp_locks`` for store objects that
+# predate TableStore's __init__-time dict (e.g. duck-typed test doubles).
+# Without it two threads can each install a fresh dict and mint two
+# distinct locks for the same key — defeating the single-flight exactly
+# in the first-contention case it exists for. TableStore itself now
+# creates the dict in __init__, so this path is the fallback only.
+_FP_LOCKS_INIT = threading.Lock()
+
+
+def _store_locks(store) -> dict:
+    locks = getattr(store, "_fp_locks", None)
+    if locks is None:
+        with _FP_LOCKS_INIT:
+            locks = getattr(store, "_fp_locks", None)
+            if locks is None:
+                locks = store._fp_locks = {}
+    return locks
+
+
 ABC_TABLE = "account_balance_change"
 ROLLUP_TABLE = "account_balance_rollup"
 GROUP_COLS = ["tenant", "name"]
@@ -132,10 +151,7 @@ def table_fingerprint(store, name: str) -> str | None:
         # each stretched ~Nx by the GIL convoy (stack-sampled at ~70% of
         # total thread time in serving_bench --stacks). One thread walks,
         # the rest block on the lock (GIL released) and read the memo.
-        locks = getattr(store, "_fp_locks", None)
-        if locks is None:
-            locks = store._fp_locks = {}
-        lock = locks.setdefault(name, threading.Lock())
+        lock = _store_locks(store).setdefault(name, threading.Lock())
         with lock:
             mut = getattr(store, "mutations", None)
             hit = memo.get(name)
@@ -309,10 +325,7 @@ def stale_window(store) -> tuple[str, str, list[str]] | None:
         return memo[1]
     if mut is None:
         return _stale_window_uncached(store)
-    locks = getattr(store, "_fp_locks", None)
-    if locks is None:
-        locks = store._fp_locks = {}
-    lock = locks.setdefault("__stale_window__", threading.Lock())
+    lock = _store_locks(store).setdefault("__stale_window__", threading.Lock())
     with lock:
         mut = getattr(store, "mutations", None)
         memo = getattr(store, "_window_memo", None)

@@ -143,6 +143,15 @@ class TableStore:
         # and a lost `+= 1` under GIL preemption could let a fingerprint
         # memo taken mid-write be believed valid for the post-write state
         self._mut_lock = threading.Lock()
+        # per-key single-flight locks for the serving tier's memoized
+        # driver-side walks (balance_view.table_fingerprint / stale
+        # window). Created HERE, not lazily at first contention: a lazy
+        # `store._fp_locks = {}` races — two request threads can each
+        # install a fresh dict and mint two distinct locks for the same
+        # key, defeating the single-flight exactly in the first-contention
+        # case it exists for (duplicate GIL-bound walks; results stay
+        # correct).
+        self._fp_locks: dict[str, threading.Lock] = {}
         # per-table twin of `mutations` (same start+end bump discipline):
         # keys the read() DataFrame memo below so a write to table A does
         # not force table B's next read to re-list its files
@@ -587,9 +596,22 @@ class TableStore:
         partition_values: list[tuple] | None = None,
         assume_nonempty: bool = False,
         want_counts: bool = True,
+        insert_only_col: str | None = None,
     ) -> tuple[int, int]:
         """INSERT … ON CONFLICT DO UPDATE. Returns (#inserted, #updated),
         or ``(-1, -1)`` when ``want_counts=False``.
+
+        ``insert_only_col``: name of a BOOLEAN column on ``batch`` marking
+        rows that carry DO NOTHING semantics inside this one MERGE — if
+        the key already exists in the table, the EXISTING row wins and the
+        batch row is dropped (the remaining rows keep DO UPDATE). The
+        column itself is never written. This lets one fused write action
+        combine marker advances (assignment semantics) with discovery rows
+        (insert-if-missing) without trusting any external index for the
+        "missing" claim: the anti-join here reads the (partition-pruned)
+        table itself, so a false negative upstream can never rewind a live
+        row. Keys must not appear in both halves of the batch (the PK
+        dedupe would pick one arbitrarily).
 
         ``partition_values`` / ``assume_nonempty``: the same driver-known-
         batch fast path as :meth:`merge_insert_missing` — skips the pvals
@@ -612,6 +634,8 @@ class TableStore:
             if not assume_nonempty and fresh.isEmpty():
                 return 0, 0
             if not self.exists(name):
+                if insert_only_col:
+                    fresh = fresh.drop(insert_only_col)
                 n = fresh.count()
                 self.overwrite(name, fresh)
                 return n, 0
@@ -627,11 +651,97 @@ class TableStore:
                 )
                 if 0 < len(pvals) <= MAX_PRUNE_PARTITIONS:
                     return self._upsert_partitions(
-                        name, fresh, keys, pcols, pvals, want_counts
+                        name, fresh, keys, pcols, pvals, want_counts,
+                        insert_only_col,
                     )
-            return self._upsert_full(name, fresh, keys, want_counts)
+            return self._upsert_full(name, fresh, keys, want_counts,
+                                     insert_only_col)
         finally:
             fresh.unpersist()
+
+    def merge_upsert_prepare(
+        self,
+        name: str,
+        batch: DataFrame,
+        keys: list[str],
+        partition_values: list[tuple],
+        insert_only_col: str | None = None,
+    ):
+        """Stage a :meth:`merge_upsert`'s new snapshot WITHOUT publishing
+        it — the expensive part (the copy-on-write partition rewrite, one
+        Spark write action) runs now, possibly CONCURRENTLY with merges to
+        OTHER tables; the durability point (the pointer swap) is deferred
+        to :meth:`merge_upsert_commit`. This is how the ingestion tick
+        keeps the D10 "markers advance LAST" contract while overlapping
+        the account MERGE's staging write with the transfer/abc pair:
+        ordering is needed on the RENAME, not on the parquet write.
+
+        Driver-known-batch contract only: ``partition_values`` required,
+        batch assumed non-empty, no counts. Returns an opaque handle for
+        commit/abort, or ``None`` when the fast-stage preconditions don't
+        hold (table missing, not single-level PK-partitioned, too many
+        partitions) — the caller then falls back to plain merge_upsert.
+
+        The caller MUST NOT write ``name`` between prepare and commit
+        (commit verifies and refuses). An uncommitted staged dir is
+        harmless: invisible to readers, pruned by the next ``_swap`` of
+        the table (or by :meth:`merge_upsert_abort`)."""
+        if not self.exists(name):
+            return None
+        pcols = self.partitions.get(name, [])
+        if not (len(pcols) == 1 and pcols[0] in keys):
+            return None
+        pvals = [tuple(r) for r in partition_values]
+        if not (0 < len(pvals) <= MAX_PRUNE_PARTITIONS):
+            return None
+        old_vdir = self._resolve(name)
+        fresh = batch.dropDuplicates(keys)
+        touched = self.read(name)
+        for i, c in enumerate(pcols):
+            touched = touched.filter(
+                self._partition_filter(c, [row[i] for row in pvals])
+            )
+        batch_keys, fresh_eff = self._split_insert_only(
+            fresh, touched, keys, insert_only_col
+        )
+        kept = touched.join(
+            F.broadcast(batch_keys),
+            self._key_cond(touched, batch_keys, keys),
+            "left_anti",
+        )
+        # the ONE Spark action of the stage: write the merged touched
+        # partitions into an unpublished version dir
+        new_vdir = self._write_version(name, kept.unionByName(fresh_eff))
+        touched_dirs = {
+            "=".join((pcols[0], self._part_dir_value(row[0]))) for row in pvals
+        }
+        for entry in os.listdir(old_vdir):
+            src = os.path.join(old_vdir, entry)
+            if not (os.path.isdir(src) and "=" in entry):
+                continue
+            if entry in touched_dirs or self._unquoted_match(entry, pcols[0], pvals):
+                continue
+            self._link_tree(src, os.path.join(new_vdir, entry))
+        return (name, old_vdir, new_vdir)
+
+    def merge_upsert_commit(self, prep) -> None:
+        """Publish a prepared upsert (the durability point — one pointer
+        rename). Refuses if the table was written between prepare and
+        commit: the staged snapshot was derived from ``old_vdir`` and
+        would silently drop the intervening write."""
+        name, old_vdir, new_vdir = prep
+        if self._resolve(name) != old_vdir:
+            shutil.rmtree(new_vdir, ignore_errors=True)
+            raise RuntimeError(
+                f"merge_upsert_commit({name}): table changed between "
+                f"prepare and commit — staged snapshot discarded"
+            )
+        self._swap(name, new_vdir)
+
+    def merge_upsert_abort(self, prep) -> None:
+        """Discard a prepared-but-uncommitted snapshot (also self-heals
+        via _swap's orphan prune if never called)."""
+        shutil.rmtree(prep[2], ignore_errors=True)
 
     def diff_previous(self, name: str) -> DataFrame | None:
         """Change-data-capture between the two retained SNAPSHOTS: every
@@ -766,13 +876,37 @@ class TableStore:
             current.unpersist()
         return n_total - n_kept
 
+    def _split_insert_only(
+        self, fresh: DataFrame, existing: DataFrame, keys: list[str],
+        insert_only_col: str | None,
+    ) -> tuple[DataFrame, DataFrame]:
+        """Resolve an ``insert_only_col``-tagged batch against the existing
+        rows it may conflict with. Returns ``(batch_keys, fresh_eff)``:
+        the key set whose existing rows the caller must drop (upsert rows
+        only — existing rows WIN against insert-only rows), and the
+        effective row set to append (upsert rows + insert-only rows whose
+        key is absent from ``existing``, flag column removed). All lazy:
+        the extra anti-join rides the caller's single write action."""
+        if not insert_only_col:
+            return fresh.select(*keys), fresh
+        flag = F.col(insert_only_col)
+        ups = fresh.filter(~flag).drop(insert_only_col)
+        ins = fresh.filter(flag).drop(insert_only_col)
+        existing_keys = existing.select(*keys)
+        ins = ins.join(
+            existing_keys, self._key_cond(ins, existing_keys, keys), "left_anti"
+        )
+        return ups.select(*keys), ups.unionByName(ins)
+
     def _upsert_full(
         self, name: str, fresh: DataFrame, keys: list[str],
-        want_counts: bool = True,
+        want_counts: bool = True, insert_only_col: str | None = None,
     ) -> tuple[int, int]:
         current = self.read(name).cache()
         try:
-            batch_keys = fresh.select(*keys)
+            batch_keys, fresh_eff = self._split_insert_only(
+                fresh, current, keys, insert_only_col
+            )
             kept = current.join(
                 F.broadcast(batch_keys),
                 self._key_cond(current, batch_keys, keys),
@@ -780,8 +914,8 @@ class TableStore:
             )
             n_total = current.count() if want_counts else 0
             n_kept = kept.count() if want_counts else 0
-            self.overwrite(name, kept.unionByName(fresh))
-            n_new = fresh.count() if want_counts else 0
+            self.overwrite(name, kept.unionByName(fresh_eff))
+            n_new = fresh_eff.count() if want_counts else 0
         finally:
             current.unpersist()
         if not want_counts:
@@ -791,7 +925,7 @@ class TableStore:
 
     def _upsert_partitions(
         self, name: str, fresh: DataFrame, keys: list[str], pcols: list[str],
-        pvals, want_counts: bool = True,
+        pvals, want_counts: bool = True, insert_only_col: str | None = None,
     ) -> tuple[int, int]:
         """Rewrite only touched partitions into a new snapshot; hard-link
         the rest (same filesystem → free; falls back to copy)."""
@@ -803,7 +937,9 @@ class TableStore:
             )
         touched = touched.cache()
         try:
-            batch_keys = fresh.select(*keys)
+            batch_keys, fresh_eff = self._split_insert_only(
+                fresh, touched, keys, insert_only_col
+            )
             kept = touched.join(
                 F.broadcast(batch_keys),
                 self._key_cond(touched, batch_keys, keys),
@@ -811,7 +947,7 @@ class TableStore:
             )
             n_touched = touched.count() if want_counts else 0
             n_kept = kept.count() if want_counts else 0
-            merged_touched = kept.unionByName(fresh)
+            merged_touched = kept.unionByName(fresh_eff)
             new_vdir = self._write_version(name, merged_touched)
             # link untouched partitions' files into the new snapshot
             touched_dirs = {
@@ -825,7 +961,7 @@ class TableStore:
                     continue
                 self._link_tree(src, os.path.join(new_vdir, entry))
             self._swap(name, new_vdir)
-            n_new = fresh.count() if want_counts else 0
+            n_new = fresh_eff.count() if want_counts else 0
         finally:
             touched.unpersist()
         if not want_counts:

@@ -292,6 +292,18 @@ class IngestionPipeline:
         self._kv = None  # lazy KVTier for driver-side watermark lookups
 
     # ------------------------------------------------------------------
+    def _in_ingest_pool(self, fn, *args):
+        """Run a store merge in a worker thread tagged into the FAIR
+        'ingest' scheduler pool. Spark local properties are per-Python-
+        thread (pinned-thread mode), so pool workers would otherwise
+        submit their jobs to the default pool, eroding the serving-vs-
+        ingest isolation the Service sets up. Idempotent per call —
+        executor threads are reused within one pool."""
+        self.spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", "ingest"
+        )
+        return fn(*args)
+
     def run_once(self) -> TickMetrics:
         m = TickMetrics()
         files_read = {"meta": 0, "events": 0, "transactions": 0}
@@ -302,17 +314,50 @@ class IngestionPipeline:
         # --- tenants (D3 get-else-insert); names reused for listing -----
         # insert-missing MERGE only when a tenant dir is NEW — the merge
         # reads the table, so skipping it keeps idle ticks Spark-free; the
-        # cached set only grows after a SUCCESSFUL merge
+        # cached set only grows after a SUCCESSFUL merge. The merge runs
+        # CONCURRENTLY with the rest of the tick (nothing in the tick body
+        # reads the tenant table; it is PK-idempotent and independent of
+        # every other merge) and is joined before the tick returns —
+        # folding its ~0.8 s contended action under the tick's other work.
+        tenant_fut = None
+        tenant_pool = None
         tenant_names = primary.tenant_names(root)
         if set(tenant_names) - self._merged_tenants:
             tenants_df = primary.discover_tenants(spark, root)
-            m.tenants_discovered = store.merge_insert_missing(
+            tenant_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="tick-tenant"
+            )
+            tenant_fut = tenant_pool.submit(
+                self._in_ingest_pool,
+                store.merge_insert_missing,
                 "tenant",
                 tenants_df.select(F.col("tenant").alias("name")),
                 PRIMARY_KEYS["tenant"],
             )
-            self._merged_tenants |= set(tenant_names)
         clock.lap("tenants")
+        try:
+            return self._run_once_after_tenants(
+                m, files_read, clock, tenant_names
+            )
+        finally:
+            if tenant_fut is not None:
+                try:
+                    m.tenants_discovered = tenant_fut.result()
+                    # only grows after a SUCCESSFUL merge (failure → retry
+                    # tick re-merges; DO NOTHING makes the replay a no-op)
+                    self._merged_tenants |= set(tenant_names)
+                finally:
+                    tenant_pool.shutdown(wait=False)
+                clock.lap("tenants_join")
+
+    def _run_once_after_tenants(
+        self,
+        m: TickMetrics,
+        files_read: dict,
+        clock: "_StageClock",
+        tenant_names: list[str],
+    ) -> TickMetrics:
+        spark, root, store = self.spark, self.root, self.store
 
         # --- snapshot inventory: directory names only, zero content -----
         # (persist+count materializes the listing ONCE here, so the stage
@@ -331,17 +376,31 @@ class IngestionPipeline:
                 return m
             rows: list = []
             ev_rows: list | None = []
+            # driver-side watermark path: marks via KV Arrow reads, D4/D5
+            # as python set logic — removes ~6 contended Spark actions
+            # from the merge tick; falls back to the Spark joins when the
+            # KV tier can't serve (foreign layout, mid-swap)
             if len(scan_keys) > 256:
                 # wide delta: scan on executors (driver-side scandir loops
-                # are GIL-starved under concurrent serving load)
-                for tenant, account, acc_rows, acc_ev, dirs in (
-                    listing.rescan_accounts_distributed(
-                        spark, root, scan_keys, now_ns
+                # are GIL-starved under concurrent serving load). The KV
+                # marks lookup needs only scan_keys, not the rescan rows —
+                # run it concurrently with the rescan Spark job instead of
+                # paying the two serially inside the listing stage.
+                with ThreadPoolExecutor(
+                    max_workers=1, thread_name_prefix="tick-kv"
+                ) as kvpool:
+                    marks_fut = kvpool.submit(
+                        self._kv_marks, sorted(set(scan_keys))
                     )
-                ):
-                    self._cache.adopt(tenant, account, dirs)
-                    rows.extend(acc_rows)
-                    ev_rows.extend(acc_ev)
+                    for tenant, account, acc_rows, acc_ev, dirs in (
+                        listing.rescan_accounts_distributed(
+                            spark, root, scan_keys, now_ns
+                        )
+                    ):
+                        self._cache.adopt(tenant, account, dirs)
+                        rows.extend(acc_rows)
+                        ev_rows.extend(acc_ev)
+                    marks = marks_fut.result()
             else:
                 for tenant, account in scan_keys:
                     acc_rows, acc_ev = self._cache.rescan_account(
@@ -349,11 +408,7 @@ class IngestionPipeline:
                     )
                     rows.extend(acc_rows)
                     ev_rows.extend(acc_ev)
-            # driver-side watermark path: marks via KV Arrow reads, D4/D5
-            # as python set logic — removes ~6 contended Spark actions
-            # from the merge tick; falls back to the Spark joins when the
-            # KV tier can't serve (foreign layout, mid-swap)
-            marks = self._kv_marks(sorted(set(scan_keys)))
+                marks = self._kv_marks(sorted(set(scan_keys)))
             if marks is not None:
                 clock.lap("listing")
                 ok = False
@@ -514,9 +569,12 @@ class IngestionPipeline:
             # watermarks from the local `marks` dict, so the durable write
             # can ride the tick's single fused account MERGE at the end
             # (with the marker advance) — one Spark write action instead
-            # of two. Upsert-vs-insert-missing is equivalent for these
-            # keys: absence from `marks` (the KV tier's exact read of the
-            # account table) proves absence from the table.
+            # of two. The fused merge tags these rows insert-only
+            # (DO NOTHING), anti-joined against the account table ITSELF
+            # inside the write plan — a KV-tier false negative (a present
+            # key missing from `marks`) can therefore never rewind a live
+            # account's markers to (0,0); worst case is harmless re-read
+            # of already-applied events this tick.
             for t, n, c, f in meta_rows:
                 if (t, n) not in marks:
                     marks[(t, n)] = (0, 0, c, f)
@@ -546,9 +604,10 @@ class IngestionPipeline:
         clock.lap("event_listing")
         if not ev_paths:
             # idle examination: no content reads; the only write (if any)
-            # is the deferred discovery batch
+            # is the deferred discovery batch — pure DO NOTHING semantics
+            # (anti-joined against the table itself, not the KV marks)
             if pending_discovery:
-                store.merge_upsert(
+                store.merge_insert_missing(
                     "account",
                     spark.createDataFrame(
                         sorted(pending_discovery), ACCOUNT_SCHEMA
@@ -558,7 +617,6 @@ class IngestionPipeline:
                         (t,) for t in sorted({r[0] for r in pending_discovery})
                     ],
                     assume_nonempty=True,
-                    want_counts=False,
                 )
                 clock.lap("marker_advance")
             return m
@@ -584,7 +642,7 @@ class IngestionPipeline:
             # first (TwinUnsupported raises before any merge, so this
             # cannot double-write)
             if pending_discovery:
-                store.merge_upsert(
+                store.merge_insert_missing(
                     "account",
                     spark.createDataFrame(
                         sorted(pending_discovery), ACCOUNT_SCHEMA
@@ -594,7 +652,6 @@ class IngestionPipeline:
                         (t,) for t in sorted({r[0] for r in pending_discovery})
                     ],
                     assume_nonempty=True,
-                    want_counts=False,
                 )
             ev_schema = T.StructType(
                 [T.StructField(f.name, f.dataType, True)
@@ -686,50 +743,13 @@ class IngestionPipeline:
         tdf = spark.createDataFrame(
             sorted(new_transfers.values(), key=str), tschema
         )
-        # transfer + balance-change merges run CONCURRENTLY: different
-        # tables, both insert-missing, both derived from the local tdf —
-        # under serving contention each Spark action pays 1.5–2.5 s of
-        # scheduling latency regardless of batch size, so the pair costs
-        # max() instead of sum(). Crash between the two replays cleanly:
-        # markers haven't advanced, and both merges are PK-idempotent.
         abc_df = _signed_changes(tdf)
-        if new_transfers:
-            # driver-known-batch hints: the tick owns these rows, so the
-            # partition value sets (tenant) and non-emptiness are known
-            # without Spark actions — saves two contended actions/merge
-            t_tenants = sorted({r[0] for r in new_transfers.values()})
-            abc_tenants = sorted(
-                {r[4] for r in new_transfers.values() if r[3] == 1}
-                | {r[6] for r in new_transfers.values() if r[3] == 1}
-            )
-            with ThreadPoolExecutor(
-                max_workers=2, thread_name_prefix="tick-merge"
-            ) as pool:
-                fut_t = pool.submit(
-                    store.merge_insert_missing, "transfer", tdf,
-                    PRIMARY_KEYS["transfer"],
-                    [(t,) for t in t_tenants], True,
-                )
-                fut_abc = pool.submit(
-                    store.merge_insert_missing, "account_balance_change",
-                    abc_df, ABC_PRIMARY_KEYS,
-                    [(t,) for t in abc_tenants], bool(abc_tenants),
-                )
-                m.transfers_discovered = fut_t.result()
-                fut_abc.result()
-        clock.lap("transfer_abc_merge")
-        # rollup maintenance DEFERRED while the append-only window is
-        # small: serving answers exact balances through the window (KV
-        # Arrow delta), and the first idle tick converges all deferred
-        # appends in one combined CDC apply (balance_view.maintain)
-        balance_view.maintain(store, defer_under_files=self.rollup_defer_files)
-        clock.lap("rollup_maintain")
 
-        # fused account MERGE, LAST (D10 crash-replay contract): marker
-        # advances — assignment semantics (`!=`), max lexicographic
-        # (snapshot, version) per account, exactly the DataFrame form's
-        # rules — PLUS this tick's deferred discovery rows, one write
-        # action instead of two
+        # fused account MERGE batch, computed FIRST (pure driver logic over
+        # picked_rows + marks): marker advances — assignment semantics
+        # (`!=`), max lexicographic (snapshot, version) per account,
+        # exactly the DataFrame form's rules — PLUS this tick's deferred
+        # discovery rows, one write action instead of two
         pos: dict[tuple[str, str], tuple[int, int]] = {}
         for t, a, _status, _txn, sv, ver in picked_rows:
             cur = pos.get((t, a))
@@ -742,19 +762,112 @@ class IngestionPipeline:
                 continue
             advanced.append((key[0], key[1], mk[2], mk[3], sv, ver))
         adv_keys = {(t, a) for t, a, *_ in advanced}
-        batch = sorted(
+        # discovery rows are tagged insert-only (DO NOTHING): merge_upsert
+        # anti-joins them against the pruned account table INSIDE the one
+        # fused write, so a KV-marks false negative cannot rewind a live
+        # account's markers to (0,0). Marker advances keep DO UPDATE.
+        pending = sorted(
             r for r in pending_discovery if (r[0], r[1]) not in adv_keys
-        ) + advanced
-        if batch:
-            store.merge_upsert(
-                "account",
-                spark.createDataFrame(batch, ACCOUNT_SCHEMA),
-                PRIMARY_KEYS["account"],
-                partition_values=[(t,) for t in sorted({r[0] for r in batch})],
-                assume_nonempty=True,
-                want_counts=False,  # metrics come from the driver-side batch
+        )
+        if pending:  # mixed batch: flag column distinguishes the two verbs
+            batch: list = (
+                [r + (True,) for r in pending]
+                + [r + (False,) for r in advanced]
             )
-        clock.lap("marker_advance")
+            schema = T.StructType(
+                list(ACCOUNT_SCHEMA.fields)
+                + [T.StructField("__insert_only__", T.BooleanType(), False)]
+            )
+            ins_col = "__insert_only__"
+        else:  # steady state: advances only, zero extra plan nodes
+            batch, schema, ins_col = advanced, ACCOUNT_SCHEMA, None
+        acct_pvals = [(t,) for t in sorted({r[0] for r in batch})]
+
+        # transfer + balance-change merges AND the account MERGE's staging
+        # write run CONCURRENTLY: three different tables, all derived from
+        # driver-local rows — under serving contention each Spark action
+        # pays 1.5–2.5 s of scheduling latency regardless of batch size,
+        # so the trio costs max() instead of sum(). The D10 "markers
+        # advance LAST" contract holds because only the account SWAP (the
+        # pointer rename — the durability point) is ordered after the
+        # transfer/abc merges; the staged snapshot stays invisible until
+        # then. Crash anywhere before the swap replays cleanly: markers
+        # haven't advanced, insert merges are PK-idempotent, and an
+        # orphaned staged dir is pruned at the next account swap.
+        prep = None
+        committed = False
+        try:
+            if new_transfers or batch:
+                # driver-known-batch hints: the tick owns these rows, so
+                # partition value sets (tenant) and non-emptiness are known
+                # without Spark actions — saves two contended actions/merge
+                t_tenants = sorted({r[0] for r in new_transfers.values()})
+                abc_tenants = sorted(
+                    {r[4] for r in new_transfers.values() if r[3] == 1}
+                    | {r[6] for r in new_transfers.values() if r[3] == 1}
+                )
+                with ThreadPoolExecutor(
+                    max_workers=3, thread_name_prefix="tick-merge"
+                ) as pool:
+                    fut_prep = (
+                        pool.submit(
+                            self._in_ingest_pool,
+                            store.merge_upsert_prepare,
+                            "account",
+                            spark.createDataFrame(batch, schema),
+                            PRIMARY_KEYS["account"],
+                            acct_pvals,
+                            ins_col,
+                        )
+                        if batch
+                        else None
+                    )
+                    if new_transfers:
+                        fut_t = pool.submit(
+                            self._in_ingest_pool,
+                            store.merge_insert_missing, "transfer", tdf,
+                            PRIMARY_KEYS["transfer"],
+                            [(t,) for t in t_tenants], True,
+                        )
+                        fut_abc = pool.submit(
+                            self._in_ingest_pool,
+                            store.merge_insert_missing,
+                            "account_balance_change",
+                            abc_df, ABC_PRIMARY_KEYS,
+                            [(t,) for t in abc_tenants], bool(abc_tenants),
+                        )
+                        m.transfers_discovered = fut_t.result()
+                        fut_abc.result()
+                    if fut_prep is not None:
+                        prep = fut_prep.result()
+            clock.lap("transfer_abc_merge")
+            # rollup maintenance DEFERRED while the append-only window is
+            # small: serving answers exact balances through the window (KV
+            # Arrow delta), and the first idle tick converges all deferred
+            # appends in one combined CDC apply (balance_view.maintain)
+            balance_view.maintain(
+                store, defer_under_files=self.rollup_defer_files
+            )
+            clock.lap("rollup_maintain")
+
+            if batch:
+                if prep is not None:
+                    store.merge_upsert_commit(prep)  # one pointer rename
+                    committed = True
+                else:  # stage preconditions didn't hold — classic path
+                    store.merge_upsert(
+                        "account",
+                        spark.createDataFrame(batch, schema),
+                        PRIMARY_KEYS["account"],
+                        partition_values=acct_pvals,
+                        assume_nonempty=True,
+                        want_counts=False,
+                        insert_only_col=ins_col,
+                    )
+            clock.lap("marker_advance")
+        finally:
+            if prep is not None and not committed:
+                store.merge_upsert_abort(prep)
 
     def _accounts_pushdown(self, scan_keys: list[tuple[str, str]] | None) -> DataFrame:
         """Account table restricted to the delta keys: tenant in-list

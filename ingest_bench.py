@@ -143,8 +143,12 @@ def main() -> int:
     }
 
     report = {
+        # headline = the DEFAULT arm (scandir): the number a driver reading
+        # only "value" should see. The file-source arm — which arm_policy
+        # itself rejects for wide trees — lives under arms["file_source"].
         "metric": "ingest_idle_tick_sec",
-        "value": res["file_source"]["idle"],
+        "value": res["scandir"]["idle"],
+        "headline_arm": "scandir (the default; see arm_policy)",
         "unit": "sec",
         "accounts": args.accounts + args.delta,
         "files": n_files,

@@ -1869,3 +1869,50 @@ def test_pair_scoring_salt_split_equals_unsplit(spark, monkeypatch):
     split_pairs, split_dedup = neardup(), semdedup()
     assert split_pairs == base_pairs
     assert split_dedup == base_dedup
+
+
+def test_stored_index_fast_build_matches_parity(spark, tmp_path):
+    """The stored-index LIFECYCLE in fast mode: save_ivf_index(fast=True)
+    and append_to_ivf_index(fast=True) must produce an artifact that
+    serves identically to the parity-built one at driver SFs (agreement ⇒
+    identical cells ⇒ identical probe candidates ⇒ identical top-k), with
+    the same cell-partitioned layout. This closes the r10 gap where the
+    7× BLAS build existed only for session indexes."""
+    import os
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qids = [r["vec_id"] for r in
+            emb.select("vec_id").orderBy("vec_id").limit(5).collect()]
+    p_par = str(tmp_path / "ivf_parity")
+    p_fast = str(tmp_path / "ivf_fast")
+    similarity.save_ivf_index(emb, p_par)
+    similarity.save_ivf_index(emb, p_fast, fast=True)
+    # identical cell ASSIGNMENT row-for-row, not just identical serving
+    a = {r["neighbor_id"]: r["cell"]
+         for r in similarity.load_ivf_index(spark, p_par)[2]
+         .select("neighbor_id", "cell").collect()}
+    b = {r["neighbor_id"]: r["cell"]
+         for r in similarity.load_ivf_index(spark, p_fast)[2]
+         .select("neighbor_id", "cell").collect()}
+    assert a == b
+    # identical layout (cell dirs) and identical serving
+    assert (sorted(os.listdir(f"{p_par}/corpus"))
+            == sorted(os.listdir(f"{p_fast}/corpus")))
+    par = similarity.ivf_topk_stored(spark, p_par, qids, k=5).collect()
+    fst = similarity.ivf_topk_stored(spark, p_fast, qids, k=5).collect()
+    assert sorted(map(tuple, par)) == sorted(map(tuple, fst))
+
+    # append in fast mode against the fast-built artifact: the planted
+    # twin of a query vector must surface at rank 1, exactly as the
+    # parity append path pins
+    q = emb.orderBy("vec_id").limit(1).collect()[0]
+    twin = spark.createDataFrame(
+        [(999_999, [float(x) for x in q["embedding"]], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    assert similarity.append_to_ivf_index(twin, p_fast, fast=True) == 1
+    assert similarity.append_to_ivf_index(twin, p_par) == 1
+    top_f = similarity.ivf_topk_stored(spark, p_fast, [q["vec_id"]], k=3).collect()
+    top_p = similarity.ivf_topk_stored(spark, p_par, [q["vec_id"]], k=3).collect()
+    assert top_f[0]["neighbor_id"] == 999_999 and top_f[0]["rank"] == 1
+    assert sorted(map(tuple, top_f)) == sorted(map(tuple, top_p))

@@ -401,3 +401,68 @@ def test_concurrent_merges_on_independent_tables(spark, tmp_path):
     for t in ("a", "b"):
         from data_warehouse_spark.operators.balance_view import _walk_fingerprint
         assert balance_view.table_fingerprint(store, t) == _walk_fingerprint(store, t)
+
+
+def _flagged(spark, rows):
+    schema = T.StructType(
+        list(SCHEMA.fields) + [T.StructField("__ins__", T.BooleanType(), False)]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_upsert_insert_only_rows_never_overwrite(spark, tmp_path):
+    """``insert_only_col``: in ONE fused MERGE, flagged rows get DO NOTHING
+    semantics (existing row wins — anti-joined against the table itself,
+    not any external index) while unflagged rows keep DO UPDATE. This is
+    the guarantee that a KV-marks false negative can never rewind a live
+    account's watermarks to the discovery (0,0) sentinel."""
+    store = _store(spark, tmp_path)
+    store.merge_insert_missing(
+        "t", _rows(spark, [("A", "x", 5), ("B", "y", 7)]), ["tenant", "name"]
+    )
+    store.merge_upsert(
+        "t",
+        _flagged(
+            spark,
+            [
+                ("A", "x", 0, True),   # stale discovery of a LIVE row: must lose
+                ("A", "new", 1, True), # genuine discovery: must insert
+                ("B", "y", 9, False),  # marker advance: must win
+            ],
+        ),
+        ["tenant", "name"],
+        insert_only_col="__ins__",
+    )
+    rows = {(r["tenant"], r["name"]): r["v"] for r in store.read("t").collect()}
+    assert rows == {("A", "x"): 5, ("A", "new"): 1, ("B", "y"): 9}
+    # the flag column is never written
+    assert "__ins__" not in store.read("t").columns
+
+
+def test_upsert_insert_only_on_fresh_table(spark, tmp_path):
+    """First write through the flagged path: everything inserts, the flag
+    column is dropped before the overwrite."""
+    store = _store(spark, tmp_path)
+    store.merge_upsert(
+        "t",
+        _flagged(spark, [("A", "x", 1, True), ("A", "y", 2, False)]),
+        ["tenant", "name"],
+        insert_only_col="__ins__",
+    )
+    rows = {(r["tenant"], r["name"]): r["v"] for r in store.read("t").collect()}
+    assert rows == {("A", "x"): 1, ("A", "y"): 2}
+    assert "__ins__" not in store.read("t").columns
+
+
+def test_upsert_insert_only_full_rewrite_path(spark, tmp_path):
+    """Same semantics through _upsert_full (unpartitioned table)."""
+    store = TableStore(spark, str(tmp_path / "wh2"), {"t": SCHEMA})
+    store.merge_insert_missing("t", _rows(spark, [("A", "x", 5)]), ["tenant", "name"])
+    store.merge_upsert(
+        "t",
+        _flagged(spark, [("A", "x", 0, True), ("A", "z", 3, True)]),
+        ["tenant", "name"],
+        insert_only_col="__ins__",
+    )
+    rows = {(r["tenant"], r["name"]): r["v"] for r in store.read("t").collect()}
+    assert rows == {("A", "x"): 5, ("A", "z"): 3}
