@@ -129,13 +129,24 @@ def _guarded_mtime(path: str, now_ns: int, guard_ns: int) -> int | None:
 def _scan_account_dirs(
     root: str, tenant: str, account: str, now_ns: int,
     guard_ns: int = 2_000_000_000,
-) -> tuple[list, list, dict]:
+    read_content: bool = False,
+) -> tuple:
     """One account's fresh (snapshot rows, event-file rows, tracked-dir
-    mtimes) — the unit of a delta rescan; runs driver-side for small
-    deltas and inside an RDD map for wide ones (executor processes — zero
-    driver GIL time). Event files are listed for EVERY version dir here
-    (a superset of the watermark-selected set — the tick filters later),
-    so the delta path needs no second listing job."""
+    mtimes[, content bytes]) — the unit of a delta rescan; runs
+    driver-side for small deltas and inside an RDD map for wide ones
+    (executor processes — zero driver GIL time). Event files are listed
+    for EVERY version dir here (a superset of the watermark-selected set
+    — the tick filters later), so the delta path needs no second listing
+    job.
+
+    ``read_content=True`` additionally captures the RAW BYTES of every
+    1-line file the tick could want to parse — event files and the
+    snapshot-0 meta file — while the scan is already in the directory
+    (4th return element, path→bytes). The wide-delta tick then parses
+    driver-side from the dict instead of paying a SECOND executor job
+    for content (~0.3 s of job round trip per merge tick at sf1). A
+    read that races a concurrent delete is simply omitted; the parser
+    falls back to a direct read for missing paths."""
     adir = os.path.join(root, f"t_{tenant}", "account", account)
     snap_dir = os.path.join(adir, "snapshot")
     ev_dir = os.path.join(adir, "events")
@@ -145,11 +156,22 @@ def _scan_account_dirs(
     }
     rows: list[tuple[str, str, int, str]] = []
     ev_rows: list[tuple[str, str, int, str, str]] = []
+    content: dict[str, bytes] = {}
+
+    def _grab(path: str) -> None:
+        try:
+            with open(path, "rb") as fh:
+                content[path] = fh.read()
+        except OSError:
+            pass  # raced a writer/delete — parser falls back to a re-read
+
     try:
         with os.scandir(snap_dir) as it:
             for e in it:
                 if e.is_file() and e.name.isdigit():
                     rows.append((tenant, account, int(e.name), e.path))
+                    if read_content and int(e.name) == 0:
+                        _grab(e.path)
     except (FileNotFoundError, NotADirectoryError):
         pass
     try:
@@ -169,15 +191,20 @@ def _scan_account_dirs(
                         ev_rows.append(
                             (tenant, account, version, f.name, f.path)
                         )
+                        if read_content:
+                            _grab(f.path)
         except (FileNotFoundError, NotADirectoryError):
             pass
+    if read_content:
+        return rows, ev_rows, dirs, content
     return rows, ev_rows, dirs
 
 
 def rescan_accounts_distributed(
-    spark: SparkSession, root: str, keys: list, now_ns: int
+    spark: SparkSession, root: str, keys: list, now_ns: int,
+    read_content: bool = False,
 ) -> list:
-    """[(tenant, account, snap_rows, ev_rows, dirs)] for a WIDE delta,
+    """[(tenant, account, snap_rows, ev_rows, dirs[, content])] for a WIDE delta,
     scanned on executors: a few thousand driver-side scandirs are ~0.25 s
     of pure Python, but under 32 concurrent request threads the GIL
     round-robin stretched that to ~8 s (serving bench, sf1). Executor
@@ -186,7 +213,13 @@ def rescan_accounts_distributed(
 
     def scan(key):
         tenant, account = key
-        return (tenant, account, *_scan_account_dirs(root, tenant, account, now_ns))
+        return (
+            tenant,
+            account,
+            *_scan_account_dirs(
+                root, tenant, account, now_ns, read_content=read_content
+            ),
+        )
 
     return sc.parallelize(keys, _slices(len(keys))).map(scan).collect()
 

@@ -153,7 +153,9 @@ def read_account_meta_paths(spark: SparkSession, paths: list[str]) -> DataFrame:
     return parse_account_meta(spark, read_paths(spark, paths))
 
 
-def read_account_meta_rows(paths: list[str]) -> list[tuple[str, str, str, str]]:
+def read_account_meta_rows(
+    paths: list[str], content: dict[str, bytes] | None = None
+) -> list[tuple[str, str, str, str]]:
     """Driver-side twin of :func:`read_account_meta_paths` for BOUNDED
     new-account batches: (tenant, name, currency, format) rows.
 
@@ -162,13 +164,21 @@ def read_account_meta_rows(paths: list[str]) -> list[tuple[str, str, str, str]]:
     concurrent serving load (GIL-stretched driver coordination) vs ~50 ms
     of direct reads. Semantics identical to the Spark form, pinned by
     test_ingest: same framing bound on EVERY line (FramingException),
-    same substring parse, same path-derived tenant/account."""
+    same substring parse, same path-derived tenant/account.
+
+    ``content``: optional path→raw-bytes prefetch (the wide-delta rescan
+    captures 1-line file bytes executor-side while it lists — the parse
+    then runs here with ZERO file I/O and no second Spark job). A path
+    missing from the dict falls back to a direct read."""
     import re
 
     out = []
     for p in paths:
-        with open(p, "rb") as fh:
-            text = fh.read().decode("utf-8", errors="replace")
+        data = content.get(p) if content is not None else None
+        if data is None:
+            with open(p, "rb") as fh:
+                data = fh.read()
+        text = data.decode("utf-8", errors="replace")
         lines = text.split("\n")
         if any(len(line.encode("utf-8")) > MAX_LINE_BYTES for line in lines):
             raise ValueError(
@@ -263,7 +273,9 @@ def _int_cast(s: str, where: str) -> int:
         ) from None
 
 
-def read_account_event_rows(paths: list[str]) -> list[tuple]:
+def read_account_event_rows(
+    paths: list[str], content: dict[str, bytes] | None = None
+) -> list[tuple]:
     """Driver/executor twin of :func:`read_account_event_paths`:
     (tenant, account, status, transaction, snapshot_version, version)
     rows, exactly the ACCOUNT_EVENT_SCHEMA shape (None where the Spark
@@ -272,13 +284,17 @@ def read_account_event_rows(paths: list[str]) -> list[tuple]:
     for the same reason as :func:`read_account_meta_rows`: a tick's
     event batch is thousands of 1-line files, and both a Spark text job
     and a GIL-starved driver loop measured seconds under serving load —
-    an RDD map over path chunks reads them executor-side."""
+    an RDD map over path chunks reads them executor-side. ``content``:
+    optional path→raw-bytes prefetch (see :func:`read_account_meta_rows`)."""
     import re
 
     out = []
     for p in paths:
-        with open(p, "rb") as fh:
-            text = fh.read().decode("utf-8", errors="replace")
+        data = content.get(p) if content is not None else None
+        if data is None:
+            with open(p, "rb") as fh:
+                data = fh.read()
+        text = data.decode("utf-8", errors="replace")
         lines = text.split("\n")
         if any(len(line.encode("utf-8")) > MAX_LINE_BYTES for line in lines):
             raise ValueError(

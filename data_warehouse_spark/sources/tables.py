@@ -373,6 +373,7 @@ class TableStore:
         keys: list[str],
         partition_values: list[tuple] | None = None,
         assume_nonempty: bool = False,
+        assume_unique: bool = False,
     ) -> int:
         """INSERT … ON CONFLICT DO NOTHING. Returns #rows inserted (the
         discovery metric the reference emits per entity —
@@ -389,10 +390,19 @@ class TableStore:
         ``assume_nonempty`` a REPLAYED batch whose anti-join comes up
         empty just writes an empty staging dir and adopts zero files —
         one wasted action on the rare replay instead of one extra action
-        on every normal tick."""
+        on every normal tick.
+
+        ``assume_unique``: the caller vouches the batch is already
+        PK-unique (the tick's batches come from driver dicts KEYED by the
+        PK), skipping the dropDuplicates — which on a partitioned write
+        plan is a full Exchange + two SortAggregate stages per merge even
+        for a 1000-row batch (micro-probed ~0.2-0.3 s of the ~1.1 s
+        steady merge). A non-unique batch passed with this flag would let
+        duplicate PK rows coexist in one snapshot — only set it from
+        call sites whose batch is a dict-keyed driver twin."""
         # dedupe the batch itself on PK first (replayed fixtures)
         self.last_adopted_files = []  # never carry a previous merge's files
-        fresh = batch.dropDuplicates(keys)
+        fresh = batch if assume_unique else batch.dropDuplicates(keys)
         if self.exists(name):
             current = self.read(name)
             # partition-pruned anti-join: only scan partitions the batch
@@ -597,6 +607,7 @@ class TableStore:
         assume_nonempty: bool = False,
         want_counts: bool = True,
         insert_only_col: str | None = None,
+        assume_unique: bool = False,
     ) -> tuple[int, int]:
         """INSERT … ON CONFLICT DO UPDATE. Returns (#inserted, #updated),
         or ``(-1, -1)`` when ``want_counts=False``.
@@ -629,7 +640,7 @@ class TableStore:
         and rewritten; every other partition's files are hard-linked into
         the new snapshot unchanged — O(touched partitions) I/O, O(#files)
         metadata, never O(table)."""
-        fresh = batch.dropDuplicates(keys).cache()
+        fresh = (batch if assume_unique else batch.dropDuplicates(keys)).cache()
         try:
             if not assume_nonempty and fresh.isEmpty():
                 return 0, 0
@@ -666,6 +677,7 @@ class TableStore:
         keys: list[str],
         partition_values: list[tuple],
         insert_only_col: str | None = None,
+        assume_unique: bool = False,
     ):
         """Stage a :meth:`merge_upsert`'s new snapshot WITHOUT publishing
         it — the expensive part (the copy-on-write partition rewrite, one
@@ -695,7 +707,7 @@ class TableStore:
         if not (0 < len(pvals) <= MAX_PRUNE_PARTITIONS):
             return None
         old_vdir = self._resolve(name)
-        fresh = batch.dropDuplicates(keys)
+        fresh = batch if assume_unique else batch.dropDuplicates(keys)
         touched = self.read(name)
         for i, c in enumerate(pcols):
             touched = touched.filter(

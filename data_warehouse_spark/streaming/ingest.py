@@ -222,6 +222,16 @@ def _ingest_transfer_schema():
     return T.StructType(fields)
 
 
+def _read_tagged_rows(chunk: list[tuple[str, str]]) -> tuple[list, list]:
+    """Executor body of the fused meta+event content read: one chunk of
+    ('m'|'e', path) pairs → (meta_rows, event_rows) via the same reader
+    twins the single-kind tiers use."""
+    return (
+        primary.read_account_meta_rows([p for k, p in chunk if k == "m"]),
+        primary.read_account_event_rows([p for k, p in chunk if k == "e"]),
+    )
+
+
 def _signed_changes(transfers: DataFrame) -> DataFrame:
     """This tick's committed transfer rows → signed per-account change rows
     with provenance PK (semantics of catalog.account_balance_change_view,
@@ -292,7 +302,7 @@ class IngestionPipeline:
         self._kv = None  # lazy KVTier for driver-side watermark lookups
 
     # ------------------------------------------------------------------
-    def _in_ingest_pool(self, fn, *args):
+    def _in_ingest_pool(self, fn, *args, **kwargs):
         """Run a store merge in a worker thread tagged into the FAIR
         'ingest' scheduler pool. Spark local properties are per-Python-
         thread (pinned-thread mode), so pool workers would otherwise
@@ -302,7 +312,7 @@ class IngestionPipeline:
         self.spark.sparkContext.setLocalProperty(
             "spark.scheduler.pool", "ingest"
         )
-        return fn(*args)
+        return fn(*args, **kwargs)
 
     def run_once(self) -> TickMetrics:
         m = TickMetrics()
@@ -333,6 +343,7 @@ class IngestionPipeline:
                 "tenant",
                 tenants_df.select(F.col("tenant").alias("name")),
                 PRIMARY_KEYS["tenant"],
+                assume_unique=True,  # scandir names of ONE directory
             )
         clock.lap("tenants")
         try:
@@ -392,16 +403,20 @@ class IngestionPipeline:
                     marks_fut = kvpool.submit(
                         self._kv_marks, sorted(set(scan_keys))
                     )
-                    for tenant, account, acc_rows, acc_ev, dirs in (
+                    content: dict[str, bytes] = {}
+                    for tenant, account, acc_rows, acc_ev, dirs, cbytes in (
                         listing.rescan_accounts_distributed(
-                            spark, root, scan_keys, now_ns
+                            spark, root, scan_keys, now_ns,
+                            read_content=True,
                         )
                     ):
                         self._cache.adopt(tenant, account, dirs)
                         rows.extend(acc_rows)
                         ev_rows.extend(acc_ev)
+                        content.update(cbytes)
                     marks = marks_fut.result()
             else:
+                content = {}
                 for tenant, account in scan_keys:
                     acc_rows, acc_ev = self._cache.rescan_account(
                         root, tenant, account, now_ns
@@ -414,7 +429,8 @@ class IngestionPipeline:
                 ok = False
                 try:
                     result = self._tick_body_delta(
-                        m, files_read, rows, ev_rows, marks, clock, scan_keys
+                        m, files_read, rows, ev_rows, marks, clock, scan_keys,
+                        content,
                     )
                     ok = True
                     return result
@@ -490,34 +506,46 @@ class IngestionPipeline:
         except Exception:
             return None
 
-    def _read_meta_rows_tiered(self, paths: list[str]) -> list:
-        """1-line meta reads via the read_account_meta_rows twin — driver
-        loop for small batches, executor RDD map for wide ones (a Spark
-        text JOB over thousands of tiny files measured ~10 s under
-        concurrent serving load; a driver loop ~7 s GIL-starved)."""
-        if len(paths) <= 256:
-            return primary.read_account_meta_rows(paths)
-        chunks = [paths[i::32] for i in range(32)]
-        return [
-            r
-            for rs in self.spark.sparkContext.parallelize(chunks, len(chunks))
-            .map(primary.read_account_meta_rows)
+    def _read_meta_event_rows_fused(
+        self,
+        meta_paths: list[str],
+        ev_paths: list[str],
+        content: dict[str, bytes] | None = None,
+    ) -> tuple[list, list]:
+        """ONE content-read job for the tick's two 1-line-file batches
+        (account snapshot-0 meta + event files). The un-fused flow paid
+        two sequential tiered jobs; their contents are independent (event
+        selection needs only meta KEYS, which come from the listing), so
+        a single executor job reads both sets — saving one Spark job
+        round trip (~0.3 s at sf1, more under serving contention) on
+        every discovery-carrying merge tick. Same per-kind reader twins,
+        same tiering rule as the single-kind paths."""
+        if content is not None and all(
+            p in content for p in meta_paths
+        ) and all(p in content for p in ev_paths):
+            # wide-delta prefetch: the rescan job already captured every
+            # byte — parse here with ZERO file I/O and ZERO Spark jobs
+            return (
+                primary.read_account_meta_rows(meta_paths, content),
+                primary.read_account_event_rows(ev_paths, content),
+            )
+        if len(meta_paths) + len(ev_paths) <= 256:
+            return (
+                primary.read_account_meta_rows(meta_paths, content),
+                primary.read_account_event_rows(ev_paths, content),
+            )
+        tagged = [("m", p) for p in meta_paths] + [("e", p) for p in ev_paths]
+        chunks = [tagged[i::32] for i in range(32)]
+        meta_rows: list = []
+        ev_rows: list = []
+        for ms, es in (
+            self.spark.sparkContext.parallelize(chunks, len(chunks))
+            .map(_read_tagged_rows)
             .collect()
-            for r in rs
-        ]
-
-    def _read_event_rows_tiered(self, paths: list[str]) -> list:
-        """Same tiering for the 1-line event files (read_account_event_rows)."""
-        if len(paths) <= 256:
-            return primary.read_account_event_rows(paths)
-        chunks = [paths[i::32] for i in range(32)]
-        return [
-            r
-            for rs in self.spark.sparkContext.parallelize(chunks, len(chunks))
-            .map(primary.read_account_event_rows)
-            .collect()
-            for r in rs
-        ]
+        ):
+            meta_rows.extend(ms)
+            ev_rows.extend(es)
+        return meta_rows, ev_rows
 
     def _tick_body_delta(
         self,
@@ -528,6 +556,7 @@ class IngestionPipeline:
         marks: dict,
         clock: _StageClock,
         scan_keys: list[tuple[str, str]],
+        content: dict[str, bytes] | None = None,
     ) -> TickMetrics:
         """Delta tick with DRIVER-side watermark logic: the listing rows
         and account marks are already small local data (O(changed
@@ -562,24 +591,18 @@ class IngestionPipeline:
         ]
         files_read["meta"] = len(new_meta)
         pending_discovery: list[tuple] = []
+        placeholder_keys: set[tuple[str, str]] = set()
         if new_meta:
             active_keys.update((t, a) for t, a, _ in new_meta)
-            meta_rows = self._read_meta_rows_tiered([p for _, _, p in new_meta])
-            # discovery rows are NOT merged here: the tick body reads
-            # watermarks from the local `marks` dict, so the durable write
-            # can ride the tick's single fused account MERGE at the end
-            # (with the marker advance) — one Spark write action instead
-            # of two. The fused merge tags these rows insert-only
-            # (DO NOTHING), anti-joined against the account table ITSELF
-            # inside the write plan — a KV-tier false negative (a present
-            # key missing from `marks`) can therefore never rewind a live
-            # account's markers to (0,0); worst case is harmless re-read
-            # of already-applied events this tick.
-            for t, n, c, f in meta_rows:
-                if (t, n) not in marks:
-                    marks[(t, n)] = (0, 0, c, f)
-                    pending_discovery.append((t, n, c, f, 0, 0))
-            m.accounts_discovered = len(pending_discovery)
+            # meta CONTENT is not read yet — the snapshot/event selection
+            # below needs only the KEY's presence and its (0,0) watermark;
+            # currency/format arrive from the FUSED meta+event content
+            # read (one executor job where this path used to pay two
+            # sequential ones, ~0.3 s of job round-trip each at sf1).
+            for t, a, _p in new_meta:
+                if (t, a) not in marks:
+                    marks[(t, a)] = (0, 0, None, None)
+                    placeholder_keys.add((t, a))
         clock.lap("account_discovery")
 
         # --- snapshot selection (D4) + count-skip (D5), driver-side -----
@@ -602,6 +625,35 @@ class IngestionPipeline:
                     active_keys.add(key)
         files_read["events"] = len(ev_paths)
         clock.lap("event_listing")
+
+        # --- FUSED content read: this tick's meta + event 1-line files in
+        # ONE tiered job. Discovery rows are NOT merged here: the tick
+        # body reads watermarks from the local `marks` dict, so the
+        # durable write can ride the tick's single fused account MERGE at
+        # the end (with the marker advance). The fused merge tags these
+        # rows insert-only (DO NOTHING), anti-joined against the account
+        # table ITSELF inside the write plan — a KV-tier false negative
+        # (a present key missing from `marks`) can therefore never rewind
+        # a live account's markers to (0,0); worst case is harmless
+        # re-read of already-applied events this tick.
+        meta_rows, parsed = self._read_meta_event_rows_fused(
+            [p for _, _, p in new_meta], sorted(ev_paths), content
+        )
+        for t, n, c, f in meta_rows:
+            if (t, n) in placeholder_keys:
+                placeholder_keys.discard((t, n))
+                marks[(t, n)] = (0, 0, c, f)
+                pending_discovery.append((t, n, c, f, 0, 0))
+        m.accounts_discovered = len(pending_discovery)
+        if placeholder_keys:
+            # meta content yielded no row for these keys (reader twins
+            # normally raise instead — belt-and-braces): mirror the
+            # un-fused flow, where such keys never entered `marks` and
+            # their events were skipped at selection time
+            for k in placeholder_keys:
+                del marks[k]
+            parsed = [r for r in parsed if (r[0], r[1]) not in placeholder_keys]
+
         if not ev_paths:
             # idle examination: no content reads; the only write (if any)
             # is the deferred discovery batch — pure DO NOTHING semantics
@@ -617,12 +669,12 @@ class IngestionPipeline:
                         (t,) for t in sorted({r[0] for r in pending_discovery})
                     ],
                     assume_nonempty=True,
+                    assume_unique=True,  # marks-gated: one row per new key
                 )
                 clock.lap("marker_advance")
             return m
 
-        # --- event reads + the picked filter (D5 boundary replay) -------
-        parsed = self._read_event_rows_tiered(sorted(ev_paths))
+        # --- the picked filter (D5 boundary replay) over the fused read -
         picked_rows = []
         for t, a, status, txn, sv, ver in parsed:
             last_snap, last_ev = marks[(t, a)][0], marks[(t, a)][1]
@@ -652,6 +704,7 @@ class IngestionPipeline:
                         (t,) for t in sorted({r[0] for r in pending_discovery})
                     ],
                     assume_nonempty=True,
+                    assume_unique=True,  # marks-gated: one row per new key
                 )
             ev_schema = T.StructType(
                 [T.StructField(f.name, f.dataType, True)
@@ -818,6 +871,7 @@ class IngestionPipeline:
                             PRIMARY_KEYS["account"],
                             acct_pvals,
                             ins_col,
+                            assume_unique=True,  # pos/pending dicts keyed by PK
                         )
                         if batch
                         else None
@@ -828,6 +882,7 @@ class IngestionPipeline:
                             store.merge_insert_missing, "transfer", tdf,
                             PRIMARY_KEYS["transfer"],
                             [(t,) for t in t_tenants], True,
+                            assume_unique=True,  # new_transfers keyed by PK
                         )
                         fut_abc = pool.submit(
                             self._in_ingest_pool,
@@ -835,6 +890,8 @@ class IngestionPipeline:
                             "account_balance_change",
                             abc_df, ABC_PRIMARY_KEYS,
                             [(t,) for t in abc_tenants], bool(abc_tenants),
+                            # one row per (transfer, side): PK carries `side`
+                            assume_unique=True,
                         )
                         m.transfers_discovered = fut_t.result()
                         fut_abc.result()
@@ -863,6 +920,7 @@ class IngestionPipeline:
                         assume_nonempty=True,
                         want_counts=False,
                         insert_only_col=ins_col,
+                        assume_unique=True,  # pos/pending dicts keyed by PK
                     )
             clock.lap("marker_advance")
         finally:
