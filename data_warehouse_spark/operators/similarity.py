@@ -1691,10 +1691,9 @@ def pq_topk(
     )
 
 
-def ivfpq_topk(
+def _ivfpq_adist_scored(
     embeddings: DataFrame,
     query_ids: list[int],
-    k: int = 5,
     n_cells: int | None = None,
     nprobe: int | None = None,
     m: int = PQ_M,
@@ -1704,19 +1703,18 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     index_cache_key: str | None = None,
     train_iters: int = V.KMEANS_ITERS,
-) -> DataFrame:
-    """The full FAISS recipe, composed from the two stored artifacts this
-    module already maintains: IVF restricts WHICH candidates are scored
-    (probe ``nprobe`` cells → candidates shrink ~nprobe/n_cells), PQ
-    decides HOW each survivor is scored (ADC over the codes table — m
-    lookups, no raw vector touched). At 100 TB that combination is the
-    serving economics: the probe prunes I/O to a cell slice, and that
-    slice is read as 8-byte codes instead of 256-byte vectors.
-
-    Semantics, precisely: the candidate set is EXACTLY ``ivf_topk``'s
-    (same index, same probe ranking) and the scoring order is EXACTLY
-    ``pq_topk``'s restricted to those candidates — pinned by test against
-    both parents. Shares both session caches via ``index_cache_key``.
+) -> DataFrame | None:
+    """Shared IVF+PQ scoring core: the probed candidate set (EXACTLY
+    ``ivf_topk``'s — same index, same probe ranking) ADC-scored by the PQ
+    codes table (EXACTLY ``pq_topk``'s order restricted to those
+    candidates). Returns (query_id, neighbor_id, adist) rows — or None
+    for an unknown/empty query set. ``ivfpq_topk`` ranks these directly;
+    ``ivfpq_refine_topk`` widens the cut and exact-re-ranks the
+    survivors. IVF restricts WHICH candidates are scored (probe
+    ``nprobe`` cells → candidates shrink ~nprobe/n_cells), PQ decides
+    HOW each survivor is scored (ADC over the codes table — m lookups,
+    no raw vector touched). Shares both session caches via
+    ``index_cache_key``.
     """
     from ..materialize import storage_checkpoint
 
@@ -1773,13 +1771,8 @@ def ivfpq_topk(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
     ).collect()
     if not q_rows:
-        # mirror the other ANN paths: unknown/empty query ids yield an
-        # empty result, never an AttributeError on a never-assigned union
-        return embeddings.sparkSession.createDataFrame(
-            [], "query_id bigint, neighbor_id bigint, rank bigint"
-        )
+        return None
     out = None
-    w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
     for r in q_rows:
         qv = _pq_normalize_py(r["qv"])
         table = []
@@ -1813,8 +1806,121 @@ def ivfpq_topk(
             )
         )
         out = branch if out is None else out.unionByName(branch)
+    return out
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_cells: int | None = None,
+    nprobe: int | None = None,
+    m: int = PQ_M,
+    sub: int = PQ_SUB,
+    kc: int = PQ_KC,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index_cache_key: str | None = None,
+    train_iters: int = V.KMEANS_ITERS,
+) -> DataFrame:
+    """The full FAISS recipe, composed from the two stored artifacts this
+    module already maintains: IVF restricts WHICH candidates are scored
+    (probe ``nprobe`` cells → candidates shrink ~nprobe/n_cells), PQ
+    decides HOW each survivor is scored (ADC over the codes table — m
+    lookups, no raw vector touched). At 100 TB that combination is the
+    serving economics: the probe prunes I/O to a cell slice, and that
+    slice is read as 8-byte codes instead of 256-byte vectors.
+
+    Semantics, precisely: the candidate set is EXACTLY ``ivf_topk``'s
+    (same index, same probe ranking) and the scoring order is EXACTLY
+    ``pq_topk``'s restricted to those candidates — pinned by test against
+    both parents. Shares both session caches via ``index_cache_key``.
+    """
+    scored = _ivfpq_adist_scored(
+        embeddings, query_ids, n_cells, nprobe, m, sub, kc,
+        id_col, vec_col, index_cache_key, train_iters,
+    )
+    if scored is None:
+        # mirror the other ANN paths: unknown/empty query ids yield an
+        # empty result, never an AttributeError on a never-assigned union
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, rank bigint"
+        )
+    w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
     return (
-        out.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def ivfpq_refine_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    refine: int = 4,
+    n_cells: int | None = None,
+    nprobe: int | None = None,
+    m: int = PQ_M,
+    sub: int = PQ_SUB,
+    kc: int = PQ_KC,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index_cache_key: str | None = None,
+    train_iters: int = V.KMEANS_ITERS,
+) -> DataFrame:
+    """IVF+PQ with an exact re-rank tail — the standard FAISS
+    ``IndexRefineFlat`` recipe (public knowledge): ADC-score the probed
+    candidates from the CODES table as usual, keep the best ``k·refine``
+    per query by approximate distance, then re-score ONLY those
+    survivors with the exact cosine over the full vectors and return the
+    exact-ordered top k. Recall@k rises toward IVF-flat while the full
+    vectors are read for k·refine rows per query instead of the whole
+    probed slice — at 100 TB the refine read is a point-lookup-sized
+    fraction of the codes scan it rides on.
+
+    The exact stage uses the SAME deterministic cosine fold as
+    ``brute_force_topk``'s expression form (``V.cosine``), so the
+    re-rank order is bit-reproducible against the DuckDB twin
+    (``tw.ann_ivfpq_refine_sql``)."""
+    scored = _ivfpq_adist_scored(
+        embeddings, query_ids, n_cells, nprobe, m, sub, kc,
+        id_col, vec_col, index_cache_key, train_iters,
+    )
+    if scored is None:
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, rank bigint"
+        )
+    aw = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    survivors = (
+        scored.withColumn("arn", F.row_number().over(aw))
+        .filter(F.col("arn") <= int(k) * int(refine))
+        .select("query_id", "neighbor_id")
+    )
+    queries = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    # survivors are k·refine rows per query — broadcast them onto the
+    # corpus for the exact-vector read (a semi-join-sized probe, never a
+    # corpus scan), then score with the deterministic fold
+    exact = (
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec")
+        )
+        .join(F.broadcast(survivors), "neighbor_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            V.cosine("q_vec", "n_vec").alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
         .orderBy("query_id", "rank")

@@ -1275,22 +1275,21 @@ SELECT * FROM (
 ) ORDER BY token, metric"""
 
 
-def ann_ivfpq_sql(
+def _ivfpq_scored_prefix(
     query_ids: list[int],
-    k: int = 5,
-    n_cells: int = 16,
-    nprobe: int = 4,
-    kc: int = 16,
-    m: int = 8,
-    sub: int = 8,
-    dim: int = 64,
+    n_cells: int,
+    nprobe: int,
+    kc: int,
+    m: int,
+    sub: int,
+    dim: int,
 ) -> str:
-    """Composed IVF+PQ twin: the candidate set is EXACTLY ann_ivf_sql's
-    (same assignment prefix via _ivf_assigned_cte, same probe ranking,
-    un-normalized space) and the scoring is EXACTLY ann_pq_sql's ADC chain
-    (same machinery via _pq_ctes, normalized space) restricted to those
-    candidates — mirroring similarity.ivfpq_topk structurally, not by
-    copy."""
+    """The shared WITH-prefix of both IVF+PQ twins, ending at the
+    ``scored`` CTE (query_id, neighbor_id, adist): the candidate set is
+    EXACTLY ann_ivf_sql's (same assignment prefix via _ivf_assigned_cte,
+    same probe ranking, un-normalized space) and the scoring is EXACTLY
+    ann_pq_sql's ADC chain (same machinery via _pq_ctes, normalized
+    space) restricted to those candidates."""
     ids = ", ".join(str(i) for i in query_ids)
     pq_ctes, cw_joins, adist = _pq_ctes(query_ids, kc, m, sub, dim)
     return f"""
@@ -1320,12 +1319,73 @@ scored AS (
   JOIN cand ON cand.query_id = q.query_id
   JOIN kd ON kd.vec_id = cand.neighbor_id
   {cw_joins}
-),
+)"""
+
+
+def ann_ivfpq_sql(
+    query_ids: list[int],
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    kc: int = 16,
+    m: int = 8,
+    sub: int = 8,
+    dim: int = 64,
+) -> str:
+    """Composed IVF+PQ twin — mirroring similarity.ivfpq_topk
+    structurally, not by copy (see :func:`_ivfpq_scored_prefix`)."""
+    prefix = _ivfpq_scored_prefix(query_ids, n_cells, nprobe, kc, m, sub, dim)
+    return f"""{prefix},
 ranked AS (
   SELECT query_id, neighbor_id,
          CAST(row_number() OVER (PARTITION BY query_id
               ORDER BY adist, neighbor_id) AS BIGINT) AS rank
   FROM scored
+)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank"""
+
+
+def ann_ivfpq_refine_sql(
+    query_ids: list[int],
+    k: int = 5,
+    refine: int = 4,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    kc: int = 16,
+    m: int = 8,
+    sub: int = 8,
+    dim: int = 64,
+) -> str:
+    """IVF+PQ + exact re-rank twin (similarity.ivfpq_refine_topk): the
+    ADC-ranked survivors (arn <= k*refine, EXACTLY ann_ivfpq_sql's
+    ordering) are re-scored with the exact cosine over the raw DOUBLE
+    vectors (`e`, un-normalized — the same fold _cos/brute-force use) and
+    re-ranked (cos DESC, neighbor_id ASC)."""
+    ids = ", ".join(str(i) for i in query_ids)
+    prefix = _ivfpq_scored_prefix(query_ids, n_cells, nprobe, kc, m, sub, dim)
+    return f"""{prefix},
+aranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+              ORDER BY adist, neighbor_id) AS arn
+  FROM scored
+),
+survivors AS (
+  SELECT query_id, neighbor_id FROM aranked WHERE arn <= {int(k) * int(refine)}
+),
+qv AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN ({ids})),
+exact AS (
+  SELECT s.query_id, s.neighbor_id, {_cos('qq.qv', 'n.v', dim)} AS cos
+  FROM survivors s
+  JOIN e n ON n.vec_id = s.neighbor_id
+  JOIN qv qq ON qq.query_id = s.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM exact
 )
 SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {k}
 ORDER BY query_id, rank"""

@@ -931,6 +931,13 @@ def _ann_recall_oracle() -> str:
         "ivfpq": tw.ann_ivfpq_sql(
             _ANN_QUERY_IDS, k=k, n_cells=similarity.N_CELLS, nprobe=similarity.N_PROBE
         ),
+        # the FAISS refine stage: ADC-ranked k·4 survivors, exact-cosine
+        # re-ranked from the raw vectors — recall@k rises toward IVF-flat
+        # while full vectors are read for k·refine rows per query only
+        "ivfpq_refine": tw.ann_ivfpq_refine_sql(
+            _ANN_QUERY_IDS, k=k, refine=4,
+            n_cells=similarity.N_CELLS, nprobe=similarity.N_PROBE
+        ),
     }
     ctes = ",\n".join(
         f"m_{name} AS (SELECT query_id, neighbor_id FROM ({sql}) t)"
@@ -957,9 +964,10 @@ SELECT * FROM (
     "ann_recall",
     _ann_recall_oracle(),
     "recall@k of every approximate ANN path (IVF, single-probe LSH, "
-    "multi-probe LSH, product quantization, and the composed IVF+PQ "
-    "serving path) against exact brute force — integer permille, so the "
-    "quality/cost tradeoff is itself regression-pinned",
+    "multi-probe LSH, product quantization, the composed IVF+PQ serving "
+    "path, and IVF+PQ with the FAISS exact re-rank refine stage) against "
+    "exact brute force — integer permille, so the quality/cost tradeoff "
+    "is itself regression-pinned",
 )
 def _ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .materialize import storage_checkpoint
@@ -990,6 +998,10 @@ def _ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("pq", similarity.pq_topk(emb, _ANN_QUERY_IDS, k=_ANN_K, index_cache_key=sf_dir)),
         ("ivfpq", similarity.ivfpq_topk(
             emb, _ANN_QUERY_IDS, k=_ANN_K,
+            n_cells=similarity.N_CELLS, nprobe=similarity.N_PROBE,
+            index_cache_key=sf_dir)),
+        ("ivfpq_refine", similarity.ivfpq_refine_topk(
+            emb, _ANN_QUERY_IDS, k=_ANN_K, refine=4,
             n_cells=similarity.N_CELLS, nprobe=similarity.N_PROBE,
             index_cache_key=sf_dir)),
     ):

@@ -1916,3 +1916,50 @@ def test_stored_index_fast_build_matches_parity(spark, tmp_path):
     top_p = similarity.ivf_topk_stored(spark, p_par, [q["vec_id"]], k=3).collect()
     assert top_f[0]["neighbor_id"] == 999_999 and top_f[0]["rank"] == 1
     assert sorted(map(tuple, top_f)) == sorted(map(tuple, top_p))
+
+
+def test_ivfpq_refine_recall_and_limit(spark):
+    """The FAISS refine stage, two pins: (1) recall@k of ivfpq_refine is
+    >= plain ivfpq at EQUAL nprobe (the refine read can only fix ADC
+    mis-rankings inside the candidate set, never lose a hit); (2) in the
+    limit refine -> everything-probed, ivfpq_refine IS ivf_topk — same
+    candidate set, same exact-cosine fold, same (cos DESC, neighbor_id)
+    order — so the refine tail provably converges to IVF-flat."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qids = [0, 1, 2]
+
+    bf = similarity.brute_force_topk(emb, qids, k=5)
+    pq_ref = similarity.ivfpq_refine_topk(
+        emb, qids, k=5, refine=4,
+        n_cells=similarity.N_CELLS, nprobe=similarity.N_PROBE,
+        index_cache_key="refine-test",
+    )
+    pq_plain = similarity.ivfpq_topk(
+        emb, qids, k=5,
+        n_cells=similarity.N_CELLS, nprobe=similarity.N_PROBE,
+        index_cache_key="refine-test",
+    )
+    r_ref = {
+        r["query_id"]: r["recall_x1000"]
+        for r in similarity.recall_vs_exact(pq_ref, bf, k=5).collect()
+    }
+    r_plain = {
+        r["query_id"]: r["recall_x1000"]
+        for r in similarity.recall_vs_exact(pq_plain, bf, k=5).collect()
+    }
+    assert sum(r_ref.values()) >= sum(r_plain.values())
+
+    # limit pin: a refine cut wider than any cell slice keeps EVERY probed
+    # candidate, so the exact re-rank must reproduce IVF-flat bit-for-bit
+    n = emb.count()
+    wide = similarity.ivfpq_refine_topk(
+        emb, qids, k=5, refine=n,
+        n_cells=similarity.N_CELLS, nprobe=similarity.N_PROBE,
+        index_cache_key="refine-test",
+    ).collect()
+    flat = similarity.ivf_topk(
+        emb, qids, k=5,
+        n_cells=similarity.N_CELLS, nprobe=similarity.N_PROBE,
+        index_cache_key="refine-test",
+    ).collect()
+    assert sorted(map(tuple, wide)) == sorted(map(tuple, flat))
