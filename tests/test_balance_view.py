@@ -399,3 +399,71 @@ def test_serving_equivalence_with_direct_aggregate(spark, tmp_path):
         (r["tenant"], r["name"]): r["balance"] for r in df.collect()
     }
     assert as_map(fast) == as_map(direct)
+
+
+def test_deferral_bound_worst_case_window_serves_and_converges(spark, tmp_path):
+    """r10 verdict item 7: pin the deferral's WORST case, not just its
+    exactness.  Fill the append-only window to exactly bound-1 part files
+    (the default bound is 24 — SPARK_GRAFT_ROLLUP_DEFER_FILES) spanning
+    MANY tenants, then assert (a) every deferral decision held to the
+    bound, (b) the KV window path serves balances EXACTLY (rollup base +
+    Arrow delta over all 23 files, zero Spark jobs) within a generous
+    wall bound that still catches O(window^2) pathology, and (c) the
+    overflow merge converges in ONE combined `delta` apply whose result
+    equals ground truth."""
+    import time
+
+    from data_warehouse_spark.api.serving_cache import ServingCache
+
+    bound = 24
+    store = warehouse_store(spark, str(tmp_path / "wh"))
+    store.merge_insert_missing(
+        ABC, _changes(spark, [("T00", "seed", "1", "t-seed")]), ABC_PRIMARY_KEYS
+    )
+    assert balance_view.maintain(store) == "recompute"
+
+    # 22 more single-file merges across 11 tenants -> window = 23 files
+    # (each merge adopts exactly one part file for its one-row batch)
+    expected = {("T00", "seed"): decimal.Decimal("1")}
+    i = 0
+    while True:
+        win = balance_view.stale_window(store)
+        n_files = len(win[2]) if win else 0
+        if n_files >= bound - 1:
+            break
+        t, n = f"T{i % 11:02d}", f"acc{i % 7}"
+        amt = decimal.Decimal(str(i + 1))
+        store.merge_insert_missing(
+            ABC, _changes(spark, [(t, n, str(amt), f"t-{i}")]), ABC_PRIMARY_KEYS
+        )
+        expected[(t, n)] = expected.get((t, n), decimal.Decimal(0)) + amt
+        assert balance_view.maintain(store, defer_under_files=bound) == "deferred"
+        i += 1
+    win = balance_view.stale_window(store)
+    assert win is not None and len(win[2]) == bound - 1
+    assert len({p.split("tenant=")[1].split("/")[0] for p in win[2]}) >= 10
+
+    # (b) serving through the MAXIMAL window: exact and bounded
+    cache = ServingCache(store)
+    keys = sorted(expected)
+    t0 = time.perf_counter()
+    served = cache.kv_balances(keys)
+    serve_sec = time.perf_counter() - t0
+    assert served is not None, "window path must serve at the bound"
+    assert cache.counters["kv_balance_window"] == 1
+    got = {k: v for k, v in served.items()}
+    for k, v in expected.items():
+        assert got[k] == v, (k, got[k], v)
+    assert serve_sec < 10.0, f"window serve took {serve_sec:.1f}s at 23 files"
+
+    # (c) the overflow merge: bound reached -> in-tick converge, one
+    # combined delta apply equal to ground truth
+    store.merge_insert_missing(
+        ABC, _changes(spark, [("T99", "over", "7", "t-over")]), ABC_PRIMARY_KEYS
+    )
+    t0 = time.perf_counter()
+    action = balance_view.maintain(store, defer_under_files=bound)
+    converge_sec = time.perf_counter() - t0
+    assert action == "delta"
+    assert _rollup_map(balance_view.read_if_fresh(store)) == _ground_truth(store)
+    assert converge_sec < 30.0, f"max-deferral converge took {converge_sec:.1f}s"

@@ -117,12 +117,26 @@ def main() -> int:
             }
         )
 
+    # the first idle tick whose rollup_converge_check did real work is the
+    # CONVERGE tick — the one combined CDC apply of every append the busy
+    # ticks deferred (balance_view.maintain defer_under_files). Surfacing
+    # it as a headline field pins the deferred-maintenance path's cost
+    # envelope, not just its exactness (r10 verdict item 7).
+    converge_sec = max(
+        (
+            t["stage_sec"].get("rollup_converge_check", 0.0)
+            for t in ticks
+            if t["label"].startswith("idle")
+        ),
+        default=0.0,
+    )
     report = {
         "sf": args.sf,
         "warehouse_rows": rows,
         "load_sec": load_sec,
         "rollup_bootstrap_sec": bootstrap_sec,
         "new_accounts": args.accounts,
+        "rollup_converge_after_max_deferral_sec": round(converge_sec, 2),
         "ticks": ticks,
     }
     line = json.dumps(report)
