@@ -184,7 +184,17 @@ class KVTier:
         # bound this tier exists to respect (r7 review finding)
         self.max_cached_rows = max_cached_rows
         self._lock = threading.Lock()
-        self._indexes: dict[str, _TableIndex] = {}  # table → index
+        self._indexes: dict[str, _TableIndex] = {}  # table → LIVE index
+        # table → the immediately-PREVIOUS generation's index. Version
+        # dirs are retained one generation (TableStore's two-snapshot
+        # contract), so a request whose pinned fingerprint was outrun by
+        # a mid-request ingest adopt can still be served its exact pinned
+        # state — snapshot isolation, the read the reference's Postgres
+        # gives during a concurrent ingest transaction. Without this,
+        # every fact adopt forced an inline index REBUILD (a GIL-bound
+        # footer walk) under 32 request threads (serving_bench --stacks,
+        # r11: kv_index_build:transfer fired 4x inside one client window).
+        self._prev_indexes: dict[str, _TableIndex] = {}
         # (table, tenant) → sorted page rows, valid for one fingerprint
         self._tenant_rows: "collections.OrderedDict[tuple, tuple]" = (
             collections.OrderedDict()
@@ -391,15 +401,39 @@ class KVTier:
         idx = self._indexes.get(table)
         if idx is not None and idx.fingerprint == fingerprint:
             return idx
+        prev = self._prev_indexes.get(table)
+        if prev is not None and prev.fingerprint == fingerprint:
+            self._count((f"kv_index_prev_gen:{table}", 1))
+            return prev
         with self._lock:
             idx = self._indexes.get(table)
             if idx is not None and idx.fingerprint == fingerprint:
                 return idx
+            prev = self._prev_indexes.get(table)
+            if prev is not None and prev.fingerprint == fingerprint:
+                return prev
+            # build ONLY for the LIVE fingerprint: _build_index walks the
+            # CURRENT version dir, so building under a stale caller's pin
+            # would label fresh data with an old witness — the caller
+            # falls back instead (pre-r11 this hazard was latent because
+            # only live fingerprints ever reached here)
+            try:
+                from ..operators import balance_view
+
+                if balance_view.table_fingerprint(
+                    self.store, table
+                ) != fingerprint:
+                    return None
+            except Exception:
+                return None
             try:
                 idx = self._build_index(table, fingerprint)
             except Exception:
                 idx = None
             if idx is not None:
+                old_idx = self._indexes.get(table)
+                if old_idx is not None:
+                    self._prev_indexes[table] = old_idx
                 self._indexes[table] = idx
                 self.counters[f"kv_index_build:{table}"] += 1
                 # tenant page rows are fingerprint-scoped too

@@ -40,6 +40,7 @@ store's ``_part_dir_value`` (Spark's hive escaping).
 
 from __future__ import annotations
 
+import collections
 import decimal
 import os
 import threading
@@ -129,10 +130,12 @@ class ServingCache:
         self._snaps: dict[str, tuple[str, Any]] = {}
         # fact-page result cache: {args_key: collected page}, valid only for
         # one transfer-table fingerprint (any table change clears it)
-        import collections
-
         self._pages: "collections.OrderedDict[tuple, Any]" = collections.OrderedDict()
         self._pages_fp: str | None = None
+        # the immediately-previous generation's pages (see transfers_page:
+        # serve-stale-while-revalidate across an ingest adopt)
+        self._pages_prev: dict = {}
+        self._pages_prev_fp: str | None = None
         # request coalescing: concurrent identical page misses share one
         # Spark job (key → {"event", "rows"}); a thundering herd of 32
         # first-requests otherwise runs 32 identical jobs
@@ -193,9 +196,26 @@ class ServingCache:
         compaction, or overwrite moves the fingerprint and drops every
         page.  A page is cached only when the fingerprint is UNCHANGED
         across the load (re-checked after), so a cached page provably
-        reflects that exact on-disk state — stale-and-served is impossible,
-        the same contract as every snapshot here.  Entry/row bounds keep
-        this O(pages), not O(fact)."""
+        reflects that exact committed on-disk state.  Entry/row bounds
+        keep this O(pages), not O(fact).
+
+        Staleness across an ingest adopt (r11): a fingerprint move keeps
+        the outgoing generation's pages for ONE generation.  The LEADER
+        of each page's reload still loads inline — the first reader after
+        a change always sees the fresh state (the pinned golden-test
+        contract) — but FOLLOWERS arriving while that flight is running
+        are served the previous committed generation instead of blocking
+        on the leader's Spark job: bounded staleness of exactly one
+        committed snapshot, the read a Postgres client gets when its
+        query started before a concurrent ingest transaction committed
+        (the reference's semantics).  serving_bench --stacks (r11)
+        measured follower blocking as the hottest request-side frame
+        during the merge window (32 threads × coalesced waits); the
+        bbtest poll contract is preserved because a poll repeats until
+        the revalidated page is visible.  A key the previous generation
+        never served (e.g. a NEW tenant — the bbtest poll shape) waits
+        for the leader as before, so polls never see phantom-stale
+        emptiness."""
         try:
             fp = balance_view.table_fingerprint(self.store, "transfer")
         except Exception:
@@ -203,9 +223,14 @@ class ServingCache:
         if fp is None:
             self.counters["transfer_page_fallback"] += 1
             return loader()
+        stale_rows = None
         with self._lock:
             if fp != self._pages_fp:
-                self._pages.clear()
+                if self._pages:
+                    # keep ONE outgoing generation for stale-serving
+                    self._pages_prev = dict(self._pages)
+                    self._pages_prev_fp = self._pages_fp
+                self._pages = collections.OrderedDict()
                 self._pages_fp = fp
             if key in self._pages:
                 self._pages.move_to_end(key)
@@ -218,6 +243,13 @@ class ServingCache:
                 leader = True
             else:
                 leader = False
+            if self._pages_prev_fp is not None and key in self._pages_prev:
+                stale_rows = self._pages_prev[key]
+        if stale_rows is not None and not leader:
+            # a reload flight is in progress: serve the previous committed
+            # generation NOW instead of blocking on the leader's Spark job
+            self.counters["transfer_page_stale_served"] += 1
+            return stale_rows
         if not leader:
             # follower: wait for the leader's result instead of running an
             # identical Spark job (bounded — a stuck leader must not wedge
@@ -227,6 +259,13 @@ class ServingCache:
                 self.counters["transfer_page_coalesced"] += 1
                 return flight["rows"]
             return loader()
+        return self._page_load_and_cache(key, loader, flight, fp)
+
+    def _page_load_and_cache(self, key, loader, flight, fp):
+        """Leader body of a transfers-page load: run the loader, publish
+        to followers, and cache iff the fingerprint held across the load
+        (a cached page provably reflects that exact on-disk state)."""
+        rows = None
         try:
             rows = loader()  # Spark job — outside the lock
             flight["rows"] = rows
@@ -236,7 +275,7 @@ class ServingCache:
                 self._inflight.pop(key, None)
         fp_after = balance_view.table_fingerprint(self.store, "transfer")
         self.counters["transfer_page_load"] += 1
-        if fp_after == fp and len(rows) <= self.max_page_rows:
+        if rows is not None and fp_after == fp and len(rows) <= self.max_page_rows:
             with self._lock:
                 if fp == self._pages_fp:
                     self._pages[key] = rows
@@ -408,9 +447,7 @@ class ServingCache:
             token = balance_view.freshness_token(self.store)
         except Exception:
             return None
-        if token is not None:
-            if pinned is not None and token != pinned:
-                return None  # rollup moved mid-request — torn-read guard
+        if token is not None and (pinned is None or token == pinned):
             hit = self.kv.lookup(
                 balance_view.ROLLUP_TABLE, token, keys, ["nn_amount", "sum_amount"]
             )
@@ -420,15 +457,46 @@ class ServingCache:
                 k: kv_tier.KVTier.quantize_balance(v["nn_amount"], v["sum_amount"])
                 for k, v in hit.items()
             }
-        try:
-            win = balance_view.stale_window(self.store)
-        except Exception:
-            win = None
+        win = None
+        served_pinned = False
+        if token is None:
+            try:
+                win = balance_view.stale_window(self.store)
+            except Exception:
+                win = None
+            if win is not None and pinned is not None and win[0] != pinned:
+                win = None  # live window moved past the pin
+        if win is None and pinned is not None:
+            # TORN pin: an ingest tick adopted files (or converged the
+            # rollup) mid-request.  Serve the request its exact PINNED
+            # state from the window-token history — the window's inputs
+            # are immutable, so this is snapshot isolation, precisely the
+            # read the reference's Postgres MVCC gives during a
+            # concurrent ingest transaction.  Pre-r11 this returned None
+            # and EVERY balance request in flight across a contended 9 s
+            # merge tick fell back to the Spark path (the measured
+            # fixture→queryable tail).
+            hist = balance_view.window_for_token(self.store, pinned)
+            if hist is None:
+                return None
+            try:
+                live_fp = balance_view.table_fingerprint(
+                    self.store, balance_view.ROLLUP_TABLE
+                )
+            except Exception:
+                return None
+            if hist[0] != live_fp:
+                # the rollup itself converged past the pin — the KV index
+                # under the pinned fp could silently rebuild over the NEW
+                # files (kv_tier._build_index labels whatever is live), so
+                # refuse and let the rare converge-spanning request take
+                # the Spark path
+                return None
+            win = (pinned, hist[0], hist[1])
+            served_pinned = True
         if win is None:
             return None
         win_token, rollup_fp, new_paths = win
-        if pinned is not None and win_token != pinned:
-            return None  # another tick landed mid-request
         base = self.kv.lookup(
             balance_view.ROLLUP_TABLE, rollup_fp, keys, ["nn_amount", "sum_amount"]
         )
@@ -444,7 +512,9 @@ class ServingCache:
             s = (b["sum_amount"] if b else None) or decimal.Decimal(0)
             dn, ds = delta.get(k, (0, decimal.Decimal(0)))
             out[k] = kv_tier.KVTier.quantize_balance(nn + dn, s + ds)
-        self.counters["kv_balance_window"] += 1
+        self.counters[
+            "kv_balance_window_pinned" if served_pinned else "kv_balance_window"
+        ] += 1
         return out
 
     def kv_transfers_page(

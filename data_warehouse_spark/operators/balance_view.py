@@ -334,7 +334,48 @@ def stale_window(store) -> tuple[str, str, list[str]] | None:
         result = _stale_window_uncached(store)
         if mut == getattr(store, "mutations", None):
             store._window_memo = (mut, result)
+        _remember_window(store, result)
         return result
+
+
+def _remember_window(store, win) -> None:
+    """Record a valid window token → (rollup_fp, new_paths) in a small
+    per-store history.  The parts are IMMUTABLE (the maintained rollup's
+    files and append-only change files), so a request that pinned this
+    token can be served its exact pinned state even after later adopts
+    have moved the live token on — see window_for_token.  Called under
+    the stale-window single-flight lock (one writer per epoch)."""
+    if win is None:
+        return
+    from collections import OrderedDict
+
+    hist = getattr(store, "_window_history", None)
+    if hist is None:
+        hist = store._window_history = OrderedDict()
+    if win[0] not in hist:
+        hist[win[0]] = (win[1], win[2])
+        while len(hist) > 16:
+            hist.popitem(last=False)
+
+
+def window_for_token(store, token: str | None):
+    """(rollup_fp, new_paths) previously published under ``token``, or
+    None.  The serving tier's answer to a TORN pin: a 2 s ingest tick
+    adopting files mid-request moves the live window token, and before
+    r11 the pinned request fell back to the Spark path — under a 9 s
+    contended merge tick EVERY in-flight balance request fell back,
+    measured as the fixture→queryable tail (serving_bench --stacks).
+    Because the window's inputs are immutable, serving the PINNED state
+    is exact snapshot-isolation semantics — the same read the reference
+    gets from Postgres MVCC during a concurrent ingest transaction
+    (reads see the pre-write snapshot).  Files deleted since (compaction)
+    surface as a failed read → the caller falls back to Spark."""
+    if token is None:
+        return None
+    hist = getattr(store, "_window_history", None)
+    if hist is None:
+        return None
+    return hist.get(token)
 
 
 def _stale_window_uncached(store) -> tuple[str, str, list[str]] | None:

@@ -901,10 +901,17 @@ class IngestionPipeline:
             # rollup maintenance DEFERRED while the append-only window is
             # small: serving answers exact balances through the window (KV
             # Arrow delta), and the first idle tick converges all deferred
-            # appends in one combined CDC apply (balance_view.maintain)
-            balance_view.maintain(
-                store, defer_under_files=self.rollup_defer_files
-            )
+            # appends in one combined CDC apply (balance_view.maintain).
+            # With deferral active, the tick-final maintain (the
+            # rollup_converge_check lap in run_once's finally) is the ONE
+            # maintenance call per tick — a second in-body call here paid
+            # a redundant stale-window inventory + fingerprint walk that
+            # stretched to ~2 s under 32-client GIL contention
+            # (serving_bench --stacks, r11). Only the pre-r10 "always
+            # converge in-tick" mode (defer disabled) keeps the in-body
+            # call, preserving its converge-before-markers ordering.
+            if self.rollup_defer_files is None:
+                balance_view.maintain(store)
             clock.lap("rollup_maintain")
 
             if batch:

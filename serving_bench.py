@@ -313,6 +313,46 @@ def main() -> int:
     _write_primary_tree(primary, args.accounts)
     tree_landed = time.perf_counter()
 
+    # fixture→queryable poller, started IMMEDIATELY after the fixture
+    # write and CONCURRENT with the client window (r10 verdict item 1:
+    # pre-r11 the poll only started after every client joined, so the
+    # measured fixture→queryable was floored by the whole client window's
+    # wall — a 40 s storm forced ftq ≥ 40 s even when the data was
+    # queryable at 12 s.  bbtest's own shape is land-then-poll-right-away
+    # with a 20 s budget, http_steps.py:57; the confirming GraphQL query
+    # below rides the loaded server, so the number stays honest e2e).
+    expected = args.accounts // 2
+    ftq_result: dict = {"sec": None}
+
+    def _ftq_poller() -> None:
+        poll_deadline = time.time() + 600
+        while time.time() < poll_deadline:
+            if discovered["transfers"] - base_discovered >= expected:
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{args.port}/graphql",
+                    data=json.dumps(
+                        {
+                            "query": 'query { transfers(tenant: "LOADGEN", '
+                            "limit: 1, offset: 0) { transaction } }"
+                        }
+                    ).encode(),
+                    headers={"Content-Type": "application/json"},
+                )
+                try:
+                    with urllib.request.urlopen(req, timeout=60) as rv:
+                        body = json.loads(rv.read())
+                except Exception:  # noqa: BLE001 — poll: retry next round
+                    body = {}
+                if (body.get("data") or {}).get("transfers"):
+                    ftq_result["sec"] = round(
+                        time.perf_counter() - tree_landed, 2
+                    )
+                    return
+            time.sleep(0.5)
+
+    ftq_thread = threading.Thread(target=_ftq_poller, daemon=True)
+    ftq_thread.start()
+
     # --stacks: sample every thread's Python stack during the client
     # window (sys._current_frames, 4 Hz) and report the hottest frames —
     # the attribution tool for "requests are slow under the merge tick"
@@ -371,40 +411,12 @@ def main() -> int:
         health = json.loads(rv.read())
 
     # the landed fixtures must become QUERYABLE (the reference's bbtest
-    # contract: land primary files, poll until visible) — wait for the
-    # in-flight merge tick to commit instead of stopping mid-merge, and
-    # record fixture→queryable wall (lower-bounded by tick cadence+cost)
-    expected = args.accounts // 2
-    fixture_to_queryable = None
-    wait_deadline = time.time() + 600
-    while time.time() < wait_deadline:
-        # cheap wait on the pipeline's own counter (a store-read poll is a
-        # Spark job per 1 s, contending with the merge it waits for) —
-        # then confirm end-to-end the way bbtest does: a GraphQL query
-        # must SEE the landed rows (http_steps.py polls /graphql, not the
-        # storage layer), and that confirming request is inside the clock
-        if discovered["transfers"] - base_discovered >= expected:
-            req = urllib.request.Request(
-                f"http://127.0.0.1:{args.port}/graphql",
-                data=json.dumps(
-                    {
-                        "query": 'query { transfers(tenant: "LOADGEN", '
-                        "limit: 1, offset: 0) { transaction } }"
-                    }
-                ).encode(),
-                headers={"Content-Type": "application/json"},
-            )
-            try:
-                with urllib.request.urlopen(req, timeout=60) as rv:
-                    body = json.loads(rv.read())
-            except Exception:  # noqa: BLE001 — poll: retry next round
-                body = {}
-            if (body.get("data") or {}).get("transfers"):
-                fixture_to_queryable = round(
-                    time.perf_counter() - tree_landed, 2
-                )
-                break
-        time.sleep(0.5)
+    # contract) — join the concurrent poller started at fixture-write
+    # time; it confirms end-to-end via /graphql (http_steps.py polls the
+    # API, not the storage layer), inside the clock, while the client
+    # storm runs
+    ftq_thread.join(timeout=620)
+    fixture_to_queryable = ftq_result["sec"]
 
     stop_sampling.set()
     if stack_counts:

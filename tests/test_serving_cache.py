@@ -184,3 +184,116 @@ def test_fake_store_without_versions_is_harmless(spark):
     assert cache.tenant_names() is None
     assert cache.accounts() is None
     assert cache.balances() is None
+
+
+def test_torn_pin_served_from_window_history(spark, tmp_path):
+    """r11: a request whose pinned window token was outrun by a mid-request
+    adopt is served its exact PINNED state from the window-token history
+    (snapshot isolation — the Postgres-MVCC read the reference gets),
+    instead of falling back to the Spark path.  The pinned values must
+    equal the pre-adopt state, EXCLUDING the later merge's rows."""
+    import datetime
+
+    from data_warehouse_spark.streaming.ingest import (
+        ABC_PRIMARY_KEYS,
+        ingest_abc_schema,
+    )
+
+    def _abc(spark, trn, amount):
+        return spark.createDataFrame(
+            [("CACHE_TRN", "CREDIT", datetime.datetime(2020, 1, 2),
+              decimal.Decimal(amount), "CACHE_TRN", trn, "t1", "c")],
+            ingest_abc_schema(),
+        )
+
+    store = _ticked_store(spark, tmp_path)
+    balance_view.maintain(store)
+    base = balance_view.freshness_token(store)
+    assert base is not None
+
+    # open a deferral window, capture its token as a request pin
+    store.merge_insert_missing(balance_view.ABC_TABLE, _abc(spark, "W1", "2"), ABC_PRIMARY_KEYS)
+    assert balance_view.maintain(store, defer_under_files=64) == "deferred"
+    pin = balance_view.serving_token(store)
+    assert pin is not None and pin.startswith("window:")
+
+    # the tick lands mid-request: another adopt moves the live token
+    store.merge_insert_missing(balance_view.ABC_TABLE, _abc(spark, "W2", "8"), ABC_PRIMARY_KEYS)
+    assert balance_view.serving_token(store) != pin
+
+    cache = ServingCache(store)
+    keys = [("CACHE_TRN", "CREDIT")]
+    served = cache.kv_balances(keys, pinned=pin)
+    assert served is not None, "torn pin must serve from history, not None"
+    # pinned state = initial 1.00 + W1's 2, WITHOUT W2's 8
+    assert served[("CACHE_TRN", "CREDIT")] == decimal.Decimal("3.00")
+    assert cache.counters["kv_balance_window_pinned"] == 1
+
+    # unpinned: the LIVE window includes W2
+    live = cache.kv_balances(keys)
+    assert live[("CACHE_TRN", "CREDIT")] == decimal.Decimal("11.00")
+
+    # after the rollup CONVERGES past the pin, the history must refuse
+    # (kv index rebuild hazard) and the request takes the Spark path
+    assert balance_view.maintain(store) == "delta"
+    assert cache.kv_balances(keys, pinned=pin) is None
+
+
+def test_transfer_page_follower_served_stale_during_reload(spark, tmp_path):
+    """r11: while a page's post-invalidation reload flight is running,
+    CONCURRENT requests for the same key are served the previous
+    committed generation instead of blocking on the leader's Spark job
+    (bounded one-generation staleness, MVCC semantics).  The leader
+    itself still returns the FRESH rows — first-reader freshness holds."""
+    import threading
+
+    store = _ticked_store(spark, tmp_path)
+    cache = ServingCache(store)
+    key = ("CACHE_TRN", None, None, 10, 0)
+    old_rows = [{"transaction": "OLD"}]
+    new_rows = [{"transaction": "NEW"}]
+    assert cache.transfers_page(key, lambda: old_rows) == old_rows
+
+    # invalidate: any content-changing op moves the transfer fingerprint
+    import datetime
+
+    from data_warehouse_spark.streaming.ingest import ingest_abc_schema
+
+    batch = spark.createDataFrame(
+        [("CACHE_TRN", "CREDIT", datetime.datetime(2020, 1, 3),
+          decimal.Decimal("1"), "CACHE_TRN", "TRNZ", "t1", "c")],
+        ingest_abc_schema(),
+    )
+    store.merge_insert_missing(
+        "transfer",
+        store.read("transfer").limit(0),  # no-op rows, still bumps state
+        ["tenant", "transaction", "transfer"],
+    )
+    del batch
+    # force a REAL fingerprint move via a direct write to the table dir
+    store.overwrite("transfer", store.read("transfer"))
+
+    release = threading.Event()
+    entered = threading.Event()
+
+    def slow_loader():
+        entered.set()
+        release.wait(timeout=60)
+        return new_rows
+
+    got = {}
+
+    def leader():
+        got["leader"] = cache.transfers_page(key, slow_loader)
+
+    t = threading.Thread(target=leader)
+    t.start()
+    assert entered.wait(timeout=60)
+    # follower while the flight is running: previous generation, instantly
+    assert cache.transfers_page(key, lambda: new_rows) == old_rows
+    assert cache.counters["transfer_page_stale_served"] == 1
+    release.set()
+    t.join(timeout=60)
+    assert got["leader"] == new_rows  # leader saw fresh
+    # after the flight: the fresh page is cached and served
+    assert cache.transfers_page(key, lambda: ["never"]) == new_rows
