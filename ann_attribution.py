@@ -125,6 +125,50 @@ def main() -> int:
         emb, QIDS, k=K, n_cells=similarity.N_CELLS,
         nprobe=similarity.N_PROBE, index_cache_key=key))
 
+    # r11: IVF+PQ + exact re-rank refinement (the FAISS refine stage) —
+    # timing plus the recall claim (refine >= plain ivfpq at equal nprobe)
+    similarity.clear_ivf_cache()
+    similarity._PQ_CODES_CACHE.clear()
+    timed("ivfpq_refine_cold", lambda: similarity.ivfpq_refine_topk(
+        emb, QIDS, k=K, refine=4, n_cells=similarity.N_CELLS,
+        nprobe=similarity.N_PROBE, index_cache_key=key))
+    timed("ivfpq_refine_warm", lambda: similarity.ivfpq_refine_topk(
+        emb, QIDS, k=K, refine=4, n_cells=similarity.N_CELLS,
+        nprobe=similarity.N_PROBE, index_cache_key=key))
+    bf_df = storage_checkpoint(similarity.brute_force_topk(emb, QIDS, k=K))
+    recall = {}
+    for name, fn in (
+        ("ivfpq", lambda: similarity.ivfpq_topk(
+            emb, QIDS, k=K, n_cells=similarity.N_CELLS,
+            nprobe=similarity.N_PROBE, index_cache_key=key)),
+        ("ivfpq_refine", lambda: similarity.ivfpq_refine_topk(
+            emb, QIDS, k=K, refine=4, n_cells=similarity.N_CELLS,
+            nprobe=similarity.N_PROBE, index_cache_key=key)),
+    ):
+        rows = similarity.recall_vs_exact(fn(), bf_df, k=K).collect()
+        recall[name] = round(
+            sum(r["recall_x1000"] for r in rows) / (1000 * len(rows)), 3
+        )
+    print(f"recall@{K}: {recall}", flush=True)
+
+    # r11: the STORED index lifecycle's build modes (save_ivf_index) —
+    # the verdict-r10 item: the 7x BLAS win must exist for the artifact a
+    # production deployment actually builds, not just session indexes
+    import shutil as _sh
+    import tempfile as _tf
+
+    stored = {}
+    for mode, fast in (("parity", False), ("fast", True)):
+        d = _tf.mkdtemp(prefix=f"ann-stored-{mode}-")
+        similarity.clear_ivf_cache()
+        t0 = time.perf_counter()
+        similarity.save_ivf_index(emb, d, fast=fast)
+        stored[f"stored_build_{mode}"] = round(time.perf_counter() - t0, 2)
+        print(f"stored_build_{mode}: {stored[f'stored_build_{mode}']}s",
+              flush=True)
+        _sh.rmtree(d, ignore_errors=True)
+    arms.update(stored)
+
     # the recall joins themselves (6 small joins on a k×|queries| table)
     similarity.clear_ivf_cache()
     similarity._PQ_CODES_CACHE.clear()
@@ -148,6 +192,11 @@ def main() -> int:
         "n_vectors": n_vectors,
         "arms_sec": arms,
         "isolated_cold_sum_sec": cold_sum,
+        "recall_at_k_mean": recall,
+        "stored_build_speedup": (
+            round(stored["stored_build_parity"] / stored["stored_build_fast"], 2)
+            if stored.get("stored_build_fast") else None
+        ),
         "suite_same_jvm_sec": suite_sec,
         "reading": (
             "arms timed alone with caches cleared between them; compare "

@@ -894,7 +894,18 @@ def save_ivf_index(
         embeddings, n_cells, id_col, vec_col, fast=fast
     )
     cdf.write.mode("overwrite").parquet(f"{path}/centroids")
-    corpus.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/{IVF_CORPUS_SUBDIR}")
+    # shuffle each cell's rows into ONE task before the partitioned write:
+    # without this every task writes a file into every cell dir it sees —
+    # tasks × √N-cells files (measured: the stored-artifact write was the
+    # dominant build cost at 2 M vectors, ANN_ATTRIBUTION_SF100 r11).
+    # After: one right-sized file per cell — fewer footers for the pruned
+    # probe reads too.
+    (
+        corpus.repartition(F.col("cell"))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/{IVF_CORPUS_SUBDIR}")
+    )
     dim = len(centroids[0][1]) if centroids else 0
     embeddings.sparkSession.createDataFrame(
         [(n_cells, id_col, vec_col, dim)],
@@ -986,7 +997,13 @@ def append_to_ivf_index(
                 f"{bad} vector(s) have dim != {dim}; refusing to append"
             )
     n = assigned.count()
-    assigned.write.mode("append").partitionBy("cell").parquet(f"{path}/{IVF_CORPUS_SUBDIR}")
+    # same one-file-per-touched-cell discipline as the initial build
+    (
+        assigned.repartition(F.col("cell"))
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(f"{path}/{IVF_CORPUS_SUBDIR}")
+    )
     return n
 
 
