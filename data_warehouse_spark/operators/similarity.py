@@ -881,11 +881,15 @@ def save_ivf_index(
     the caller pins one deliberately.
 
     ``fast=True`` builds the stored artifact with the BLAS assignment —
-    the shippable path for production-size corpora (measured ~7× the
-    parity build at 600 k–2 M vectors, ANN_ATTRIBUTION): centroid
-    training is mode-independent, so the artifact layout, geometry and
-    probe plans are identical; only the cell assignment's IEEE summation
-    order differs (witnessed by :func:`ivf_fast_agreement`, and pinned
+    the shippable path for production-size corpora. The ASSIGNMENT keeps
+    the session build's measured 6–8× (ANN_ATTRIBUTION_SF30/SF100:
+    session auto-geometry build 316.7→38.4 s at 2 M vectors); the stored
+    END-TO-END build measures ~2.5× because the artifact write
+    (cell-partitioned parquet, one file per cell) is mode-independent
+    and dominates once assignment is fast. Centroid training is
+    mode-independent, so the artifact layout, geometry and probe plans
+    are identical; only the cell assignment's IEEE summation order
+    differs (witnessed by :func:`ivf_fast_agreement`, and pinned
     stored-fast ≡ stored-parity at driver SFs by
     ``test_stored_index_fast_build_matches_parity``).
     """
