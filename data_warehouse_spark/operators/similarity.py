@@ -1483,6 +1483,24 @@ def pq_codewords(
     return words
 
 
+def _adc_table_row(
+    qv: list[float], codewords: list[list[float]], j: int,
+    m: int = PQ_M, sub: int = PQ_SUB,
+) -> list[float]:
+    """Row ``j`` of a query's ADC table: ``table[j][c]`` = squared L2
+    between subspace ``j`` of the normalized query and codeword slice
+    ``(j, c)`` — the exact 0.0-init sequential fold the encode/twin
+    expressions run, computed driver-side once per query."""
+    row = []
+    for cw in codewords:
+        acc = 0.0
+        for i in range(sub):
+            d = qv[j * sub + i] - cw[j * sub + i]
+            acc = acc + d * d
+        row.append(acc)
+    return row
+
+
 def _pq_normalized_col(vec_col) -> F.Column:
     d = V.dot(vec_col, vec_col)
     return F.transform(V.to_double(vec_col), lambda x: x / F.sqrt(d))
@@ -1673,39 +1691,49 @@ def pq_topk(
             [], "query_id bigint, neighbor_id bigint, rank bigint"
         )
 
-    out = None
+    # ONE pass over the codes table instead of a per-query union: each
+    # query's ADC table rides a |queries|-row broadcast (the same shape
+    # ivf_index chose for centroids — literal arrays cost ~0.3 s of py4j
+    # per query to BUILD and as much Catalyst time to re-analyze on every
+    # collect), and the codes scan happens once, paired with every query
+    # by a ≤|queries|-row broadcast nested loop (the documented ann_* BNLJ
+    # shape). The r10 form built one union branch per query — each branch
+    # re-scanned the codes parquet, and every unionByName re-analyzed the
+    # growing tree on the driver, which at any data size dominated the arm
+    # (plan work measured 2.8 s/run vs 0.07 s of execution at sf0.1).
+    # Same ADC values: table[j][c] is the identical driver-side double,
+    # and the per-row sum folds j-ascending exactly as before (guide
+    # §2.4: remove redundant passes; §7.3: plan work is driver time).
     w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
-    for r in q_rows:
-        qv = _pq_normalize_py(r["qv"])
-        # ADC table: table[j][c] = l2sq(q_slice_j, codeword_slice_jc), the
-        # same sequential fold the encode/twin expressions run
-        table = []
-        for j in range(m):
-            row = []
-            for cw in codewords:
-                acc = 0.0
-                for i in range(sub):
-                    d = qv[j * sub + i] - cw[j * sub + i]
-                    acc = acc + d * d
-                row.append(acc)
-            table.append(row)
-        adist = None
-        for j in range(m):
-            term = F.element_at(
-                F.lit(table[j]), F.col("codes").getItem(j) + 1
+    qtab = embeddings.sparkSession.createDataFrame(
+        [
+            (
+                int(r["qid"]),
+                [
+                    _adc_table_row(_pq_normalize_py(r["qv"]), codewords,
+                                   j, m, sub)
+                    for j in range(m)
+                ],
             )
-            adist = term if adist is None else adist + term
-        branch = (
-            encoded.filter(F.col("vec_id") != r["qid"])
-            .select(
-                F.lit(int(r["qid"])).cast("bigint").alias("query_id"),
-                F.col("vec_id").alias("neighbor_id"),
-                adist.alias("adist"),
-            )
+            for r in q_rows
+        ],
+        "query_id bigint, _tabs array<array<double>>",
+    )
+    adist = None
+    for j in range(m):
+        term = F.element_at(
+            F.col("_tabs").getItem(j), F.col("codes").getItem(j) + 1
         )
-        out = branch if out is None else out.unionByName(branch)
+        adist = term if adist is None else adist + term
     return (
-        out.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        encoded.crossJoin(F.broadcast(qtab))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            adist.alias("adist"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
         .orderBy("query_id", "rank")
@@ -1793,41 +1821,46 @@ def _ivfpq_adist_scored(
     ).collect()
     if not q_rows:
         return None
-    out = None
-    for r in q_rows:
-        qv = _pq_normalize_py(r["qv"])
-        table = []
-        for j in range(m):
-            row = []
-            for cw in codewords:
-                acc = 0.0
-                for i in range(sub):
-                    d = qv[j * sub + i] - cw[j * sub + i]
-                    acc = acc + d * d
-                row.append(acc)
-            table.append(row)
-        adist = None
-        for j in range(m):
-            term = F.element_at(F.lit(table[j]), F.col("codes").getItem(j) + 1)
-            adist = term if adist is None else adist + term
-        branch = (
-            encoded.join(
-                F.broadcast(
-                    cand.filter(F.col("query_id") == int(r["qid"])).select(
-                        F.col("neighbor_id").alias("vec_id")
-                    )
-                ),
-                "vec_id",
-                "left_semi",
+    # ONE equi-join instead of a per-query union of semi-joins: the r10
+    # shape re-executed the whole probe+corpus candidate subtree once per
+    # query branch (5× at the catalog's query count — and at 100 TB, 5
+    # scans of the codes table instead of 1), and every unionByName
+    # re-analyzed the growing driver plan (plan work measured 8.3 s/run
+    # vs 0.12 s of execution at sf0.1). Now: candidates (query_id,
+    # neighbor_id) join the codes table once, and each row picks up its
+    # query's driver-computed ADC table from a |queries|-row broadcast
+    # (literal arrays would cost ~0.3 s of py4j per query to build and as
+    # much Catalyst time per collect) — identical doubles, identical
+    # j-ascending sum fold.
+    qtab = embeddings.sparkSession.createDataFrame(
+        [
+            (
+                int(r["qid"]),
+                [
+                    _adc_table_row(_pq_normalize_py(r["qv"]), codewords,
+                                   j, m, sub)
+                    for j in range(m)
+                ],
             )
-            .select(
-                F.lit(int(r["qid"])).cast("bigint").alias("query_id"),
-                F.col("vec_id").alias("neighbor_id"),
-                adist.alias("adist"),
-            )
+            for r in q_rows
+        ],
+        "query_id bigint, _tabs array<array<double>>",
+    )
+    adist = None
+    for j in range(m):
+        term = F.element_at(
+            F.col("_tabs").getItem(j), F.col("codes").getItem(j) + 1
         )
-        out = branch if out is None else out.unionByName(branch)
-    return out
+        adist = term if adist is None else adist + term
+    return (
+        cand.join(encoded, cand["neighbor_id"] == encoded["vec_id"])
+        .join(F.broadcast(qtab), "query_id")
+        .select(
+            F.col("query_id").cast("bigint").alias("query_id"),
+            "neighbor_id",
+            adist.alias("adist"),
+        )
+    )
 
 
 def ivfpq_topk(
