@@ -54,21 +54,65 @@ def cos_py(a: list[float], b: list[float]) -> float:
     return num / den
 
 
+def _sql_ref(col: Column | str) -> str | None:
+    """Backquoted SQL identifier when the argument is a plain column name;
+    None for computed Column objects (those keep the DSL path)."""
+    if isinstance(col, str):
+        return "`" + col.replace("`", "``") + "`"
+    return None
+
+
+def _dot_sql(ra: str, rb: str) -> str:
+    """SQL text of :func:`dot` — the byte-identical fold (cast each element
+    to double, zip-multiply, 0.0-init sequential left fold; ``0.0D`` is the
+    explicit DOUBLE literal, matching the DSL's ``F.lit(0.0)``)."""
+    return (
+        f"aggregate(zip_with(transform({ra}, x -> CAST(x AS DOUBLE)), "
+        f"transform({rb}, x -> CAST(x AS DOUBLE)), (x, y) -> x * y), "
+        f"0.0D, (acc, v) -> acc + v)"
+    )
+
+
+# The str/str fast paths below parse ONE SQL string per expression instead
+# of assembling the same tree through the higher-order-function DSL. The
+# resulting Catalyst expressions are identical (same functions, same fold
+# order, same double literals — only auto-generated lambda-variable names
+# differ), but the DSL costs ~40 py4j round trips per fold (each lambda is
+# created via its own JVM call) where F.expr costs one. Measured on the
+# ann_recall construction: 12k py4j round trips ≈ 4.7 s per warm build,
+# dominated by these folds (guide §7.3: plan/driver work is wall time too).
+
+
 def to_double(vec: Column | str) -> Column:
+    r = _sql_ref(vec)
+    if r is not None:
+        return F.expr(f"transform({r}, x -> CAST(x AS DOUBLE))")
     return F.transform(_c(vec), lambda x: x.cast("double"))
 
 
 def dot(a: Column | str, b: Column | str) -> Column:
     """Sequential-fold dot product (deterministic summation order)."""
+    ra, rb = _sql_ref(a), _sql_ref(b)
+    if ra is not None and rb is not None:
+        return F.expr(_dot_sql(ra, rb))
     prods = F.zip_with(to_double(a), to_double(b), lambda x, y: x * y)
     return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
 
 
 def norm2(a: Column | str) -> Column:
+    r = _sql_ref(a)
+    if r is not None:
+        return F.expr(f"sqrt({_dot_sql(r, r)})")
     return F.sqrt(dot(a, a))
 
 
 def cosine(a: Column | str, b: Column | str) -> Column:
+    ra, rb = _sql_ref(a), _sql_ref(b)
+    if ra is not None and rb is not None:
+        return F.expr(
+            f"({_dot_sql(ra, rb)}) / "
+            f"(sqrt({_dot_sql(ra, ra)}) * sqrt({_dot_sql(rb, rb)}))"
+        )
     return dot(a, b) / (norm2(a) * norm2(b))
 
 

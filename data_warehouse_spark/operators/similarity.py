@@ -287,6 +287,44 @@ def bucketize(
     return base.mapInPandas(bucketit, schema=out_schema)
 
 
+# (app_id, cache key, plane geometry, columns) → persisted bucketed corpus.
+# The LSH analogue of _IVF_INDEX_CACHE: the bucketed corpus IS the LSH index
+# (a stored artifact in production, built once and probed many times); the
+# session cache is the local stand-in. Same CONTRACT as the IVF cache: the
+# cache_key must uniquely identify the corpus DATA. Cleared (and the persisted
+# partitions released) by clear_ivf_cache alongside the IVF entries.
+_LSH_INDEX_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _lsh_bucketed_corpus(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    planes: list[list[float]],
+    cache_key: str | None,
+) -> DataFrame:
+    """The bucketed corpus for :func:`lsh_topk`, optionally cached per
+    session. Without a key this is exactly the old inline
+    ``bucketize(...)`` call; with one, the corpus-wide Arrow bucketing
+    pass runs once per (corpus, geometry) instead of once per probe call
+    (guide §2.4: an index is a shuffle/pass you stop repeating)."""
+    if cache_key is None:
+        return bucketize(embeddings, id_col, vec_col, planes)
+    key = (
+        embeddings.sparkSession.sparkContext.applicationId,
+        cache_key,
+        tuple(tuple(p) for p in planes),
+        id_col,
+        vec_col,
+    )
+    hit = _LSH_INDEX_CACHE.get(key)
+    if hit is not None:
+        return hit
+    bucketed = bucketize(embeddings, id_col, vec_col, planes).persist()
+    _LSH_INDEX_CACHE[key] = bucketed
+    return bucketed
+
+
 def lsh_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -295,6 +333,7 @@ def lsh_topk(
     vec_col: str = "embedding",
     planes: list[list[float]] | None = None,
     multiprobe: bool = False,
+    index_cache_key: str | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: only candidates in the query's LSH bucket(s)
     are scored. Single-probe (same bucket) by default; ``multiprobe=True``
@@ -308,9 +347,12 @@ def lsh_topk(
 
     ``planes=None`` auto-sizes the plane count from the corpus
     (:func:`auto_n_planes` — bucket space ≈ √N); pass explicit planes to
-    pin geometry (the catalog's oracle arms do)."""
+    pin geometry (the catalog's oracle arms do). ``index_cache_key``
+    caches the bucketed corpus per session (the LSH index — a stored
+    artifact in production), exactly as ``ivf_topk`` caches its index."""
     planes = _resolve_planes(embeddings, planes)
-    bucketed = bucketize(embeddings, id_col, vec_col, planes)
+    bucketed = _lsh_bucketed_corpus(embeddings, id_col, vec_col, planes,
+                                    index_cache_key)
     probe_buckets = F.array(
         F.col("bucket"),
         *(
@@ -319,7 +361,16 @@ def lsh_topk(
             else []
         ),
     )
-    queries = bucketed.filter(F.col("vec_id").isin(query_ids)).select(
+    # probe side: filter the RAW corpus down to the |queries| rows FIRST
+    # (an id-pruned parquet scan), then bucket just those rows — the old
+    # shape filtered AFTER bucketize, and a filter cannot push through the
+    # opaque mapInPandas node, so selecting 5 query rows cost a full
+    # corpus-wide Python pass (guide §4.1: opaque functions defeat
+    # pushdown — prune before the boundary). bucketize is a deterministic
+    # per-row map, so the buckets are bit-identical either way.
+    queries = bucketize(
+        embeddings.filter(F.col(id_col).isin(query_ids)), id_col, vec_col, planes
+    ).select(
         F.col("vec_id").alias("query_id"),
         F.col("vec").alias("q_vec"),
         F.explode(probe_buckets).alias("q_bucket"),
@@ -482,9 +533,10 @@ _IVF_INDEX_CACHE: dict[tuple, tuple] = {}
 
 
 def clear_ivf_cache(cache_key: str | None = None) -> int:
-    """Evict IVF index entries, unpersisting their cached corpus DataFrames.
-    ``cache_key=None`` clears everything; otherwise only entries built under
-    that key (any geometry). Returns the number of entries evicted."""
+    """Evict IVF (and LSH) index entries, unpersisting their cached corpus
+    DataFrames. ``cache_key=None`` clears everything; otherwise only entries
+    built under that key (any geometry). Returns the number of entries
+    evicted."""
     doomed = [
         k
         for k in _IVF_INDEX_CACHE
@@ -496,7 +548,16 @@ def clear_ivf_cache(cache_key: str | None = None) -> int:
             corpus.unpersist()
         except Exception:
             pass  # session already stopped — nothing to release
-    return len(doomed)
+    lsh_doomed = [
+        k for k in _LSH_INDEX_CACHE if cache_key is None or k[1] == cache_key
+    ]
+    for k in lsh_doomed:
+        bucketed = _LSH_INDEX_CACHE.pop(k)
+        try:
+            bucketed.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
+    return len(doomed) + len(lsh_doomed)
 
 
 # above this many centroids, assignment uses the vectorized Arrow-batch

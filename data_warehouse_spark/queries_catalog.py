@@ -970,13 +970,16 @@ SELECT * FROM (
     "is itself regression-pinned",
 )
 def _ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .materialize import storage_checkpoint
-
     emb = cat.load_table(spark, sf_dir, "embeddings")
     # the exact result feeds every recall join below (one per approximate
     # method) — materialize the (k × |queries|)-row answer once instead of
-    # re-running the full distance scan inside each union branch
-    bf = storage_checkpoint(similarity.brute_force_topk(emb, _ANN_QUERY_IDS, k=_ANN_K))
+    # re-running the full distance scan inside each union branch. It is
+    # k·|queries| rows (25 here), so round-trip it through the driver
+    # (ONE collect job) rather than a parquet checkpoint (a write job plus
+    # a re-read in all 8 branches) — same rows, recomputed from the
+    # parquet input on every call
+    bf_plan = similarity.brute_force_topk(emb, _ANN_QUERY_IDS, k=_ANN_K)
+    bf = spark.createDataFrame(bf_plan.collect(), bf_plan.schema)
     out = None
     pinned_planes = similarity.hyperplanes()
     for method, df in (
@@ -992,9 +995,11 @@ def _ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_cells=similarity.N_CELLS, nprobe=similarity.N_PROBE,
             index_cache_key=sf_dir + "::fast", fast=True)),
         ("lsh", similarity.lsh_topk(
-            emb, _ANN_QUERY_IDS, k=_ANN_K, planes=pinned_planes)),
+            emb, _ANN_QUERY_IDS, k=_ANN_K, planes=pinned_planes,
+            index_cache_key=sf_dir)),
         ("lsh_mp", similarity.lsh_topk(
-            emb, _ANN_QUERY_IDS, k=_ANN_K, planes=pinned_planes, multiprobe=True)),
+            emb, _ANN_QUERY_IDS, k=_ANN_K, planes=pinned_planes,
+            multiprobe=True, index_cache_key=sf_dir)),
         ("pq", similarity.pq_topk(emb, _ANN_QUERY_IDS, k=_ANN_K, index_cache_key=sf_dir)),
         ("ivfpq", similarity.ivfpq_topk(
             emb, _ANN_QUERY_IDS, k=_ANN_K,
@@ -1046,7 +1051,8 @@ def _ann_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
         index_cache_key=sf_dir,
     ).select(F.lit("ivf").alias("method"), "query_id", "neighbor_id", "rank")
     lsh = similarity.lsh_topk(
-        emb, _ANN_QUERY_IDS, k=_ANN_K, planes=similarity.hyperplanes()
+        emb, _ANN_QUERY_IDS, k=_ANN_K, planes=similarity.hyperplanes(),
+        index_cache_key=sf_dir,
     ).select(
         F.lit("lsh").alias("method"), "query_id", "neighbor_id", "rank"
     )

@@ -114,8 +114,9 @@ def test_catalog_queries_cache_only_the_ivf_index_and_release_on_evict(spark):
     """The r2 persist-leak regression pin: multi-branch pipelines reuse
     intermediates via storage_checkpoint (files), never persist() — a
     long-lived server running catalog queries must not accumulate executor
-    cache. The ONE allowed cached artifact is the session-scoped IVF index
-    (documented, with an eviction API); after evicting it, zero persisted
+    cache. The allowed cached artifacts are the session-scoped ANN indexes
+    (IVF corpus and the r11 LSH bucketed corpus — both documented, both
+    behind the same eviction API); after evicting them, zero persisted
     RDDs may remain."""
     from data_warehouse_spark.operators import similarity
 
@@ -131,8 +132,9 @@ def test_catalog_queries_cache_only_the_ivf_index_and_release_on_evict(spark):
         "ann_topk_methods",
     ):
         QUERIES[name].fn(spark, SF_DIR).collect()
-    # at most the IVF index artifact was added...
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() <= before + 1
+    # at most the two index artifacts (IVF corpus + LSH bucketed corpus)
+    # were added...
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() <= before + 2
     # ...and eviction releases it completely
     similarity.clear_ivf_cache()
     assert spark.sparkContext._jsc.getPersistentRDDs().size() <= before
