@@ -914,26 +914,30 @@ def anomalous_hours(events: DataFrame, z_x100: int = 300) -> DataFrame:
     square overflows 64 bits at realistic volumes (~10⁹ deviation units),
     and Spark's non-ANSI BIGINT would wrap silently while DuckDB errors —
     the 38-digit domain keeps the flag bit-identical up to ~10¹⁷ deviation
-    units, far past any hourly-count magnitude. Two aggregations: the
-    hourly grain (one shuffle over events) and the tiny per-type moment
-    rollup, broadcast back onto the hours. Both tails flag (the square
-    covers spikes and dips); types with a single observed hour have zero
-    variance evidence and are skipped.
+    units, far past any hourly-count magnitude. One aggregation (the
+    hourly grain — the only shuffle over events) plus the per-type
+    moments as unbounded WINDOW aggregates over that tiny grain: the r10
+    shape rolled the moments up separately and broadcast-joined them back,
+    which needed a per-call parquet checkpoint of the grain (its two
+    consumers pruned different columns, defeating exchange reuse) — the
+    window form has ONE consumer, so the checkpoint, the join and the
+    second grain scan all disappear (guide §2.4: same-key window after
+    aggregation shares the partitioning story; identical sums, identical
+    integer comparison). Both tails flag (the square covers spikes and
+    dips); types with a single observed hour have zero variance evidence
+    and are skipped.
     """
-    from ..materialize import storage_checkpoint
-
-    # checkpoint the hourly grain: its two consumers (the moment rollup
-    # and the final join) prune different columns, defeating exchange
-    # reuse — unmaterialized, the events fact would aggregate twice
-    hr = storage_checkpoint(
-        events.groupBy(
-            "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
-        ).agg(F.count(F.lit(1)).alias("c"))
-    )
-    st = hr.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("c").alias("s"),
-        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    hr = events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    tw = Window.partitionBy("event_type")
+    moments = hr.select(
+        "event_type",
+        "hour",
+        "c",
+        F.count(F.lit(1)).over(tw).alias("n"),
+        F.sum("c").over(tw).alias("s"),
+        F.sum(F.col("c") * F.col("c")).over(tw).alias("ss"),
     )
     # widen BEFORE the first multiply — an inner BIGINT product would have
     # already wrapped by the time an outer cast saw it
@@ -943,8 +947,7 @@ def anomalous_hours(events: DataFrame, z_x100: int = 300) -> DataFrame:
     lhs = F.lit(10000).cast(wide) * dev * dev
     rhs = F.lit(z_x100 * z_x100).cast(wide) * var_num
     return (
-        hr.join(F.broadcast(st), "event_type")
-        .filter((F.col("n") >= 2) & (lhs > rhs))
+        moments.filter((F.col("n") >= 2) & (lhs > rhs))
         .select("event_type", "hour", F.col("c").alias("n_events"))
         .orderBy("event_type", "hour")
     )

@@ -550,10 +550,17 @@ def neardup_clusters(
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
     )
+    # seed with round 1 already applied: label(x) = min(x, direct
+    # neighbors). From the identity init the first loop round computes
+    # exactly this (edges are symmetrized, so every node appears as dst),
+    # and every later round is a deterministic function of the label
+    # table — so seeding here drops one join+checkpoint+count round per
+    # call (one full shuffle round at scale) with a bit-identical
+    # fixpoint AND identical intermediate label tables from round 2 on.
     labels = _storage_checkpoint(
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .select("id", F.col("id").alias("label"))
+        edges.groupBy("dst")
+        .agg(F.least(F.col("dst"), F.min("src")).alias("label"))
+        .select(F.col("dst").alias("id"), "label")
     )
     for _ in range(max_iter):
         prop = (

@@ -88,9 +88,18 @@ def estimate_expr(
     min over depths of a literal-array lookup. Shared by the batch gate
     (:func:`cms_heavy_hitters`) and the streaming serving path
     (``streaming/sketch_stream.estimate_counts``)."""
+    # each depth row is a width-sized literal array; build it by parsing ONE
+    # SQL string instead of F.lit(list), which assembles the array through
+    # one py4j call PER ELEMENT (4×1024 round trips ≈ 3.2 s of driver wall
+    # per construction, measured on sketch_suite — guide §7.3: driver/plan
+    # work is wall time too). The L suffix pins array<bigint>; the estimate
+    # was already cast to bigint below, so values are unchanged.
     ests = [
         F.coalesce(
-            F.element_at(F.lit(table[d]), _cms_bucket(key, d, width) + 1),
+            F.element_at(
+                F.expr("array(" + ",".join(f"{v}L" for v in table[d]) + ")"),
+                _cms_bucket(key, d, width) + 1,
+            ),
             F.lit(0),
         )
         for d in range(depth)

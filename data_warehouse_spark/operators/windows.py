@@ -315,28 +315,52 @@ def densify_daily_activity(events: DataFrame) -> DataFrame:
     broadcast of the tiny per-type bounds and one per-type window over
     |types|×|days| rows.
     """
-    from ..materialize import storage_checkpoint
-
-    daily = storage_checkpoint(_daily_activity(events))
-    bounds = daily.groupBy("event_type").agg(
-        F.min("day").alias("mn"), F.max("day").alias("mx")
-    )
-    grid = bounds.select(
+    # gap-explode form (r11): each observed day generates the run of
+    # calendar days up to (not including) the type's next observed day —
+    # the missing days inherit the generating row's forward-filled value,
+    # so densification and forward fill ride ONE per-type window pass.
+    # The old shape needed the daily grain twice (a bounds aggregate and
+    # a grid join), which forced a parquet checkpoint per call to avoid a
+    # double fact scan; this one consumes daily once — no checkpoint, no
+    # join, and one fewer shuffle at any scale. Row-for-row identical:
+    # the generated day set per type is [min(day), max(day)] exactly, a
+    # missing day's n_events is 0, and filled_value_cents is the last
+    # non-null daily value at or before the day (the ignorenulls fill is
+    # applied over observed rows BEFORE the explode, so a NULL daily sum
+    # still carries the previous non-null value, as before).
+    daily = _daily_activity(events)
+    w = Window.partitionBy("event_type").orderBy("day")
+    stepped = daily.select(
         "event_type",
-        F.explode(F.sequence("mn", "mx", F.expr("interval 1 day"))).alias("day"),
+        "day",
+        "n_events",
+        F.last("value_cents", ignorenulls=True)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("_filled"),
+        F.lead("day").over(w).alias("_next"),
     )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    grid = stepped.select(
+        "event_type",
+        F.col("day").alias("_obs"),
+        "n_events",
+        "_filled",
+        F.explode(
+            F.sequence(
+                "day",
+                F.coalesce(F.date_sub("_next", 1), F.col("day")),
+                F.expr("interval 1 day"),
+            )
+        ).alias("day"),
     )
     return (
-        grid.join(daily, ["event_type", "day"], "left")
-        .select(
+        grid.select(
             "event_type",
             F.date_format("day", "yyyy-MM-dd").alias("day"),
-            F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
-            F.last("value_cents", ignorenulls=True).over(w).alias("filled_value_cents"),
+            F.when(F.col("day") == F.col("_obs"), F.col("n_events"))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("n_events"),
+            F.col("_filled").alias("filled_value_cents"),
         )
         .orderBy("event_type", "day")
     )

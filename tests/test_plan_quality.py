@@ -73,7 +73,7 @@ def test_analytics_hints_only_on_fixed_size_dims(spark):
          analytics.top_revenue_suppliers(t["supplier"], t["lineitem"]), 1),  # 1-row max
         ("returned_item_revenue", analytics.returned_item_revenue(t), 1),  # nation
         ("anomalous_hours",
-         analytics.anomalous_hours(t["events"]), 1),  # per-event-type moments
+         analytics.anomalous_hours(t["events"]), 0),  # r11: moments ride a window, no join
     ]
     auto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     aqe_auto = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
@@ -647,10 +647,13 @@ def test_band_join_matches_naive_theta_join(spark):
 
 
 def test_rolling_and_densify_window_over_daily_grain_only(spark):
-    """Both calendar operators scan the fact exactly once. Rolling windows
-    directly over its daily aggregate; densify materializes the daily
-    grain to a checkpoint (two consumers), so its FINAL plan reads only
-    the tiny scratch parquet — zero events scans."""
+    """Both calendar operators scan the fact exactly once, in-plan.
+    Rolling windows directly over its daily aggregate; densify (r11
+    gap-explode form) consumes the daily grain once — one fact scan, one
+    per-type window carrying both the forward fill and the gap lead, a
+    Generate for the calendar explode, and NO join or per-call checkpoint
+    (the old two-consumer shape needed a parquet checkpoint to avoid a
+    double fact scan)."""
     import re
 
     from data_warehouse_spark.operators import windows
@@ -670,15 +673,22 @@ def test_rolling_and_densify_window_over_daily_grain_only(spark):
     assert "Window" in rep.text and "HashAggregate" in rep.text, rep.text
 
     rep = plan_report(windows.densify_daily_activity(events))
-    assert scans(rep, "events.parquet") == 0, rep.text  # grain checkpointed once
-    assert len(re.findall(r"\(\d+\) Scan parquet", rep.text)) <= 2, rep.text
-    assert "Window" in rep.text, rep.text
+    assert scans(rep, "events.parquet") == 1, rep.text  # one in-plan scan
+    assert len(re.findall(r"\(\d+\) Scan parquet", rep.text)) == 1, rep.text
+    assert "Window" in rep.text and "Generate" in rep.text, rep.text
+    assert rep.sortmerge_joins + rep.broadcast_joins + rep.shuffle_hash_joins == 0, rep.text
     assert rep.cartesian_products == 0, rep.text
 
 
 def test_anomalous_hours_moment_join_broadcast(spark):
     df = analytics.anomalous_hours(cat.load_table(spark, SF_DIR, "events"))
     rep = plan_report(df)
-    # the per-type moment table is tiny -> broadcast back onto the hours
-    assert rep.broadcast_joins >= 1, rep.text
+    # r11: the per-type moments ride a window over the hourly grain —
+    # one in-plan events scan, one Window, NO join and NO per-call
+    # checkpoint (the old rollup+broadcast shape needed one)
+    assert "Window" in rep.text, rep.text
+    assert rep.broadcast_joins + rep.sortmerge_joins + rep.shuffle_hash_joins == 0, rep.text
+    import re
+
+    assert len(re.findall(r"\(\d+\) Scan parquet", rep.text)) == 1, rep.text
     assert rep.cartesian_products == 0, rep.text
