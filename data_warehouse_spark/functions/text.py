@@ -147,6 +147,43 @@ def minhash_signature(hashed: Column, params=None) -> list[Column]:
 SIMHASH_BITS = 60
 
 
+def _sql_ref(col: Column | str) -> str | None:
+    """Backquoted SQL identifier when the argument is a plain column name;
+    None for computed Column objects (those keep the DSL path)."""
+    if isinstance(col, str):
+        return "`" + col.replace("`", "``") + "`"
+    return None
+
+
+def _simhash60_sql(r: str) -> str:
+    """SQL text of :func:`simhash60` — the same fold, parsed in ONE py4j
+    round trip instead of ~700 (the 60-wide per-bit array and the power
+    array each cost one JVM call per element through the DSL; measured
+    1.46 s of the 3.4 s doc_simhash construction — guide §7.3). Catalyst
+    trees are identical after constant folding (CASE/shiftright/& are the
+    DSL's when/shiftright/bitwiseAND; ``L`` literals are the folded
+    ``lit(2**b).cast("bigint")``)."""
+    whens = ", ".join(
+        f"CASE WHEN (shiftright(h, {b}) & 1) = 1 THEN 1 ELSE -1 END"
+        for b in range(SIMHASH_BITS)
+    )
+    powers = ", ".join(f"{2 ** b}L" for b in range(SIMHASH_BITS))
+    toks = f"split(trim(regexp_replace(lower({r}), '[^a-z0-9]+', ' ')), ' ')"
+    hashed = (
+        f"transform({toks}, "
+        f"s -> CAST(conv(substring(md5(s), 2, 15), 16, 10) AS BIGINT))"
+    )
+    counts = (
+        f"aggregate({hashed}, array_repeat(CAST(0 AS BIGINT), {SIMHASH_BITS}), "
+        f"(acc, h) -> zip_with(acc, array({whens}), (a, x) -> a + CAST(x AS BIGINT)))"
+    )
+    return (
+        f"aggregate(zip_with({counts}, array({powers}), "
+        f"(c, p) -> CASE WHEN c > 0 THEN p ELSE CAST(0 AS BIGINT) END), "
+        f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+
+
 def simhash60(col: Column | str) -> Column:
     """60-bit SimHash over full h60 token hashes (bit b set iff Σ_tokens ±1 > 0).
 
@@ -160,6 +197,9 @@ def simhash60(col: Column | str) -> Column:
     computed exactly once, and a 60-wide ±1 vector is added into a counter
     array (`zip_with`). Pure per-row expression — shuffle-free.
     """
+    r = _sql_ref(col)
+    if r is not None:
+        return F.expr(_simhash60_sql(r))
     t = tokens(col)
     hashed = F.transform(t, lambda s: h60(s))
     counts = F.aggregate(

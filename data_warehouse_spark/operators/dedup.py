@@ -568,17 +568,22 @@ def neardup_clusters(
             .groupBy(F.col("dst").alias("nid"))
             .agg(F.min("label").alias("cand"))
         )
+        # the change bit rides the SAME projection that computes the new
+        # label (cand < label iff this round lowered it — least() ignores
+        # the left-join's NULL cand), so convergence detection is a 1-row
+        # aggregate over the just-written checkpoint. The old shape
+        # re-joined new_labels⋈labels on id only to count diffs — a full
+        # O(|nodes|) shuffle join PER ROUND at scale for one integer.
         new_labels = _storage_checkpoint(
             labels.join(prop, labels["id"] == prop["nid"], "left")
-            .select("id", F.least("label", "cand").alias("label"))
+            .select(
+                "id",
+                F.least("label", "cand").alias("label"),
+                (F.col("cand") < F.col("label")).cast("int").alias("_chg"),
+            )
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.agg(F.sum("_chg")).collect()[0][0] or 0
+        labels = new_labels.select("id", "label")
         if changed == 0:
             break
     else:

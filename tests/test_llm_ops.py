@@ -75,6 +75,23 @@ def test_minhash_leaves_no_cached_rdds(spark):
     )
 
 
+def test_simhash60_sql_fast_path_matches_dsl(spark):
+    """r11: simhash60 over a plain column name parses ONE SQL string; over
+    a computed Column it keeps the per-bit DSL build. Same signature bits
+    either way, on real corpus text incl. empty/odd rows."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_spark.functions import text as X
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(200)
+    both = docs.select(
+        X.simhash60("text").alias("fast"),
+        # F.col(...) is a Column -> DSL path
+        X.simhash60(F.col("text")).alias("dsl"),
+    )
+    assert both.filter(F.col("fast") != F.col("dsl")).count() == 0
+
+
 def test_simhash_near_dup_small_hamming(spark):
     sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash_signatures(_docs(spark)).collect()}
     ham_12 = bin(sigs[1] ^ sigs[2]).count("1")
