@@ -102,7 +102,11 @@ def discover_tenants(spark: SparkSession, root: str) -> DataFrame:
     """
     names = [(n,) for n in tenant_names(root)]
     schema = T.StructType([T.StructField("tenant", T.StringType(), False)])
-    return spark.createDataFrame(names, schema) if names else _empty(spark, schema)
+    if not names:
+        return _empty(spark, schema)
+    # ONE slice: the default 32-slice parallelize makes every downstream
+    # task pay a python-worker round trip per slice (see ingest._driver_df)
+    return spark.createDataFrame(spark.sparkContext.parallelize(names, 1), schema)
 
 
 def _with_path(df: DataFrame) -> DataFrame:

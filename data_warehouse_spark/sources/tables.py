@@ -36,6 +36,7 @@ from __future__ import annotations
 import os
 import shutil
 import threading
+import time
 import urllib.parse
 import uuid
 
@@ -167,6 +168,11 @@ class TableStore:
         # at the counter compare. Single-writer assumption as for
         # `mutations`; multi-writer deployments must read through.
         self._df_memo: dict[tuple, tuple[int, DataFrame]] = {}
+        # per-table wall-clock phase laps of the LAST merge call (plan
+        # construction / write action / adopt+compact) — the attribution
+        # instrument behind the tick-cadence work; read by the profiling
+        # harnesses, never by the engine itself
+        self.last_merge_laps: dict[str, dict[str, float]] = {}
         # a typo'd or partition-column cluster key would silently disable
         # clustering forever (part files don't carry partition columns) —
         # fail construction instead
@@ -402,12 +408,15 @@ class TableStore:
         call sites whose batch is a dict-keyed driver twin."""
         # dedupe the batch itself on PK first (replayed fixtures)
         self.last_adopted_files = []  # never carry a previous merge's files
+        laps = self.last_merge_laps[name] = {}
+        _t0 = time.perf_counter()
         fresh = batch if assume_unique else batch.dropDuplicates(keys)
         if self.exists(name):
             current = self.read(name)
             # partition-pruned anti-join: only scan partitions the batch
             # touches (O(batch partitions), not O(table))
             pcols = [c for c in self.partitions.get(name, []) if c in keys]
+            need_anti = True
             if pcols:
                 pvals = (
                     [tuple(r) for r in partition_values]
@@ -415,27 +424,47 @@ class TableStore:
                     else fresh.select(*pcols).distinct().collect()
                 )
                 if 0 < len(pvals) <= MAX_PRUNE_PARTITIONS:
+                    if len(pcols) == 1:
+                        # dir-existence pruning: values with no partition
+                        # dir cannot conflict — and when NONE exist (the
+                        # steady tick's fresh-tenant wave) the anti-join
+                        # and its broadcast job disappear from the plan
+                        pvals = self._present_partition_values(
+                            name, pcols[0], pvals
+                        )
+                        need_anti = bool(pvals)
                     for i, c in enumerate(pcols):
                         current = current.filter(
                             self._partition_filter(c, [row[i] for row in pvals])
                         )
-            # no broadcast hint on current_keys: that side is the TABLE's key
-            # set (unbounded at scale — forcing it driver-side is an OOM
-            # hazard); AQE picks broadcast itself iff the pruned side is small
-            current_keys = current.select(*keys)
-            fresh = fresh.join(
-                current_keys, self._key_cond(fresh, current_keys, keys), "left_anti"
-            )
+            if need_anti:
+                # no broadcast hint on current_keys: that side is the TABLE's
+                # key set (unbounded at scale — forcing it driver-side is an
+                # OOM hazard); AQE picks broadcast itself iff the pruned side
+                # is small
+                current_keys = current.select(*keys)
+                fresh = fresh.join(
+                    current_keys,
+                    self._key_cond(fresh, current_keys, keys),
+                    "left_anti",
+                )
         # plan introspection for tests: the physical plan of what gets
         # written (pins the no-forced-broadcast property in CI)
         self.last_insert_plan = fresh
         # empty-batch short-circuit: an idle ingestion tick must not touch
-        # the table directory at all (no staging write, no adopt, no refresh)
-        fresh = fresh.cache()
+        # the table directory at all (no staging write, no adopt, no refresh).
+        # With ``assume_nonempty`` the isEmpty probe is skipped and the
+        # staging write is the ONLY action over ``fresh`` — caching for a
+        # single consumer is pure block-manager overhead, so skip it too.
+        cached = not assume_nonempty
+        if cached:
+            fresh = fresh.cache()
         # the staging dir is removed on EVERY exit path (a failed write or
         # adopt must not leak '<table>.stage-xxxx' directories tick after
         # tick)
         staging = f"{self._table_dir(name)}.stage-{uuid.uuid4().hex[:8]}"
+        laps["plan"] = time.perf_counter() - _t0
+        _t0 = time.perf_counter()
         try:
             try:
                 if not assume_nonempty and fresh.isEmpty():
@@ -447,7 +476,10 @@ class TableStore:
                 # duplication hazard
                 self._write_table_parquet(name, fresh, staging)
             finally:
-                fresh.unpersist()
+                if cached:
+                    fresh.unpersist()
+            laps["write_action"] = time.perf_counter() - _t0
+            _t0 = time.perf_counter()
             vdir = self._resolve(name)
             if vdir is None:
                 vdir = self._new_version_dir(name)
@@ -468,6 +500,7 @@ class TableStore:
                         name,
                         dirs={os.path.dirname(p) for p in adopted},
                     )
+            laps["adopt"] = time.perf_counter() - _t0
             return n
         finally:
             shutil.rmtree(staging, ignore_errors=True)
@@ -598,6 +631,31 @@ class TableStore:
         self._bump(tname)  # post-adopt bump (see __init__ note)
         return n_rows, adopted
 
+    def _present_partition_values(self, name: str, pcol: str, pvals) -> list:
+        """Subset of ``pvals`` whose first-level partition DIRECTORY exists
+        in the current version dir. The hive layout is an invariant of every
+        write path (partitioned writes, adopt, compaction hard-links, upsert
+        hard-links), so a missing ``<pcol>=<value>`` dir PROVES the table
+        holds no rows with that value — the MERGE anti-join/copy-on-write
+        read can skip those values entirely (the steady ingestion tick's
+        batches land under a fresh tenant, where this removes the whole
+        current-side subplan: one fewer broadcast job per merge, guide
+        §2.4). Conservative in both the quoted and legacy-unquoted dir
+        encodings; an EMPTY existing dir counts as present (harmless: the
+        pruned read just sees zero rows)."""
+        vdir = self._resolve(name)
+        if vdir is None:
+            return []
+        entries = [e for e in os.listdir(vdir) if "=" in e]
+        present = []
+        for row in pvals:
+            d = f"{pcol}={self._part_dir_value(row[0])}"
+            if d in entries or any(
+                self._unquoted_match(e, pcol, [row]) for e in entries
+            ):
+                present.append(row)
+        return present
+
     def merge_upsert(
         self,
         name: str,
@@ -707,23 +765,40 @@ class TableStore:
         if not (0 < len(pvals) <= MAX_PRUNE_PARTITIONS):
             return None
         old_vdir = self._resolve(name)
+        laps = self.last_merge_laps[name] = {}
+        _t0 = time.perf_counter()
         fresh = batch if assume_unique else batch.dropDuplicates(keys)
-        touched = self.read(name)
-        for i, c in enumerate(pcols):
-            touched = touched.filter(
-                self._partition_filter(c, [row[i] for row in pvals])
+        # dir-existence pruning (see _present_partition_values): values with
+        # no partition dir hold no rows, so the copy-on-write read restricts
+        # to the PRESENT subset — and when none are present (the steady
+        # tick's fresh-tenant wave) there is nothing to keep or conflict
+        # with: the staged snapshot is exactly the batch, no table read, no
+        # anti-joins, one write job over the batch itself
+        present = self._present_partition_values(name, pcols[0], pvals)
+        if present:
+            touched = self.read(name)
+            for i, c in enumerate(pcols):
+                touched = touched.filter(
+                    self._partition_filter(c, [row[i] for row in present])
+                )
+            batch_keys, fresh_eff = self._split_insert_only(
+                fresh, touched, keys, insert_only_col
             )
-        batch_keys, fresh_eff = self._split_insert_only(
-            fresh, touched, keys, insert_only_col
-        )
-        kept = touched.join(
-            F.broadcast(batch_keys),
-            self._key_cond(touched, batch_keys, keys),
-            "left_anti",
-        )
+            kept = touched.join(
+                F.broadcast(batch_keys),
+                self._key_cond(touched, batch_keys, keys),
+                "left_anti",
+            )
+            merged = kept.unionByName(fresh_eff)
+        else:
+            merged = fresh.drop(insert_only_col) if insert_only_col else fresh
         # the ONE Spark action of the stage: write the merged touched
         # partitions into an unpublished version dir
-        new_vdir = self._write_version(name, kept.unionByName(fresh_eff))
+        laps["plan"] = time.perf_counter() - _t0
+        _t0 = time.perf_counter()
+        new_vdir = self._write_version(name, merged)
+        laps["write_action"] = time.perf_counter() - _t0
+        _t0 = time.perf_counter()
         touched_dirs = {
             "=".join((pcols[0], self._part_dir_value(row[0]))) for row in pvals
         }
@@ -734,6 +809,7 @@ class TableStore:
             if entry in touched_dirs or self._unquoted_match(entry, pcols[0], pvals):
                 continue
             self._link_tree(src, os.path.join(new_vdir, entry))
+        laps["adopt"] = time.perf_counter() - _t0
         return (name, old_vdir, new_vdir)
 
     def merge_upsert_commit(self, prep) -> None:

@@ -466,3 +466,110 @@ def test_upsert_insert_only_full_rewrite_path(spark, tmp_path):
     )
     rows = {(r["tenant"], r["name"]): r["v"] for r in store.read("t").collect()}
     assert rows == {("A", "x"): 5, ("A", "z"): 3}
+
+
+def test_insert_missing_dir_existence_skip_and_replay(spark, tmp_path):
+    """Dir-existence pruning (r11): a hinted batch whose partition values
+    have NO partition dir skips the anti-join outright (no Join in the
+    written plan — the steady tick's fresh-tenant wave), and a REPLAY of
+    the same batch — dirs now present — re-engages the anti-join and
+    inserts nothing. The skip must never survive into a state where it
+    could double-insert."""
+    store = _store(spark, tmp_path)
+    store.merge_insert_missing(
+        "t", _rows(spark, [("A", "x", 1)]), ["tenant", "name"]
+    )
+    batch = [("NEW", "a", 1), ("NEW", "b", 2)]
+    n = store.merge_insert_missing(
+        "t",
+        _rows(spark, batch),
+        ["tenant", "name"],
+        partition_values=[("NEW",)],
+        assume_nonempty=True,
+        assume_unique=True,
+    )
+    assert n == 2
+    plan = store.last_insert_plan._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # anti-join skipped: no dir could conflict
+    # replay: tenant=NEW dir exists now -> anti-join engages, 0 inserted
+    n2 = store.merge_insert_missing(
+        "t",
+        _rows(spark, batch),
+        ["tenant", "name"],
+        partition_values=[("NEW",)],
+        assume_nonempty=True,
+        assume_unique=True,
+    )
+    assert n2 == 0
+    plan2 = store.last_insert_plan._jdf.queryExecution().executedPlan().toString()
+    assert "Join" in plan2
+    rows = {(r["tenant"], r["name"]): r["v"] for r in store.read("t").collect()}
+    assert rows == {("A", "x"): 1, ("NEW", "a"): 1, ("NEW", "b"): 2}
+
+
+def test_insert_missing_dir_skip_quoted_and_null_values(spark, tmp_path):
+    """The existence check must see through Spark's hive-dir encodings:
+    URL-quoted values (spaces, slashes) and the NULL sentinel dir. A
+    replayed batch must insert ZERO rows — a false 'absent' verdict here
+    would duplicate PKs."""
+    store = TableStore(
+        spark, str(tmp_path / "wh"), {"t": SCHEMA}, partitions={"t": ["tenant"]}
+    )
+    nullable = T.StructType(
+        [
+            T.StructField("tenant", T.StringType(), True),
+            T.StructField("name", T.StringType(), False),
+            T.StructField("v", T.IntegerType(), False),
+        ]
+    )
+    store.schemas["t"] = nullable
+    batch = [("a b/c", "x", 1), (None, "y", 2)]
+    df = spark.createDataFrame(batch, nullable)
+    pvals = [("a b/c",), (None,)]
+    n = store.merge_insert_missing(
+        "t", df, ["tenant", "name"],
+        partition_values=pvals, assume_nonempty=True, assume_unique=True,
+    )
+    assert n == 2
+    n2 = store.merge_insert_missing(
+        "t", spark.createDataFrame(batch, nullable), ["tenant", "name"],
+        partition_values=pvals, assume_nonempty=True, assume_unique=True,
+    )
+    assert n2 == 0  # both encodings recognized as present -> anti-join ran
+    assert store.read("t").count() == 2
+
+
+def test_upsert_prepare_fresh_partition_skips_table_read(spark, tmp_path):
+    """merge_upsert_prepare on a tenant with no partition dir stages exactly
+    the batch (no table read, no anti-joins) — and a SECOND prepare on the
+    now-present tenant keeps full DO UPDATE / insert-only semantics."""
+    store = _store(spark, tmp_path)
+    store.merge_insert_missing(
+        "t", _rows(spark, [("A", "x", 1)]), ["tenant", "name"]
+    )
+    prep = store.merge_upsert_prepare(
+        "t",
+        _flagged(spark, [("NEW", "a", 1, True), ("NEW", "b", 2, False)]),
+        ["tenant", "name"],
+        [("NEW",)],
+        insert_only_col="__ins__",
+        assume_unique=True,
+    )
+    assert prep is not None
+    store.merge_upsert_commit(prep)
+    rows = {(r["tenant"], r["name"]): r["v"] for r in store.read("t").collect()}
+    assert rows == {("A", "x"): 1, ("NEW", "a"): 1, ("NEW", "b"): 2}
+    assert "__ins__" not in store.read("t").columns
+    # replay + advance against the now-present tenant: insert-only row must
+    # LOSE to the live row, the unflagged row must WIN (DO UPDATE)
+    prep2 = store.merge_upsert_prepare(
+        "t",
+        _flagged(spark, [("NEW", "a", 0, True), ("NEW", "b", 9, False)]),
+        ["tenant", "name"],
+        [("NEW",)],
+        insert_only_col="__ins__",
+        assume_unique=True,
+    )
+    store.merge_upsert_commit(prep2)
+    rows = {(r["tenant"], r["name"]): r["v"] for r in store.read("t").collect()}
+    assert rows == {("A", "x"): 1, ("NEW", "a"): 1, ("NEW", "b"): 9}
