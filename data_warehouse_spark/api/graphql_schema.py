@@ -43,6 +43,7 @@ from graphql.error import GraphQLError
 from pyspark.sql import functions as F
 
 from ..functions.coercions import status_code
+from ..materialize import driver_df
 from ..operators import balance_view
 from ..operators import queries as wh
 from ..schemas import STATUS_NAMES
@@ -288,7 +289,7 @@ class WarehouseContext:
                         "balance": decimal.Decimal(0),
                     }
         else:
-            kdf = self.store.spark.createDataFrame(uniq, "tenant string, name string")
+            kdf = driver_df(self.store.spark, uniq, "tenant string, name string")
             accounts = self.accounts_df().filter(
                 F.col("tenant").isin(batch_tenants)
             ).join(F.broadcast(kdf), ["tenant", "name"], "left_semi")
@@ -326,7 +327,7 @@ class WarehouseContext:
                 return rows
 
         if kdf is None:
-            kdf = self.store.spark.createDataFrame(uniq, "tenant string, name string")
+            kdf = driver_df(self.store.spark, uniq, "tenant string, name string")
         if "_balance_rollup" not in self._dfs:
             # memoized per request like the table reads (snapshot pinning)
             self._dfs["_balance_rollup"] = balance_view.read_if_fresh(self.store)

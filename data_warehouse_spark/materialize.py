@@ -18,6 +18,21 @@ import tempfile
 from pyspark.sql import DataFrame
 
 
+def driver_df(spark, rows, schema) -> DataFrame:
+    """createDataFrame for a SMALL driver-owned row batch as ONE slice.
+
+    The default ``createDataFrame(list, schema)`` parallelizes local rows
+    into ``defaultParallelism`` (32 here) python slices, and every
+    downstream evaluation of the frame — each broadcast build, each join
+    re-execution — pays a python-worker round trip PER SLICE. Measured on
+    this box: a 25-row broadcast build side costs 1.13 s from a 32-slice
+    source vs 0.42 s from one slice (r12 probe; same pathology the r11
+    ingest tick measured at 1.55 s vs 0.74 s for a 500-row staging write).
+    These batches are O(queries)/O(keys) rows by contract, so one python
+    slice is the right parallelism (guide §2.2: fewer, larger tasks)."""
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+
+
 def storage_checkpoint(df: DataFrame, path: str | None = None) -> DataFrame:
     """Pass ``path`` for a REUSED scratch location (overwritten per call):
     repeated callers — a foreachBatch sink checkpointing every micro-batch

@@ -38,6 +38,7 @@ from . import catalog as cat
 from . import oracle_twins as tw
 from .catalog import WAREHOUSE_CTE_SQL
 from .functions.text import PII_RULES
+from .materialize import driver_df
 from .operators import (
     analytics,
     dedup,
@@ -979,7 +980,10 @@ def _ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a re-read in all 8 branches) — same rows, recomputed from the
     # parquet input on every call
     bf_plan = similarity.brute_force_topk(emb, _ANN_QUERY_IDS, k=_ANN_K)
-    bf = spark.createDataFrame(bf_plan.collect(), bf_plan.schema)
+    # ONE python slice: the 25-row exact answer is re-evaluated by each of
+    # the 8 recall joins below — 32 default slices cost a python-worker
+    # round trip per slice per evaluation (materialize.driver_df)
+    bf = driver_df(spark, bf_plan.collect(), bf_plan.schema)
     out = None
     pinned_planes = similarity.hyperplanes()
     for method, df in (

@@ -433,10 +433,14 @@ class TableStore:
                             name, pcols[0], pvals
                         )
                         need_anti = bool(pvals)
-                    for i, c in enumerate(pcols):
-                        current = current.filter(
-                            self._partition_filter(c, [row[i] for row in pvals])
-                        )
+                    if need_anti:
+                        # only built when the anti-join below consumes it —
+                        # on the pruned fresh-partition wave `current` is
+                        # dead and filtering it is wasted plan construction
+                        for i, c in enumerate(pcols):
+                            current = current.filter(
+                                self._partition_filter(c, [row[i] for row in pvals])
+                            )
             if need_anti:
                 # no broadcast hint on current_keys: that side is the TABLE's
                 # key set (unbounded at scale — forcing it driver-side is an
@@ -468,6 +472,9 @@ class TableStore:
         try:
             try:
                 if not assume_nonempty and fresh.isEmpty():
+                    # keep the laps contract total: profiling consumers may
+                    # index write_action/adopt on an idle-tick merge too
+                    laps["write_action"] = laps["adopt"] = 0.0
                     return 0
                 # materialize to a staging dir FIRST, then move the part
                 # files in: appending from a plan that reads the target dir
@@ -621,7 +628,16 @@ class TableStore:
                 if not fname.endswith(".parquet"):
                     continue
                 src = os.path.join(dirpath, fname)
-                n_rows += pq.read_metadata(src).num_rows
+                file_rows = pq.read_metadata(src).num_rows
+                if file_rows == 0:
+                    # an empty non-partitioned write leaves one schema-only
+                    # 0-row part file (SPARK-23271) — e.g. a replayed batch
+                    # whose anti-join emptied. Adopting it would litter the
+                    # version dir and surface a no-op file via the
+                    # file-level CDC; leave it in staging for the caller's
+                    # rmtree instead
+                    continue
+                n_rows += file_rows
                 dest_dir = target if rel == "." else os.path.join(target, rel)
                 os.makedirs(dest_dir, exist_ok=True)
                 dest = os.path.join(dest_dir, f"adopt-{uuid.uuid4().hex[:8]}-{fname}")

@@ -163,10 +163,12 @@ def _driver_df(spark: SparkSession, rows, schema) -> DataFrame:
     whole anti-join+cache merge plan dropped 2.84 s → 0.97 s (write-probe,
     r11 round 2). One slice = one python eval; these batches are
     O(files per tick) rows by the tick contract, so one task is the right
-    parallelism (guide §2.2: fewer, larger map tasks)."""
-    return spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1), schema
-    )
+    parallelism (guide §2.2: fewer, larger map tasks). Delegates to the
+    shared :func:`..materialize.driver_df` (one implementation of the
+    single-slice rule; the ANN/serving paths use it too)."""
+    from ..materialize import driver_df
+
+    return driver_df(spark, rows, schema)
 
 
 def warehouse_store(spark: SparkSession, root: str) -> TableStore:
@@ -360,9 +362,11 @@ class IngestionPipeline:
                 tenants_df.select(F.col("tenant").alias("name")),
                 PRIMARY_KEYS["tenant"],
                 # the caller's new-names check proves the batch nonempty; a
-                # restart-replay batch whose anti-join empties just adopts
-                # zero files — one wasted action on the rare replay instead
-                # of an isEmpty probe + cache on every new-tenant tick
+                # restart-replay batch whose anti-join empties adopts zero
+                # files (_adopt_files skips the schema-only 0-row part file
+                # an empty non-partitioned write leaves, SPARK-23271) — one
+                # wasted action on the rare replay instead of an isEmpty
+                # probe + cache on every new-tenant tick
                 assume_nonempty=True,
                 assume_unique=True,  # scandir names of ONE directory
             )
@@ -966,8 +970,8 @@ class IngestionPipeline:
             return df
         df = df.filter(F.col("tenant").isin(sorted({t for t, _ in scan_keys})))
         if len(scan_keys) > 64:
-            keys_df = spark.createDataFrame(
-                sorted(set(scan_keys)), "tenant string, name string"
+            keys_df = _driver_df(
+                spark, sorted(set(scan_keys)), "tenant string, name string"
             )
             df = df.join(F.broadcast(keys_df), ["tenant", "name"], "left_semi")
         else:
@@ -998,8 +1002,8 @@ class IngestionPipeline:
         # (measured: sf1 merge tick 14 s → 25 s with a 2000-name in-list)
         keys_df = None
         if scan_keys and len(scan_keys) > 64:
-            keys_df = spark.createDataFrame(
-                sorted(set(scan_keys)), "tenant string, name string"
+            keys_df = _driver_df(
+                spark, sorted(set(scan_keys)), "tenant string, name string"
             )
 
         def _keys_pushdown(df: DataFrame) -> DataFrame:

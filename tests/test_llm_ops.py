@@ -1980,3 +1980,49 @@ def test_ivfpq_refine_recall_and_limit(spark):
         index_cache_key="refine-test",
     ).collect()
     assert sorted(map(tuple, wide)) == sorted(map(tuple, flat))
+
+
+def test_topk_plan_cache_reuses_identical_plan_and_evicts(spark):
+    """r12 plan-builder reuse (guide §7.3 / VERDICT r11 item #2): with an
+    index_cache_key, a repeat *_topk call returns the SAME DataFrame object
+    (construction skipped — no py4j rebuild, no re-analysis), results are
+    identical to an uncached build, NO rows are memoized (the plan
+    re-executes per action), and clear_ivf_cache evicts plan entries
+    alongside the index they reference."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qids = [0, 1, 2]
+    similarity.clear_ivf_cache()
+    assert not similarity._TOPK_PLAN_CACHE
+    a = similarity.ivf_topk(
+        emb, qids, k=5, n_cells=similarity.N_CELLS,
+        nprobe=similarity.N_PROBE, index_cache_key="plan-test",
+    )
+    b = similarity.ivf_topk(
+        emb, qids, k=5, n_cells=similarity.N_CELLS,
+        nprobe=similarity.N_PROBE, index_cache_key="plan-test",
+    )
+    assert a is b, "same signature must reuse the built plan"
+    # a different signature (query set) builds its own plan
+    c = similarity.ivf_topk(
+        emb, [0, 1], k=5, n_cells=similarity.N_CELLS,
+        nprobe=similarity.N_PROBE, index_cache_key="plan-test",
+    )
+    assert c is not a
+    # no key → no cache entry, and the uncached build's rows match the
+    # cached plan's (plan reuse is not result caching)
+    fresh = similarity.ivf_topk(
+        emb, qids, k=5, n_cells=similarity.N_CELLS, nprobe=similarity.N_PROBE,
+    )
+    assert fresh is not a
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, fresh.collect()))
+    # keyed eviction drops only that key's plans; full eviction drops all
+    similarity.lsh_topk(
+        emb, qids, k=5, planes=similarity.hyperplanes(),
+        index_cache_key="plan-test-other",
+    )
+    n = len(similarity._TOPK_PLAN_CACHE)
+    assert n >= 3
+    similarity.clear_ivf_cache("plan-test")
+    assert all(k[1] == "plan-test-other" for k in similarity._TOPK_PLAN_CACHE)
+    similarity.clear_ivf_cache()
+    assert not similarity._TOPK_PLAN_CACHE

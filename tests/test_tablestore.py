@@ -573,3 +573,33 @@ def test_upsert_prepare_fresh_partition_skips_table_read(spark, tmp_path):
     store.merge_upsert_commit(prep2)
     rows = {(r["tenant"], r["name"]): r["v"] for r in store.read("t").collect()}
     assert rows == {("A", "x"): 1, ("NEW", "a"): 1, ("NEW", "b"): 9}
+
+
+def test_insert_missing_replay_adopts_no_empty_file_and_laps_total(spark, tmp_path):
+    """ADVICE r11 items: (1) a replayed non-partitioned batch whose
+    anti-join empties must adopt ZERO files — an empty non-partitioned
+    write leaves one schema-only 0-row part file (SPARK-23271) and
+    _adopt_files must skip it, not surface it via the file-level CDC;
+    (2) every merge_insert_missing call leaves the full laps contract
+    (plan/write_action/adopt), including the empty-batch early return."""
+    store = TableStore(spark, str(tmp_path / "wh"), {"t": SCHEMA})  # no partitions
+    batch = [("A", "x", 1), ("A", "y", 2)]
+    assert store.merge_insert_missing("t", _rows(spark, batch), ["tenant", "name"]) == 2
+    vdir = store._resolve("t")
+    files_before = sorted(os.listdir(vdir))
+    # replay with assume_nonempty: anti-join empties -> staging write emits
+    # only the 0-row part file, which must NOT be adopted
+    n = store.merge_insert_missing(
+        "t", _rows(spark, batch), ["tenant", "name"],
+        assume_nonempty=True, assume_unique=True,
+    )
+    assert n == 0
+    assert store.last_adopted_files == []
+    assert sorted(os.listdir(vdir)) == files_before
+    assert set(store.last_merge_laps["t"]) == {"plan", "write_action", "adopt"}
+    # empty-batch early return (isEmpty probe path) keeps the laps total too
+    n2 = store.merge_insert_missing(
+        "t", _rows(spark, []), ["tenant", "name"]
+    )
+    assert n2 == 0
+    assert set(store.last_merge_laps["t"]) == {"plan", "write_action", "adopt"}
